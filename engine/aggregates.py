@@ -1,0 +1,457 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Determinism discipline (SURVEY.md §7.4): every float aggregate is rounded
+identically in the Spark query and the DuckDB oracle; integer counts/sums
+are BIGINT on both sides; arg-extremes carry a unique-key tiebreak.
+
+100 TB notes: every groupBy below compiles to partial (map-side) + final
+hash aggregation — one shuffle on the group keys, no driver collection.
+Approx sketches (HLL / Greenwald-Khanna) are the scale path for distincts
+and percentiles; the exact variants are the oracle-checkable twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+@query(
+    "agg_groupby_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
+           ROUND(AVG(l_discount), 4)                                 AS avg_disc,
+           COUNT(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): scan → filter → grouped sums/avgs/count.
+
+    Catalyst plan: parquet scan with pushed l_shipdate filter → partial
+    HashAggregate → shuffle on (l_returnflag, l_linestatus) [6 groups] →
+    final HashAggregate.  At 100 TB the 6-group cardinality makes the
+    shuffle tiny; all reduction happens map-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*)                          AS n_rows,
+           ROUND(SUM(l_quantity), 2)         AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4)    AS avg_price,
+           ROUND(MIN(l_extendedprice), 2)    AS min_price,
+           ROUND(MAX(l_extendedprice), 2)    AS max_price,
+           COUNT(DISTINCT l_orderkey)        AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_partkey)   AS n_parts,
+           COUNT(DISTINCT l_orderkey)  AS n_orders,
+           ROUND(SUM(l_quantity), 2)   AS sum_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two distinct aggs + one plain → Catalyst Expand-based rewrite; keep
+    # distinct-agg count ≤ 2 per query (SURVEY.md §4).
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2)                        AS promo_revenue,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation (promo revenue share)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(revenue), 2).alias("total_revenue"),
+            F.round(100.0 * F.sum(promo) / F.sum(revenue), 4).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS gid
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.grouping_id().alias("gid"),
+        )
+        .withColumn("gid", F.col("gid").cast("long"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .withColumn("gid", F.col("gid").cast("long"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL entry point (SURVEY.md §3 entry 2): syntax shared with the oracle.
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 4)         AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_pq,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 4)                          AS med_price,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p75,
+           ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None)  # rows-only: sketch ≠ DuckDB sketch
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the 100 TB path where an
+    exact sort-based percentile would be a full shuffle of the column."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("med_approx"),
+        F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 4).alias("p95_approx"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # rows-only: HLL ≠ DuckDB HLL
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — constant memory per
+    group at any scale, vs the shuffle-heavy exact countDistinct."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           LIST_SORT(ARRAY_AGG(s.s_name)) AS supplier_names
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sort_array(F.collect_list("s_name")).alias("supplier_names"))
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id,
+           LIST_SORT(LIST(DISTINCT event_type)) AS event_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal ASC, c_custkey ASC)  AS rmin
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest_customer,
+           MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest_customer,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tiebreak on unique c_custkey (SURVEY.md §7.4 rule 4); max_by over a
+    # struct orders lexicographically, matching the oracle's window order.
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest_customer"),
+        F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit pivot value list → single-pass plan, no value-discovery job
+    # (required at 100 TB; also keeps output schema stable).
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot count yields nulls for empty cells; oracle FILTER yields 0
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(value / 35.0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10 equal-width buckets over fixed bounds [0, 350); cap into bucket 9.
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 35.0), F.lit(9)).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,47 @@
+"""Operator registry — the single source of truth for the driver contract.
+
+Each operator module registers its keys here via :func:`query`.  A key is
+"declared" (visible to the driver through ``__spark_entry__.queries()``)
+only when registered, and SURVEY.md §2's rule applies: register only after
+the key hash-matches its DuckDB oracle locally (tests/test_oracle_parity.py).
+
+Reference parity note: the reference repo (/root/reference, README.md:1-2)
+contains no code; the inventory implemented here is the reconstructed
+contract of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict, Set
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+ROWS_ONLY: Set[str] = set()
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the implementation of operator ``key``.
+
+    ``oracle`` is the DuckDB-runnable ANSI SQL twin (tables pre-registered
+    as views: region nation customer supplier part orders lineitem events
+    documents embeddings).  ``oracle=None`` declares a rows-only key
+    (approx aggs, MinHash, streaming) — the driver then records the weaker
+    rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate operator key: {key}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle.strip()
+        else:
+            ROWS_ONLY.add(key)
+        return fn
+
+    return deco

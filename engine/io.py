@@ -1,0 +1,229 @@
+"""Sources, sinks, and session configuration (SURVEY.md §2.1).
+
+All loaders go through :func:`load` so the events ns-timestamp fix
+(SURVEY.md §7.3 item 2) is applied exactly once, in one place.
+
+100 TB notes: every reader here is a plain parquet scan — Catalyst pushes
+predicates/projections into the scan (verified by `scan_predicate_pushdown`
+/ `scan_project_prune` explain checks in tests).  At cluster scale the same
+code reads a partitioned table directory; nothing below materializes data
+on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_CONFIGURED: set[int] = set()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable session tuning.
+
+    The driver owns the SparkSession, so only dynamic SQL confs are used:
+    - ``nanosAsLong``: events.ts is parquet timestamp[ns], which PySpark
+      4.1.2 refuses to read natively (PARQUET_TYPE_ILLEGAL).
+    - UTC session timezone: keeps collected timestamps equal to the stored
+      wall-clock values DuckDB returns.
+    - AQE + Arrow on; these are Spark-4 defaults but pinned defensively.
+    """
+    key = id(spark)
+    if key in _CONFIGURED:
+        return spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    _CONFIGURED.add(key)
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one corpus table; normalizes events.ts ns→µs TimestampType."""
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 epoch-nanos → integer µs division (exact; no double round-trip)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views named exactly like the driver's DuckDB oracle views."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scan / source / sink keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem")
+
+
+@query(
+    "scan_project_prune",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+)
+def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column pruning: ReadSchema in explain() must list exactly these 3 cols.
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@query(
+    "scan_predicate_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Filter on the raw column (no cast) so it reaches PushedFilters.
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+    )
+
+
+@query(
+    "source_range_synthetic",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * range AS BIGINT) AS sq,
+           CAST(range % 7 AS BIGINT) AS bucket
+    FROM range(10000)
+    """,
+)
+def source_range_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(10000).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+
+
+def _scratch_dir(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_io", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem sample to CSV, read it back with explicit schema,
+    aggregate.  Oracle reads the original parquet — equality proves the
+    CSV round-trip is lossless for the projected columns."""
+    sample = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    )
+    path = _scratch_dir("csv_roundtrip")
+    sample.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING, l_quantity DOUBLE",
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "source_json_lines",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS sum_epoch_s
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events sample → JSONL → read back with explicit schema → aggregate.
+    Timestamps travel as epoch seconds (ns precision would not survive)."""
+    sample = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+    )
+    path = _scratch_dir("json_lines")
+    sample.write.mode("overwrite").json(path)
+    back = spark.read.json(
+        path,
+        schema="event_id BIGINT, event_type STRING, value DOUBLE, epoch_s BIGINT",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("epoch_s").alias("sum_epoch_s"),
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by o_orderstatus, read back, count per
+    partition — exercises dynamic partition discovery + pruning."""
+    orders = load(spark, sf_dir, "orders")
+    path = _scratch_dir("orders_by_status")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

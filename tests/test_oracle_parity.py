@@ -1,0 +1,91 @@
+"""Local twin of the driver's correctness harness (SURVEY.md §5 item 2).
+
+For every registered key: run the Spark DataFrame at sf0.01 AND the DuckDB
+oracle SQL over the same parquet, compare row count + column-name set +
+order-insensitive canonicalized values.  Rows-only keys just execute.
+
+Never declare a key (engine.core.query) that fails here.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+import engine
+from tests.conftest import SF_DIR
+
+KEYS = sorted(engine.QUERIES)
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # queries round explicitly (SURVEY.md §7.4); absorb last-bit drift
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sortkey(row):
+    return tuple(
+        (x is None, str(type(x).__name__), str(x)) for x in row
+    )
+
+
+def _normalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort(key=_sortkey)
+    return cols, out
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_parity(key, spark, duck):
+    df = engine.QUERIES[key](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+
+    if key in engine.ROWS_ONLY:
+        assert len(spark_rows) >= 0  # rows-only: executes without error
+        return
+
+    cur = duck.execute(engine.ORACLES[key])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{key}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{key}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    _, s_norm = _normalize(spark_cols, spark_rows)
+    _, d_norm = _normalize(duck_cols, duck_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, (
+        f"{key}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
