@@ -1,0 +1,362 @@
+"""Projection / filter / sort / limit / set operators (SURVEY.md §2.2, §2.6, §2.7).
+
+All keys are narrow transformations or single-shuffle sorts; Catalyst pushes
+every filter below into the parquet scan (PushedFilters) and prunes columns
+(ReadSchema) — asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_arithmetic",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2)               AS revenue,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           ROUND(l_extendedprice / l_quantity, 4)                     AS unit_price
+    FROM lineitem
+    """,
+)
+def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(revenue, 2).alias("revenue"),
+        F.round(revenue * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+    )
+
+
+@query(
+    "project_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS size_class,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'pending' END AS status_name
+    FROM orders
+    """,
+)
+def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_name"),
+    )
+
+
+@query(
+    "project_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS INTEGER) AS price_int,
+           CAST(o_orderkey AS VARCHAR)          AS key_str,
+           CAST(o_orderdate AS DATE)            AS order_date
+    FROM orders
+    """,
+)
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark double→int truncates toward zero; DuckDB rounds — oracle uses
+    # TRUNC to pin the shared semantics (SURVEY.md §7.3 item 3).
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@query(
+    "filter_simple",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 predicate shape; all conjuncts reach PushedFilters.
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE (p_size IN (1, 5, 10, 25, 50) OR p_type = 'PROMO')
+      AND NOT (p_brand LIKE '%#1%')
+      AND p_size <> 13
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_size").isin(1, 5, 10, 25, 50) | (F.col("p_type") == "PROMO"))
+        & ~F.col("p_brand").like("%#1%")
+        & (F.col("p_size") != 13)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "filter_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           c_acctbal
+    FROM customer
+    WHERE NULLIF(c_mktsegment, 'BUILDING') IS NULL
+       OR NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY'
+    """,
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey", seg.alias("seg_or_null"), "c_acctbal"
+    ).filter(F.col("seg_or_null").isNull() | F.col("seg_or_null").eqNullSafe("MACHINERY"))
+
+
+@query(
+    "filter_regex",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE regexp_matches(p_name, '(red|blue) .*(steel|brass)')
+    """,
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rlike is unanchored substring-match, same as DuckDB regexp_matches.
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("(red|blue) .*(steel|brass)")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Total order (unique o_orderkey last) — range-partitioned sort at scale.
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+
+@query(
+    "sort_nulls_order",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END AS bal_or_null
+    FROM customer
+    ORDER BY bal_or_null ASC NULLS FIRST, c_custkey ASC
+    LIMIT 100
+    """,
+)
+def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2))
+    return (
+        c.select("c_custkey", bal.alias("bal_or_null"))
+        .orderBy(F.asc_nulls_first("bal_or_null"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Compiles to TakeOrderedAndProject: per-partition top-20 heaps merged
+    # on the driver — no global sort, the right top-k plan at any scale.
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic key-mod sample (oracle-matchable, restart-stable),
+    # NOT .sample() whose RNG is partition-layout-dependent.
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+_WINDOW_A = "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+_WINDOW_B = "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+
+
+def _custkeys(spark, sf_dir, window_sql):
+    o = load(spark, sf_dir, "orders")
+    return o.filter(window_sql).select(F.col("o_custkey").alias("custkey"))
+
+
+@query(
+    "set_union_all",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    UNION ALL
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys(spark, sf_dir, _WINDOW_A).unionByName(
+        _custkeys(spark, sf_dir, _WINDOW_B)
+    )
+
+
+@query(
+    "set_union_distinct",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _custkeys(spark, sf_dir, _WINDOW_A)
+        .union(_custkeys(spark, sf_dir, _WINDOW_B))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys(spark, sf_dir, _WINDOW_A).intersect(
+        _custkeys(spark, sf_dir, _WINDOW_B)
+    )
+
+
+@query(
+    "set_except",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys(spark, sf_dir, _WINDOW_A).subtract(
+        _custkeys(spark, sf_dir, _WINDOW_B)
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys(spark, sf_dir, _WINDOW_A).intersectAll(
+        _custkeys(spark, sf_dir, _WINDOW_B)
+    )
+
+
+@query(
+    "set_except_all",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_A}
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE {_WINDOW_B}
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys(spark, sf_dir, _WINDOW_A).exceptAll(
+        _custkeys(spark, sf_dir, _WINDOW_B)
+    )
