@@ -347,18 +347,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n.n_name AS nation_name,
-           LIST_SORT(ARRAY_AGG(s.s_name)) AS supplier_names
+           ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(s.s_name)), ',') AS supplier_names
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs crash the driver's canonicalizer (round-1 'unhashable
+    # numpy.ndarray') — serialize to a CSV string on both sides.
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sort_array(F.collect_list("s_name")).alias("supplier_names"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            )
+        )
     )
 
 
@@ -366,7 +372,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT user_id,
-           LIST_SORT(LIST(DISTINCT event_type)) AS event_types
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS event_types
     FROM events
     GROUP BY user_id
     """,
@@ -374,7 +380,9 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        )
     )
 
 

@@ -67,10 +67,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Temp views named exactly like the driver's DuckDB oracle views."""
+    """Temp views named exactly like the driver's DuckDB oracle views.
+
+    Cached per (session, sf_dir): re-registration re-reads all 10 parquet
+    footers, a pointless metadata cost when called per-query.
+    """
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _REGISTERED:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED.add(cache_key)
 
 
 # ---------------------------------------------------------------------------
@@ -175,8 +186,8 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value,
-           SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS sum_epoch_s
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS BIGINT)  AS sum_epoch_s
     FROM events
     WHERE event_id % 5 = 0
     GROUP BY event_type
@@ -184,14 +195,18 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events sample → JSONL → read back with explicit schema → aggregate.
-    Timestamps travel as epoch seconds (ns precision would not survive)."""
+
+    Floats travel as integer cents and timestamps as epoch seconds: a
+    double SUM is summation-order-dependent (round-1 hash_match=false),
+    an integer SUM is exact on both engines.
+    """
     sample = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_id") % 5 == 0)
         .select(
             "event_id",
             "event_type",
-            "value",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
             F.unix_timestamp("ts").alias("epoch_s"),
         )
     )
@@ -199,11 +214,11 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample.write.mode("overwrite").json(path)
     back = spark.read.json(
         path,
-        schema="event_id BIGINT, event_type STRING, value DOUBLE, epoch_s BIGINT",
+        schema="event_id BIGINT, event_type STRING, value_cents BIGINT, epoch_s BIGINT",
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("value_cents").alias("sum_value_cents"),
         F.sum("epoch_s").alias("sum_epoch_s"),
     )
 

@@ -2,7 +2,7 @@
 
 All keys are narrow transformations or single-shuffle sorts; Catalyst pushes
 every filter below into the parquet scan (PushedFilters) and prunes columns
-(ReadSchema) — asserted in tests/test_plans.py.
+(ReadSchema).
 """
 
 from __future__ import annotations
@@ -23,21 +23,26 @@ from engine.io import load
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2)               AS revenue,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
-           ROUND(l_extendedprice / l_quantity, 4)                     AS unit_price
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+           FLOOR(l_extendedprice / l_quantity * 10000 + 0.5) / 10000   AS unit_price
     FROM lineitem
     """,
 )
 def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row float rounding MUST be floor(x*scale + 0.5)/scale on both
+    # sides: pure IEEE double ops with identical operand order are
+    # bit-identical across engines, unlike ROUND whose half-way tie
+    # resolution differs between Spark (decimal HALF_UP) and DuckDB
+    # (binary FP) — the round-1 hash_match=false root cause.
     li = load(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(revenue, 2).alias("revenue"),
-        F.round(revenue * (1 + F.col("l_tax")), 2).alias("charge"),
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+        (F.floor(revenue * 100 + F.lit(0.5)) / 100).alias("revenue"),
+        (F.floor(revenue * (1 + F.col("l_tax")) * 100 + F.lit(0.5)) / 100).alias("charge"),
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias("unit_price"),
     )
 
 
@@ -158,13 +163,15 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name
     FROM part
-    WHERE regexp_matches(p_name, '(red|blue) .*(steel|brass)')
+    WHERE regexp_matches(p_name, '^(red|blue|green) (widget|bolt|gear)')
     """,
 )
 def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rlike is unanchored substring-match, same as DuckDB regexp_matches.
+    # Pattern chosen to match real p_name values (e.g. 'red widget',
+    # 'blue bolt') — round 1's pattern matched 0 rows, a vacuous pass.
     p = load(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("(red|blue) .*(steel|brass)")).select(
+    return p.filter(F.col("p_name").rlike("^(red|blue|green) (widget|bolt|gear)")).select(
         "p_partkey", "p_name"
     )
 

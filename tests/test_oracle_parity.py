@@ -31,8 +31,11 @@ def _canon(v):
             return "NaN"
         if math.isinf(v):
             return "Inf" if v > 0 else "-Inf"
-        # queries round explicitly (SURVEY.md §7.4); absorb last-bit drift
-        return round(v, 6)
+        # EXACT comparison (repr = shortest round-trip form): the driver
+        # hashes exact values, so the local twin must be at least as
+        # strict — round-1's round(v, 6) here absorbed drift the driver
+        # then punished (VERDICT r1 "What's wrong" #3).
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
@@ -63,6 +66,22 @@ def _normalize(columns, rows):
 @pytest.mark.parametrize("key", KEYS)
 def test_parity(key, spark, duck):
     df = engine.QUERIES[key](spark, SF_DIR)
+
+    if key not in engine.ROWS_ONLY:
+        # The driver's canonicalizer cannot hash array/map cells
+        # (round-1 agg_collect_* crash) — forbid them in declared keys.
+        from pyspark.sql import types as T
+
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        assert not bad, (
+            f"{key}: array/map/struct output columns {bad} would crash the "
+            f"driver harness — serialize them (array_join / to_json)"
+        )
+
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
 
