@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": 0.1}
+
+Each query is materialized through the `noop` datasource sink — a full
+execution of the physical plan with zero sink cost (df.count() would let
+Catalyst answer pure scans from parquet footer metadata, under-reporting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import engine
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: absorb first-job JVM/codegen/parquet-footer costs so the
+    # first timed key isn't charged for session spin-up.
+    engine.QUERIES["agg_groupby_pricing"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for key in sorted(engine.QUERIES):
+        t0 = time.perf_counter()
+        df = engine.QUERIES[key](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
