@@ -1,0 +1,444 @@
+"""Join operators (SURVEY.md §2.3) — all 14 keys.
+
+Determinism discipline (SURVEY.md §7.4): float money aggregates are summed
+as exact integer cents (``floor(x*100 + 0.5)`` per row — bit-identical
+IEEE double ops in Spark and DuckDB, then an exact integer SUM); raw
+pass-through columns need no treatment; every ORDER BY feeding a limit
+ends in a unique key.
+
+100 TB notes per key are inline; the global rules:
+- dims (region 5, nation 25, supplier, part) get explicit ``broadcast()``
+  → BroadcastHashJoin, no shuffle of the fact side;
+- fact⋈fact equi joins (orders⋈customer, lineitem⋈orders) shuffle on the
+  key — the right plan at scale (sort-merge under AQE);
+- the band self-join is bucket-blocked (equi key = 5-min bucket) so Spark
+  executes a hash join, never a BroadcastNestedLoop over the fact table;
+- the as-of join is a single window pass (one shuffle on user_id), not a
+  per-row lookup join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents of a double money expression (deterministic)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact⋈dim equi join; at 100 TB both sides shuffle on custkey (SMJ) or
+    # customer broadcasts if it fits — Catalyst/AQE picks per stats.
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-07-01'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue_cents DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table star join, filtered both sides, grouped
+    revenue, top-10.  Revenue as exact cents → integer ties → the
+    (revenue, orderkey) order is total, so LIMIT is deterministic."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(_cents(revenue)).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           COUNT(*) AS n_items,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit broadcast of all three dims: the fact table never shuffles
+    # for the joins (3 chained BroadcastHashJoins), then one tiny shuffle
+    # for the 25-group aggregate — the canonical 100 TB star-join plan.
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_cents(revenue)).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label
+    FROM documents d
+    LEFT JOIN (SELECT * FROM embeddings WHERE vec_id % 3 <> 0) e
+      ON d.doc_id = e.vec_id
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embeddings filtered to vec_id % 3 != 0 so unmatched docs exist at
+    # every sf (the raw tables fully overlap at sf0.01 — a full-match
+    # left join would be indistinguishable from inner).
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 != 0)
+    return d.join(e, d.doc_id == e.vec_id, "left").select("doc_id", "lang", "label")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-04-01') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1996-04-01'),
+         b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                 AND o_orderdate <  TIMESTAMP '1998-04-01')
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           a.custkey IS NOT NULL AS in_a,
+           b.custkey IS NOT NULL AS in_b
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def keys(lo: str, hi: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    a = keys("1996-01-01", "1996-04-01").alias("a")
+    b = keys("1998-01-01", "1998-04-01").alias("b")
+    return a.join(b, F.col("a.custkey") == F.col("b.custkey"), "full").select(
+        F.coalesce(F.col("a.custkey"), F.col("b.custkey")).alias("custkey"),
+        F.col("a.custkey").isNotNull().alias("in_a"),
+        F.col("b.custkey").isNotNull().alias("in_b"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left_semi: probe side streams, no row multiplication, build side
+    # only needs the key column — the EXISTS plan at any scale.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_discount = 0)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") == 0)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cartesian is only sane on bounded dims (5 × 25); Spark plans a
+    # BroadcastNestedLoopJoin — never do this on a fact table.
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_residual",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity, p.p_size
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    """,
+)
+def join_theta_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi key + inequality residual: Spark hashes on the equi key and
+    # applies the residual as a post-join filter — still a hash join, the
+    # inequality never degrades the plan to nested-loop.
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return p.join(
+        li,
+        (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size")
+
+
+@query(
+    "join_theta_pure",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b,
+           n1.n_regionkey AS region_a, n2.n_regionkey AS region_b
+    FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+    """,
+)
+def join_theta_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure inequality join → BroadcastNestedLoopJoin; acceptable only
+    # because nation is a bounded 25-row dim.
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    return n1.join(n2, F.col("n1.n_regionkey") < F.col("n2.n_regionkey")).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("region_a"),
+        F.col("n2.n_regionkey").alias("region_b"),
+    )
+
+
+_BAND_US = 300_000_000  # 5 minutes in microseconds
+
+
+@query(
+    "join_range_band",
+    oracle=f"""
+    SELECT e1.event_id AS click_id,
+           e2.event_id AS purchase_id,
+           epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+     AND epoch_us(e2.ts) >  epoch_us(e1.ts)
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + {_BAND_US}
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join (click → purchase within 5 min, same user),
+    implemented with time-bucket blocking (SURVEY.md §1.3c).
+
+    Each click is exploded into its bucket and the next (a (t, t+5min]
+    window spans at most 2 buckets of width 5 min), and the join runs on
+    the composite equi key (user_id, bucket) — a shuffled hash join whose
+    per-bucket fan-out is bounded, instead of the per-user cross product
+    a bare (user_id) equi join + residual would produce at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            us.alias("us1"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("us1") / _BAND_US),
+                    F.floor(F.col("us1") / _BAND_US) + 1,
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("us2"),
+        F.floor(us / _BAND_US).alias("p_bucket"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (clicks.bucket == purchases.p_bucket),
+        )
+        .filter(
+            (F.col("us2") > F.col("us1"))
+            & (F.col("us2") <= F.col("us1") + _BAND_US)
+        )
+        .select("click_id", "purchase_id", (F.col("us2") - F.col("us1")).alias("gap_us"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id AS purchase_id, user_id, last_click_us
+    FROM u
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest prior click per purchase) as a single window
+    pass: union the two event streams, running MAX of click time over
+    (user, time) order, keep purchases.  One shuffle on user_id — at
+    100 TB this beats any per-row lookup join; (user_id, ts) is unique
+    in the corpus so the order is total.
+
+    PySpark has no native batch as-of (public API through 4.1); this
+    union+window form is the standard composition.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts")))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "last_click_us")
+    )
+
+
+@query(
+    "join_existence_subquery",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_custkey,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM ranked WHERE rn <= cnt // 10)
+    """,
+)
+def join_existence_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery shape: orders of top-decile-balance customers,
+    manually decorrelated to derived-set + left_semi join.
+
+    The decile is rank-based (row_number ≤ n/10 with unique tiebreak) —
+    exactly reproducible in the oracle, unlike an interpolated
+    percentile threshold.  The global window is a single-partition sort
+    of the *customer* dim only; at 100 TB you'd swap in approx_percentile
+    to derive the threshold without the global sort.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = c.select(
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("cnt"),
+    )
+    top = ranked.filter(F.col("rn") <= F.expr("cnt div 10")).select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    return o.join(
+        F.broadcast(top), o.o_custkey == top.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
