@@ -1,0 +1,300 @@
+"""Window-function operators (SURVEY.md §2.5) — all 9 keys.
+
+Every window rides a deterministic total order: the ORDER BY always ends
+in a unique key (o_orderkey / c_custkey / event_id / p_partkey), so
+rank/lag/first/last are reproducible on both engines (SURVEY.md §7.4
+rule 4).  Money sums inside frames use exact integer cents.
+
+100 TB notes: a partitioned window is one shuffle on the partition key +
+a per-partition sort — linear state.  The only global (unpartitioned)
+window here is `win_moving_avg`, which runs over the ~2k-row *daily
+aggregate*, never over raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "win_ntile_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume_d
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percent_rank = (rank-1)/(n-1), cume_dist = peers/n: integer-ratio
+    # divisions of identical operands — bit-identical, no rounding needed.
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_d"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps in integer microseconds — exact; never subtract raw timestamps
+    # into a float interval.
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+               AS cum_spent_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("cum_spent_cents"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day, day_cents,
+           CAST(SUM(day_cents) OVER w AS BIGINT) AS ma7_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT)       AS ma7_n,
+           CAST(SUM(day_cents) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w)
+               AS ma7_avg
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order totals.  The global window is
+    over the *daily rollup* (bounded: one row per calendar day), so the
+    single-partition sort is safe at any fact scale.  The average is an
+    exact-integer sum divided once — deterministic on both engines."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("day_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    ma_sum = F.sum("day_cents").over(w)
+    ma_n = F.count("*").over(w)
+    return daily.select(
+        "day",
+        "day_cents",
+        ma_sum.alias("ma7_sum_cents"),
+        ma_n.alias("ma7_n"),
+        (ma_sum.cast("double") / (100.0 * ma_n)).alias("ma7_avg"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+               AS band_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS band_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Value-range frame: all orders within $1000 below the current price.
+    # The frame is defined by comparisons on identical raw doubles —
+    # deterministic; peers (equal prices) share one frame on both engines.
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("band_sum_cents"),
+        F.count("*").over(w).alias("band_n"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, first_type, last_type, n_events
+    FROM (
+        SELECT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type)  OVER w AS last_type,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        FROM part
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-k per group via row_number + filter: bounded per-group state,
+    # no per-group full sort materialization — the scale idiom.
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Latest-row-per-key: the dedup idiom dedup_exact builds on — keep
+    # row_number()=1 over (key, recency-desc, unique-id-desc).
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
