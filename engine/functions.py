@@ -1,0 +1,392 @@
+"""Scalar-function operators (SURVEY.md §2.8) — all 14 keys.
+
+This is the dialect-drift minefield (SURVEY.md §7.3 item 3); every key
+pins the exact Spark↔DuckDB semantic mapping inline:
+
+- day-of-week: Spark ``weekday()`` is 0=Monday → ``weekday()+1`` equals
+  DuckDB ``isodow`` (1=Monday…7=Sunday);
+- ``datediff``: Spark is (end, start); DuckDB ``date_diff`` is
+  (part, start, end) — arguments swap;
+- list indexing: Spark ``element_at`` and DuckDB ``[..]`` are both
+  1-based with negative-from-end support;
+- ``floor`` returns BIGINT in Spark but DOUBLE in DuckDB → oracle casts;
+- transcendentals (ln/log10/power) may differ in the last ulp across
+  libm implementations → pinned to 4 decimals via the deterministic
+  floor(x*1e4+0.5)/1e4 form on both sides; sqrt is IEEE-correctly-rounded
+  and stays raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _fix4(col: F.Column) -> F.Column:
+    """Deterministic 4-decimal fix of a double (bit-identical both engines)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+_FIX4_SQL = "FLOOR(({expr}) * 10000 + 0.5) / 10000"
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                          AS name_upper,
+           LOWER(c_mktsegment)                    AS seg_lower,
+           CAST(LENGTH(c_name) AS INTEGER)        AS name_len,
+           SUBSTRING(c_name, 1, 8)                AS name_prefix,
+           CONCAT_WS('-', c_mktsegment, c_name)   AS seg_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           REPLACE(c_name, 'Customer#', 'C')      AS name_short,
+           CAST(STRPOS(c_name, '#') AS INTEGER)   AS hash_pos,
+           TRIM('  ' || c_mktsegment || ' ')      AS seg_trim
+    FROM customer
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@query(
+    "fn_string_split_part",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           string_split(p_name, ' ')[-1]                   AS last_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+    FROM part
+    """,
+)
+def fn_string_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # element_at is 1-based with negative-from-end — same as DuckDB [].
+    p = load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '(s[a-z]+k)', 1)                    AS first_sk_word,
+           regexp_replace(SUBSTRING(text, 1, 60), '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(text, 'spark') AS BOOLEAN)           AS mentions_spark
+    FROM documents
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark regexp_replace is global by default; DuckDB needs the 'g'
+    # flag.  Both return '' (not NULL) for a non-matching extract.
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"(s[a-z]+k)", 1).alias("first_sk_word"),
+        F.regexp_replace(F.substring("text", 1, 60), r"[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)      AS yr,
+           CAST(month(o_orderdate) AS INTEGER)     AS mo,
+           CAST(day(o_orderdate) AS INTEGER)       AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER)   AS qtr,
+           CAST(isodow(o_orderdate) AS INTEGER)    AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+    FROM orders
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek() is 1=Sunday (unusable cross-engine); weekday()+1
+    # equals DuckDB isodow (1=Monday..7=Sunday).
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@query(
+    "fn_date_trunc_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE)              AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER)
+                                                                       AS days_to_eoy,
+           CAST(o_orderdate AS DATE) + 30                              AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE))                         AS month_end
+    FROM orders
+    """,
+)
+def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark datediff(end, start) ↔ DuckDB date_diff('day', start, end):
+    # argument order swaps between the engines.  date_trunc returns
+    # TIMESTAMP in Spark but DATE for month-granularity in DuckDB —
+    # pinned to DATE on both sides.
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_eoy"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "fn_timestamp_epoch",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT)  AS epoch_s,
+           date_trunc('second', ts)                 AS ts_sec,
+           CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
+               = date_trunc('second', ts)           AS roundtrip_ok
+    FROM events
+    """,
+)
+def fn_timestamp_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Epoch seconds ↔ timestamp round-trip at second precision (sub-second
+    # digits are truncated identically on both engines; session tz UTC).
+    ev = load(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        (F.timestamp_seconds(epoch_s) == F.date_trunc("second", "ts")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle=f"""
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice) AS BIGINT)   AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT)    AS price_ceil,
+           ABS(p_size - 25)                       AS size_dist,
+           SQRT(p_retailprice)                    AS price_sqrt,
+           {_FIX4_SQL.format(expr="LN(p_retailprice)")}    AS price_ln,
+           {_FIX4_SQL.format(expr="LOG10(p_retailprice)")} AS price_log10,
+           {_FIX4_SQL.format(expr="POWER(1.0 + p_size / 100.0, 2)")} AS size_pow,
+           CAST(SIGN(p_size - 25) AS INTEGER)     AS size_sign,
+           CAST(p_partkey % 7 AS BIGINT)          AS key_mod
+    FROM part
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sqrt is IEEE-correctly-rounded → bit-identical raw; ln/log10/power
+    # may differ by 1 ulp across libms → pinned to 4 decimals.
+    p = load(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.sqrt(price).alias("price_sqrt"),
+        _fix4(F.log(price)).alias("price_ln"),
+        _fix4(F.log10(price)).alias("price_log10"),
+        _fix4(F.pow(1.0 + F.col("p_size") / 100.0, 2)).alias("size_pow"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("size_sign"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na,
+           NULLIF(c_acctbal, 0.0)                            AS bal_or_null,
+           GREATEST(c_acctbal, 0.0)                          AS bal_floor0,
+           LEAST(c_acctbal, 5000.0)                          AS bal_cap5k,
+           CASE WHEN c_acctbal IS NULL THEN 'null'
+                WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_class
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("n/a")).alias("seg_or_na"),
+        F.nullif(bal, F.lit(0.0)).alias("bal_or_null"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(bal.isNull(), "null").when(bal < 0, "neg").otherwise("pos").alias("bal_class"),
+    )
+
+
+@query(
+    "fn_hash_md5",
+    oracle="""
+    SELECT doc_id,
+           md5(text)    AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def fn_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content fingerprints — the primitive dedup_exact builds on.  Both
+    # engines emit lowercase hex.
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+@query(
+    "fn_array_basic",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           embedding[1]                    AS first_comp,
+           embedding[32]                   AS mid_comp,
+           embedding[-1]                   AS last_comp
+    FROM embeddings
+    """,
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar element extraction only — array-typed outputs would crash
+    # the driver's canonicalizer.  Raw float32 components pass through
+    # both engines as the identical float64 widening.
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.element_at(emb, 1).alias("first_comp"),
+        F.element_at(emb, 32).alias("mid_comp"),
+        F.element_at(emb, -1).alias("last_comp"),
+    )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           {_FIX4_SQL.format(expr="list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")}
+               AS sum_sq,
+           list_max(embedding) AS max_comp,
+           list_min(embedding) AS min_comp
+    FROM embeddings
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda HOFs over the embedding array — JVM-side per-row loops, no
+    Python boundary (the scale-safe form for vector math; float32→double
+    products are exact, the sequential fold is pinned to 4 decimals)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sum_sq = F.aggregate(
+        emb,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        _fix4(sum_sq).alias("sum_sq"),
+        F.array_max(emb).alias("max_comp"),
+        F.array_min(emb).alias("min_comp"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT e.vec_id,
+           CAST(s.i - 1 AS INTEGER) AS pos,
+           e.embedding[CAST(s.i AS INTEGER)] AS comp
+    FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) s
+    WHERE e.vec_id < 100
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode → long format (vec_id, pos, comp); 0-based pos.  The
+    # oracle indexes the fixed 64-dim vectors against a range table.
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "comp"))
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # get_json_object on the semi-structured props column; exact integer
+    # aggregation after the cast.
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "fn_json_to_map",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1]                                 AS k_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER)              AS n_keys
+    FROM events
+    """,
+)
+def fn_json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # from_json → MapType, then scalar extraction (map itself must not be
+    # projected into the hash-compared output).
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("k_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
