@@ -1,0 +1,277 @@
+"""Text-analysis operators over the document corpus (SURVEY.md §2.9,
+``text_*`` keys) — the LLM-data-pipeline surface.
+
+Scale design: tokenization is per-row JVM array work (``split`` +
+higher-order functions, no Python boundary); only the aggregations
+shuffle.  Counts/ratios are exact-integer; the only float (idf) is
+pinned to 4 decimals with the deterministic floor form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _fix4(col: F.Column) -> F.Column:
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+_FIX4_SQL = "FLOOR(({expr}) * 10000 + 0.5) / 10000"
+
+STOPWORDS = ["a", "the", "and", "of", "to", "in", "is"]
+
+
+def _tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens of lowered text, empty strings removed."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+_TOKENS_SQL = "list_filter(string_split(lower({c}), ' '), t -> t <> '')"
+
+
+@query(
+    "text_wordcount",
+    oracle=f"""
+    SELECT t.tok AS token, COUNT(*) AS cnt
+    FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    GROUP BY t.tok
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The coursework classic: explode → count.  Partial aggregation
+    # happens map-side, so the shuffle carries only (token, partial_cnt)
+    # per partition — vocabulary-sized, not corpus-sized.
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+@query(
+    "text_tokens_per_doc",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL.format(c="text")}) AS INTEGER)                AS n_tokens,
+           CAST(len(list_distinct({_TOKENS_SQL.format(c="text")})) AS INTEGER) AS n_distinct
+    FROM documents
+    """,
+)
+def text_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure per-row array ops — no explode, no shuffle at all.
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+_STOP_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+
+@query(
+    "text_stopword_filter",
+    oracle=f"""
+    SELECT t.tok AS token, COUNT(*) AS cnt
+    FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    WHERE NOT list_contains({_STOP_SQL}, t.tok)
+    GROUP BY t.tok
+    """,
+)
+def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stoplist applied inside the array before the explode — rows that
+    # never exist don't shuffle.
+    d = load(spark, sf_dir, "documents")
+    kept = F.filter(_tokens(F.col("text")), lambda t: ~t.isin(*STOPWORDS))
+    return (
+        d.select(F.explode(kept).alias("token"))
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+@query(
+    "text_tf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.tok
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    )
+    SELECT doc_id, tok AS token,
+           COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+    FROM tok
+    GROUP BY doc_id, tok
+    """,
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Term frequency: one shuffle on (doc, token), then a window on doc —
+    # exact integer counts, a single deterministic division for tf.
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    doc_total = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return counts.select(
+        "doc_id",
+        "token",
+        "cnt",
+        (F.col("cnt").cast("double") / doc_total).alias("tf"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.tok
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok AS token,
+           {_FIX4_SQL.format(expr="LN(CAST(n.n_docs AS DOUBLE) / df.df)")} AS idf,
+           {_FIX4_SQL.format(expr="tf.tf * (FLOOR(LN(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) / 10000)")} AS tf_idf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf·idf with idf = ln(N/df).  The idf is pinned to 4 decimals
+    *before* the product so the ln ulp-drift can't leak into tf_idf.
+    The df table and the 1-row N are broadcast — the big (doc,token)
+    side never reshuffles for the joins."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("cnt").cast("double") / F.sum("cnt").over(Window.partitionBy("doc_id"))).alias("tf"),
+        )
+    )
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            idf.alias("idf"),
+            _fix4(F.col("tf") * idf).alias("tf_idf"),
+        )
+    )
+
+
+@query(
+    "text_bigrams",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id,
+               generate_subscripts({_TOKENS_SQL.format(c="d.text")}, 1) AS pos,
+               unnest({_TOKENS_SQL.format(c="d.text")}) AS tok
+        FROM documents d
+    )
+    SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS cnt
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent token pairs.  Spark side builds bigrams per row with an
+    indexed ``transform`` over the token array — zero self-join, zero
+    extra shuffle (the oracle's positional self-join is the naive form;
+    at 100 TB the array version wins by a full shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len({_TOKENS_SQL.format(c="text")})) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len({_TOKENS_SQL.format(c="text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Averages as exact-integer sums divided once — Spark's avg() over
+    # longs could drift from DuckDB's at the ulp.
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text"))).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(n_tok).alias("sum_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_doc_stats",
+    oracle="""
+    WITH agg AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source
+    ),
+    best AS (
+        SELECT source, doc_id AS longest_doc_id
+        FROM (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id DESC) AS rn
+              FROM documents)
+        WHERE rn = 1
+    )
+    SELECT a.source, a.n_docs, a.sum_chars, a.max_chars, b.longest_doc_id
+    FROM agg a JOIN best b ON a.source = b.source
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arg-max with a (n_chars, doc_id) composite so ties resolve to the
+    # highest doc_id identically on both engines.
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("max_by(doc_id, struct(n_chars, doc_id))").alias("longest_doc_id"),
+    )
