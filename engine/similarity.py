@@ -1,0 +1,370 @@
+"""Vector-similarity operators over the embeddings table (SURVEY.md §2.9,
+``sim_*`` + ``multimodal_join``) — the similarity-search surface of the
+LLM-data-pipeline mandate, plus an LSH-bucketed ANN variant beyond the
+survey inventory (the 100 TB scale path for top-k search).
+
+All vector math is JVM-side higher-order functions (``zip_with`` +
+``aggregate`` fold) on ``array<float>`` — float32 components widen to
+double exactly, products are exact (24-bit × 24-bit ⊂ 53-bit), and every
+accumulated float output is pinned with the deterministic
+floor(x*scale+0.5)/scale form before comparison or ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _fix(col: Column, scale: int) -> Column:
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+# Oracle building block: dot products via a 64-slot range table (the
+# corpus embedding dim is fixed at 64 — FIXTURES.md).
+_DIMS = "(SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i)"
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 0
+    ),
+    comps AS (
+        SELECT vec_a, vec_b,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na2,
+               SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb2
+        FROM pairs, {_DIMS} s
+        GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b,
+           FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) / 10000 AS cosine
+    FROM comps
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact cosine for a bounded, blocked pair set (consecutive ids,
+    # every 10th) — the verification-stage primitive of an ANN pipeline.
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("join_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, a.vec_a == b.join_id)
+        .select("vec_a", "vec_b", _fix(cos, 10000).alias("cosine"))
+    )
+
+
+@query(
+    "sim_knn_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+    cand AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS ne2
+        FROM q, embeddings e, {_DIMS} s
+        WHERE e.vec_id <> q.q_id
+        GROUP BY q.q_id, e.vec_id
+    ),
+    scored AS (
+        SELECT q_id, neighbor_id,
+               FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM cand
+    )
+    SELECT q_id, neighbor_id, cosine, rn
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: K query vectors broadcast against the
+    collection, scored per partition, row_number ≤ k per query.
+
+    This is the exact baseline; ``sim_ann_lsh_topk`` is the bucketed
+    scale path.  Ranking happens on the *pinned* (4-decimal) cosine with
+    a vec_id tiebreak, so the order is identical on both engines even
+    where raw cosines differ in the last ulp.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+    cos = _dot(F.col("eq"), F.col("embedding")) / (
+        _norm(F.col("eq")) * _norm(F.col("embedding"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _fix(cos, 10000).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "sim_centroid_label",
+    oracle=f"""
+    SELECT label,
+           CAST(s.i - 1 AS INTEGER) AS pos,
+           FLOOR(AVG(CAST(embedding[s.i] AS DOUBLE)) * 10000 + 0.5) / 10000 AS centroid_comp
+    FROM embeddings, {_DIMS} s
+    GROUP BY label, s.i
+    """,
+)
+def sim_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-label centroid in long form (label, pos, component): posexplode
+    # → one shuffle on (label, pos).  Long form sidesteps array-typed
+    # output (driver-harness-hostile) and is directly joinable downstream.
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy("label", "pos")
+        .agg(_fix(F.avg(F.col("comp").cast("double")), 10000).alias("centroid_comp"))
+    )
+
+
+@query(
+    "sim_norms",
+    oracle=f"""
+    SELECT vec_id,
+           FLOOR(SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * 10000 + 0.5) / 10000
+               AS l2_norm,
+           CAST(COUNT(*) AS INTEGER) AS n_dims
+    FROM embeddings, {_DIMS} s
+    GROUP BY vec_id
+    """,
+)
+def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row HOF fold — no explode, no shuffle at all (the oracle's
+    # unnest+group form is the naive twin).
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        _fix(_norm(F.col("embedding")), 10000).alias("l2_norm"),
+        F.size("embedding").alias("n_dims"),
+    )
+
+
+@query(
+    "sim_label_knn_accuracy",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+    cand AS (
+        SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id, b.label AS b_label,
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
+               SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
+        FROM sub a, sub b, {_DIMS} s
+        WHERE a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, a.label, b.vec_id, b.label
+    ),
+    nn AS (
+        SELECT a_id, a_label, b_label,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 1000000 + 0.5) DESC,
+                                           b_id ASC) AS rn
+        FROM cand
+    )
+    SELECT a_label AS label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+    FROM nn WHERE rn = 1
+    GROUP BY a_label
+    """,
+)
+def sim_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement over a bounded subset — the
+    classification-eval composite.  The neighbor order rides the pinned
+    (6-decimal) cosine + vec_id tiebreak."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("a_label"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("b_label"),
+    )
+    cos_key = F.floor(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_key"), F.asc("b_id"))
+    nn = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select("a_id", "a_label", "b_id", "b_label", cos_key.alias("cos_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    correct = F.sum(
+        F.when(F.col("a_label") == F.col("b_label"), 1).otherwise(0)
+    )
+    return nn.groupBy(F.col("a_label").alias("label")).agg(
+        F.count("*").alias("n"),
+        correct.cast("long").alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               FLOOR(SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * 10000 + 0.5) / 10000
+                   AS l2_norm
+        FROM embeddings, {_DIMS} s
+        GROUP BY vec_id
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           FLOOR(SUM(n.l2_norm) * 10000 + 0.5) / 10000 AS sum_norm
+    FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+    GROUP BY d.lang
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Text × vector composite: join the two modalities on the shared id,
+    # aggregate per language.  Norms are pinned per-row BEFORE the sum so
+    # the (order-dependent) sum operates on identical addends; the sum of
+    # ≤few-hundred 1e-4-grid values stays well inside the final pin.
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", _fix(_norm(F.col("embedding")), 10000).alias("l2_norm")
+    )
+    return (
+        d.join(norms, d.doc_id == norms.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            _fix(F.sum("l2_norm"), 10000).alias("sum_norm"),
+        )
+    )
+
+
+_LSH_TABLES = 8
+_LSH_BITS = 4
+
+
+@query("sim_ann_lsh_topk", oracle=None)  # rows-only: xxhash64-derived planes
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH — the
+    100 TB scale path for `sim_knn_topk` (beyond the SURVEY §2 inventory).
+
+    Deterministic pseudo-random hyperplanes: plane (t, p) weights
+    dimension d as ±1 by the parity of xxhash64('t:p:d') — no RNG,
+    restart-stable.  Each vector lands in one bucket per table
+    (signature = 4 sign bits); a query's candidates are the union of its
+    8 buckets; exact cosine re-ranks candidates only.
+
+    Tuning math (documented so the tradeoff is explicit): per-bit
+    agreement for neighbors at cosine c is 1 - arccos(c)/π; at this
+    corpus' weak structure (top cosines ≈ 0.35 → p ≈ 0.61) expected
+    recall is 1-(1-p^4)^8 ≈ 0.70 while scoring only the collided
+    buckets.  At 100 TB with near-duplicate-grade neighbors (c ≥ 0.9,
+    p ≥ 0.86) the same config reaches ≈ 0.99 recall with ~n/16
+    candidates per table.
+    """
+    e = load(spark, sf_dir, "embeddings")
+
+    def plane_weights(t: int, p: int) -> Column:
+        # Factory (not loop-captured lambda defaults — PySpark would read
+        # extra defaults as lambda arity): ±1 weights per dimension from
+        # the parity of a seeded xxhash64.
+        prefix = f"{t}:{p}:"
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(
+                F.xxhash64(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    def entries(df: DataFrame) -> DataFrame:
+        """One (table, bucket) entry per vector per hash table."""
+        sigs = []
+        for t in range(_LSH_TABLES):
+            bits = []
+            for p in range(_LSH_BITS):
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        plane_weights(t, p),
+                        lambda x, wgt: x.cast("double") * wgt,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+            sig = bits[0]
+            for b in bits[1:]:
+                sig = sig + b
+            sigs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+        return df.select(
+            "vec_id", "embedding", F.explode(F.array(*sigs)).alias("tb")
+        ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+
+    tables = entries(e)
+    q = entries(e.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = _dot(F.col("eq"), F.col("embedding")) / (
+        _norm(F.col("eq")) * _norm(F.col("embedding"))
+    )
+    scored = (
+        tables.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _fix(cos, 10000).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
