@@ -1,0 +1,284 @@
+"""Event-analytics operators over the events stream table (SURVEY.md
+§2.10, batch ``evt_*`` keys).  Their streaming twins live in
+:mod:`engine.streaming`.
+
+Time discipline: all arithmetic happens on integer epoch-microseconds
+(``unix_micros``) — exact, no float intervals, no sub-second truncation
+surprises; window starts are emitted as epoch seconds or date_trunc'd
+timestamps identically on both engines.
+
+100 TB notes: every key is one-or-two shuffles on (user_id) or the
+window key; sessionization is the lag+cumsum idiom (linear state, no
+self-join); the funnel is staged conditional-min joins that shuffle only
+(user, stage-time) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+_US_PER_S = 1_000_000
+
+
+@query(
+    "evt_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's window() with a tumble equal to the slide aligns to the
+    # epoch → window.start == date_trunc('hour') exactly.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "evt_sliding_window",
+    oracle="""
+    SELECT (epoch_us(e.ts) // 900000000 - s.k) * 900 AS win_start_s,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e, (SELECT unnest(range(0, 4)) AS k) s
+    GROUP BY 1
+    """,
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour windows sliding 15 min: every event lands in exactly 4
+    # epoch-aligned windows; the oracle phase-shifts the 15-min grid.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / _US_PER_S).cast("long").alias("win_start_s"),
+            "n",
+            "n_users",
+        )
+    )
+
+
+_GAP_US = 30 * 60 * _US_PER_S  # 30-minute session gap
+
+
+@query(
+    "evt_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum as session index → per-session aggregate.  One
+    shuffle on user_id, linear per-user state — the batch twin of
+    ``session_window`` in Structured Streaming."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(us - F.lag(us).over(w_order) > _GAP_US, 1).otherwise(0).alias("new_session"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w_cum)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@query(
+    "evt_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.s_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(s.s_us AS BIGINT) AS s_us,
+           CAST(c.c_us AS BIGINT) AS c_us,
+           CAST(p.p_us AS BIGINT) AS p_us,
+           CAST(1 + (c.c_us IS NOT NULL)::INT + (p.p_us IS NOT NULL)::INT AS INTEGER) AS stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel: each stage is the earliest
+    qualifying event strictly after the previous stage's time.  Staged
+    conditional-min joins — each stage shuffles only (user, time) pairs,
+    never the full event payload."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("e_us"))
+        .join(sign, "user_id")
+        .filter(F.col("e_us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("c_us"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("e_us"))
+        .join(click, "user_id")
+        .filter(F.col("e_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("p_us"))
+    )
+    return (
+        sign.join(click, "user_id", "left")
+        .join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "s_us",
+            "c_us",
+            "p_us",
+            (
+                F.lit(1)
+                + F.col("c_us").isNotNull().cast("int")
+                + F.col("p_us").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@query(
+    "evt_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def evt_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classic retention triangle: cohort = first-activity date, offset =
+    # days since cohort, cell = distinct active users.
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "evt_rate_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us,
+           CAST(COUNT(*) AS DOUBLE) * 3600000000
+               / NULLIF(MAX(epoch_us(ts)) - MIN(epoch_us(ts)), 0) AS events_per_hour,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*)
+               AS error_ratio
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def evt_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rates as single divisions of exact integers (NULL for single-event
+    # users instead of a zero-span blowup).
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    span = F.max(us) - F.min(us)
+    n = F.count("*")
+    return ev.groupBy("user_id").agg(
+        n.alias("n_events"),
+        span.alias("span_us"),
+        (n.cast("double") * 3_600_000_000 / F.nullif(span, F.lit(0))).alias("events_per_hour"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("double")
+            / n
+        ).alias("error_ratio"),
+    )
