@@ -1,0 +1,214 @@
+"""Structured Streaming operators (SURVEY.md §2.10, ``stream_*`` keys).
+
+All four keys replay the events parquet through ``readStream`` with an
+``availableNow`` trigger and return the materialized sink as a batch
+DataFrame.  No DuckDB oracle can model a stream → all keys are
+rows-only; the real correctness gate is tests/test_streaming.py, which
+asserts each stream result equals (or is the watermark-consistent subset
+of) its batch twin from engine.events.
+
+100 TB notes: the same code runs against a continuous file/Kafka source
+by swapping the trigger; state stores (window aggs, dedup state) live on
+executors and are bounded by the watermark horizon, not by stream length.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import configure, load
+
+_SINK_IDS = itertools.count()
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream", name)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_STAGED: dict[str, str] = {}
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events table into a scratch *directory* (the streaming
+    file source requires a directory, and the corpus ships single files;
+    a production deployment would already have a partitioned directory).
+    The batch rewrite also bakes in the ns→µs timestamp normalization."""
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    dst = _scratch(f"src_{os.path.basename(os.path.normpath(sf_dir))}")
+    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(dst)
+    _STAGED[sf_dir] = dst
+    return dst
+
+
+def _events_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over an events parquet directory with the ns→µs ts fix.
+
+    ``max_files_per_trigger`` is a SOURCE option: it splits the replay
+    into one microbatch per file (oldest mtime first), which is what
+    lets the watermark advance between phases.
+    """
+    configure(spark)
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(src)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def _run_to_memory(agg: DataFrame, mode: str, name: str) -> str:
+    qname = f"{name}_{next(_SINK_IDS)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return qname
+
+
+@query("stream_smoke_tumbling", oracle=None)  # rows-only: streaming mode
+def stream_smoke_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evt_tumbling_window executed via Structured Streaming: file-source
+    replay → windowed agg → complete-mode memory sink.  After the
+    availableNow drain the sink must equal the batch twin exactly
+    (asserted in tests/test_streaming.py)."""
+    src = _stage_events_dir(spark, sf_dir)
+    agg = (
+        _events_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    qname = _run_to_memory(agg, "complete", "smoke_tumbling")
+    return spark.table(qname).select(
+        F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value_cents"
+    )
+
+
+@query("stream_watermark_late", oracle=None)  # rows-only: streaming mode
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics on a 4-phase replay: three time-ordered batches
+    advance the watermark; a fourth batch replays the FIRST quarter's
+    events (late beyond the 1-hour watermark) — they must be dropped.
+
+    Append mode emits only watermark-finalized windows; the test asserts
+    the emitted set equals the batch aggregation of the on-time phases
+    for every window the watermark passed — proving the late replay
+    changed nothing.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    quarter = (hi - lo) // 4 + 1
+    src = _scratch("watermark_late")
+    us = F.unix_micros(F.col("ts"))
+    for i in range(3):  # three in-order phases cover the full range
+        phase_lo = lo + i * quarter
+        phase_hi = lo + (i + 1) * quarter + (quarter * 2 if i == 2 else 0)
+        ev.filter((us >= phase_lo) & (us < phase_hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # late phase: first-quarter events replayed with new ids
+    ev.filter(us < lo + quarter).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    agg = (
+        _events_stream(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    qname = f"watermark_late_{next(_SINK_IDS)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("w.start").alias("hour_start"), "n"
+    )
+
+
+@query("stream_dedup_state", oracle=None)  # rows-only: streaming mode
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the source directory holds every event
+    TWICE (two parquet copies); ``dropDuplicates`` on event_id with a
+    watermark must emit each exactly once (state bounded by watermark;
+    both copies arrive in one availableNow batch here, so the dedup is
+    exhaustive and the expected count is exactly the distinct ids)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = _scratch("dedup_state")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    deduped = (
+        _events_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    qname = _run_to_memory(deduped, "append", "dedup_state")
+    return spark.table(qname).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
+
+
+@query("stream_foreach_batch_sink", oracle=None)  # rows-only: streaming mode
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → foreachBatch → parquet sink: the escape hatch for sinks
+    without native streaming writers (JDBC upserts, multi-table fanout).
+    Final sink state must equal the batch source (asserted in tests)."""
+    src = _stage_events_dir(spark, sf_dir)
+    sink = _scratch("foreach_batch_sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "event_type", "value").write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        _events_stream(spark, src)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(sink, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )

@@ -1,0 +1,213 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11) — the Python boundary.
+
+UDFs are the slow path by design; these keys exist to prove the Arrow
+boundary works, each documenting its cost model:
+
+- ``udf_python_scalar`` is the ONLY row-at-a-time Python UDF in the
+  engine (pickled per row — never use in a hot path);
+- the pandas variants move Arrow record batches (vectorized, the
+  10-100× faster escape hatch when JVM built-ins can't express logic);
+- every float produced in Python is pinned with floor(x*1e4+0.5)/1e4
+  before comparison, since numpy's libm need not bit-match DuckDB's.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from engine.core import query
+from engine.io import load, register_views
+
+
+def _fix4(col: F.Column) -> F.Column:
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT c_custkey,
+           replace(lower(c_name), '#', '-') AS slug
+    FROM customer
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-at-a-time Python UDF: every row crosses JVM→Python pickled.
+    # Semantics deliberately trivial so the oracle can mirror them in SQL.
+    @udf("string")
+    def slugify(name: str) -> str:
+        return name.lower().replace("#", "-")
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", slugify("c_name").alias("slug"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id,
+           FLOOR(1.0 / (1.0 + EXP(-(value / 100.0))) * 10000 + 0.5) / 10000 AS sigmoid
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vectorized Series→Series over Arrow batches — the scale-safe form.
+    import numpy as np
+
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-(v / 100.0)))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", _fix4(sigmoid("value")).alias("sigmoid"))
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    WITH rw AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS w
+        FROM events
+    )
+    SELECT user_id,
+           FLOOR(SUM(value * w) / SUM(w) * 10000 + 0.5) / 10000 AS wmean
+    FROM rw
+    GROUP BY user_id
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-agg pandas UDF: per-user recency-weighted mean (weight =
+    # time rank).  Group rows arrive unordered → sort inside the UDF on
+    # the (ts, event_id) total order before weighting.
+    import numpy as np
+
+    @pandas_udf("double")
+    def wmean(us: pd.Series, eid: pd.Series, v: pd.Series) -> float:
+        d = pd.DataFrame({"us": us, "eid": eid, "v": v}).sort_values(["us", "eid"])
+        w = np.arange(1, len(d) + 1, dtype="float64")
+        return float((d["v"].to_numpy() * w).sum() / w.sum())
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy("user_id").agg(
+        _fix4(wmean(us, F.col("event_id"), F.col("value"))).alias("wmean")
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+               AVG(value)         OVER (PARTITION BY event_type) AS m,
+               STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s
+        FROM events
+    )
+    SELECT event_id, event_type,
+           FLOOR((value - m) / s * 10000 + 0.5) / 10000 AS z
+    FROM stats
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandas: whole group as one pandas DataFrame (per-group
+    # z-score).  Groups must fit executor memory — fine for bounded
+    # event_type cardinality, never for per-user groups at 100 TB.
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": (pdf["value"] - m) / s,
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+    return out.select("event_id", "event_type", _fix4(F.col("z")).alias("z"))
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bucket,
+           FLOOR(LN(1.0 + value) * 10000 + 0.5) / 10000 AS vlog,
+           event_type = 'error' AS is_err
+    FROM events
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas: partition-wise Arrow batch iterator — constant memory,
+    # streaming through each partition (the right shape for featurizers).
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "value_bucket": np.floor(pdf["value"] / 50.0).astype("int64"),
+                    # np.log(1+v), not log1p: mirrors the oracle's LN(1+v)
+                    # operand order so only libm ulps differ (pinned below)
+                    "vlog": np.log(1.0 + pdf["value"]),
+                    "is_err": pdf["event_type"] == "error",
+                }
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ev.mapInPandas(
+        featurize,
+        schema="event_id long, value_bucket long, vlog double, is_err boolean",
+    )
+    return out.select(
+        "event_id", "value_bucket", _fix4(F.col("vlog")).alias("vlog"), "is_err"
+    )
+
+
+@udtf(returnType="pos int, token string")
+class _SplitExpand:
+    """Python UDTF (Spark 4): expand a document into (pos, token) rows."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(t for t in text.lower().split(" ") if t):
+            yield i, tok
+
+
+@query(
+    "udtf_split_expand",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(ts, 1) - 1 AS INTEGER) AS pos,
+           unnest(ts) AS token
+    FROM toks
+    """,
+)
+def udtf_split_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Table function via LATERAL join — each doc row expands to N rows.
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_expand", _SplitExpand)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL split_expand(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )

@@ -1,0 +1,62 @@
+"""Streaming keys have no SQL oracle — their correctness gate is
+equality with the batch twins (SURVEY.md §5 item 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import engine
+from engine.io import load
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_smoke_tumbling_equals_batch(spark):
+    stream = engine.QUERIES["stream_smoke_tumbling"](spark, SF_DIR)
+    batch = engine.QUERIES["evt_tumbling_window"](spark, SF_DIR)
+    cols = ["hour_start", "event_type", "n", "sum_value_cents"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_watermark_late_drops_late_rows(spark):
+    emitted = {
+        (r.hour_start, r.n)
+        for r in engine.QUERIES["stream_watermark_late"](spark, SF_DIR).collect()
+    }
+    assert emitted, "append-mode sink emitted nothing — watermark never advanced"
+    # Batch truth over the ON-TIME phases only (the late replay must have
+    # been dropped): per-hour counts of the original events.
+    truth = {
+        (r.hour_start, r.n)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # Every emitted (finalized) window must match the no-late-data truth.
+    assert emitted <= truth, f"late rows leaked into {sorted(emitted - truth)[:3]}"
+
+
+def test_stream_dedup_state(spark):
+    row = engine.QUERIES["stream_dedup_state"](spark, SF_DIR).first()
+    n_events = load(spark, SF_DIR, "events").count()
+    assert row.n_rows == row.n_distinct_ids == n_events
+
+
+def test_stream_foreach_batch_equals_batch(spark):
+    sink = engine.QUERIES["stream_foreach_batch_sink"](spark, SF_DIR)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    cols = ["event_type", "n", "sum_value_cents"]
+    assert _rows(sink, cols) == _rows(batch, cols)
