@@ -23,6 +23,7 @@ _OPTIONAL_MODULES = [
     "events",  # §2.10
     "streaming",  # §2.10
     "udfs",  # §2.11
+    "multimodal",  # beyond §2: binary media columns (north-star mandate)
 ]
 
 import importlib as _importlib

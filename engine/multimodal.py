@@ -1,0 +1,184 @@
+"""Multimodal binary-column operators (beyond SURVEY §2 — the
+"multimodal columns" mandate of the north star, BASELINE.json:6).
+
+Media items are modeled the way a 100 TB training-data pipeline stores
+them: an opaque ``binary`` payload column + typed metadata columns
+(media_type, n_bytes), carried inside ordinary parquet rows.  The test
+corpus has no real media, so payloads are synthesized deterministically
+from the documents table (UTF-8 bytes of the text) — the point is that
+the Spark-side plumbing (BinaryType schema, byte-level functions, Arrow
+binary batches through mapInPandas, frame chunking) is real and tested.
+
+The actual codec decode (JPEG/PNG/ffmpeg) is STUBBED: see
+:func:`_decode_media` — it raises ``NotImplementedError`` for real
+codecs (the libraries aren't in this container) and provides a
+deterministic fake for the synthetic payloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media table: (media_id, media_type, payload binary)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+# Oracle twin of _media: the payload bytes are the UTF-8 text itself, so
+# byte-level ops are mirrored with text substring + encode (ASCII corpus).
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+           text
+    FROM documents
+"""
+
+
+@query(
+    "mm_meta_extract",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           hex(encode(substring(text, 1, 4)))         AS header_hex
+    FROM media
+    """,
+)
+def mm_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metadata extraction stays JVM-side: byte length + magic-header hex
+    # straight off the binary column, no decode, no Python.
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.hex(F.substring(F.col("payload"), 1, 4)).alias("header_hex"),
+    )
+
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    frames AS (
+        SELECT media_id, media_type,
+               CAST(s.i AS INTEGER) AS frame_idx,
+               hex(encode(substring(text, s.i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))) AS frame_hex
+        FROM media,
+             (SELECT unnest(range(0, 1000)) AS i) s
+        WHERE s.i * {_FRAME_BYTES} < octet_length(encode(text))
+    )
+    SELECT media_id, media_type, frame_idx, frame_hex
+    FROM frames
+    WHERE frame_idx % {_FRAME_STRIDE} = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: chunk the payload into fixed
+    16-byte frames JVM-side (indexed transform over a sequence — no
+    Python), keep every 4th frame.  For real video this is where a
+    keyframe index would replace the fixed stride; the chunk/explode/
+    stride plumbing is identical."""
+    m = _media(spark, sf_dir)
+    n_frames = F.ceil(F.length("payload") / F.lit(_FRAME_BYTES)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.hex(
+            F.substring(F.col("payload"), (i * _FRAME_BYTES + 1).cast("int"), _FRAME_BYTES)
+        ),
+    )
+    return (
+        m.select(
+            "media_id",
+            "media_type",
+            F.posexplode(frames).alias("frame_idx", "frame_hex"),
+        )
+        .filter(F.col("frame_idx") % _FRAME_STRIDE == 0)
+    )
+
+
+def _decode_media(media_type: str, payload: bytes) -> bytes:
+    """STUB decode step — clearly marked.
+
+    A production deployment decodes here (PIL for images, soundfile for
+    audio, ffmpeg frame extraction for video); none of those libraries
+    exist in this container, and the corpus payloads are synthetic.  The
+    deterministic fake returns the raw bytes (identity "decode") so the
+    downstream feature extraction exercises the full Arrow path.
+    """
+    if media_type not in _MEDIA_TYPES:
+        raise NotImplementedError(
+            f"no codec for media_type={media_type!r}; real codecs (PIL/"
+            "ffmpeg/soundfile) are intentionally not wired in this sandbox"
+        )
+    return payload
+
+
+@query("mm_decode_features", oracle=None)  # rows-only: Python-side decode
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: Arrow ships the binary
+    column to Python in batches; per item the (stubbed) decode runs and
+    byte-level features are computed vectorized (numpy over the byte
+    buffer).  Partition-parallel, constant memory per batch — the shape
+    a real image/audio featurizer plugs into."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = _decode_media(mtype, bytes(payload))
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype("float64")
+                p = counts[counts > 0] / len(arr)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": mtype,
+                        "n_bytes": len(arr),
+                        "byte_mean": float(arr.mean()),
+                        "byte_entropy": float(-(p * np.log2(p)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    m = _media(spark, sf_dir)
+    out = m.mapInPandas(
+        featurize,
+        schema="media_id long, media_type string, n_bytes long, "
+        "byte_mean double, byte_entropy double",
+    )
+    fix4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        fix4(F.col("byte_mean")).alias("byte_mean"),
+        fix4(F.col("byte_entropy")).alias("byte_entropy"),
+    )
