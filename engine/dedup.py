@@ -151,40 +151,45 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The (doc, shingle) relation feeds three consumers (signatures +
+    # both sides of the Jaccard verify) — persist the diamond so the
+    # tokenize+explode runs once, not three times.  At cluster scale
+    # this is the stage you'd checkpoint.
     doc_shingle = corpus.select(
         "doc_id", F.explode(shingles).alias("shingle")
-    )
+    ).persist()
 
-    # (doc, seed, hash) → min per (doc, seed): one shuffle on doc_id.
-    hashes = F.array(
+    # 16 seeded hashes as COLUMNS of the (doc, shingle) rows, min-reduced
+    # per doc in one pass — columnar min beats exploding 16 hash rows per
+    # shingle by 16× shuffle volume (one shuffle on doc_id either way,
+    # but this one carries 16 longs per shingle row, not 16 rows).
+    sig = doc_shingle.groupBy("doc_id").agg(
         *[
-            F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))
+            F.min(
+                F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))
+            ).alias(f"minh{i}")
             for i in range(_N_HASHES)
         ]
     )
-    sig = (
-        doc_shingle.select("doc_id", F.posexplode(hashes).alias("seed", "h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-    )
 
-    # Band key = hash of the band's 4 ordered min-hashes.
-    band = (
-        sig.withColumn("band", F.expr(f"seed div {_BAND_SIZE}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # One band key per 4 consecutive min-hashes; explode to (doc, band,
+    # band_key) rows for the bucket self-join.
+    band_keys = F.array(
+        *[
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minh"))
-                        ),
-                        lambda s: s["minh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"minh{i}").cast("string")
+                        for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)
+                    ],
                 )
-            ).alias("band_key")
-        )
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    band = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
 
     a = band.alias("a")
@@ -210,7 +215,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
     )
     common = (
-        cand.join(sh_a, "doc_a")
+        sh_a.join(F.broadcast(cand), "doc_a")
         .join(
             sh_b,
             (F.col("doc_b") == F.col("b_id"))

@@ -285,14 +285,14 @@ _LSH_TABLES = 8
 _LSH_BITS = 4
 
 
-@query("sim_ann_lsh_topk", oracle=None)  # rows-only: xxhash64-derived planes
+@query("sim_ann_lsh_topk", oracle=None)  # rows-only: hash-derived planes
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH — the
     100 TB scale path for `sim_knn_topk` (beyond the SURVEY §2 inventory).
 
     Deterministic pseudo-random hyperplanes: plane (t, p) weights
-    dimension d as ±1 by the parity of xxhash64('t:p:d') — no RNG,
-    restart-stable.  Each vector lands in one bucket per table
+    dimension d as ±1 by the parity of md5('t:p:d'), baked into the plan
+    as literal arrays — no RNG, restart-stable.  Each vector lands in one bucket per table
     (signature = 4 sign bits); a query's candidates are the union of its
     8 buckets; exact cosine re-ranks candidates only.
 
@@ -307,17 +307,19 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
 
     def plane_weights(t: int, p: int) -> Column:
-        # Factory (not loop-captured lambda defaults — PySpark would read
-        # extra defaults as lambda arity): ±1 weights per dimension from
-        # the parity of a seeded xxhash64.
-        prefix = f"{t}:{p}:"
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda d: F.when(
-                F.xxhash64(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        # The ±1 weights are row-independent constants — bake them in as
+        # a literal array (driver-side md5 parity, deterministic across
+        # restarts) instead of hashing 64 values per plane PER ROW, which
+        # cost ~2048 redundant per-row hash calls in the first cut.
+        import hashlib
+
+        ws = [
+            1.0
+            if hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for d in range(64)
+        ]
+        return F.array(*[F.lit(w) for w in ws])
 
     def entries(df: DataFrame) -> DataFrame:
         """One (table, bucket) entry per vector per hash table."""
