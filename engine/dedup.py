@@ -304,3 +304,162 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond SURVEY §2: SimHash and embedding-cosine near-dup (north-star
+# mandate — the remaining two dedup families of a training-data pipeline).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_BAND = 8  # 4 bands of 8 bits; verify gate is hamming ≤ 3
+
+
+@query("dedup_simhash", oracle=None)  # rows-only: xxhash64 bit extraction
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature where bit b is the sign of
+    Σ_features (±1 by bit b of xxhash64(feature)); near-dups are
+    candidate pairs sharing any 8-bit band (banded, never all-pairs),
+    confirmed by hamming distance ≤ 3.
+
+    Features are distinct 3-word shingles, not tokens: the corpus draws
+    from a ~40-word vocabulary, so token-level signatures of unrelated
+    docs are near-identical (a 16-bit token-feature first cut produced
+    258k false candidates); the shingle space is large enough for
+    signatures to decorrelate.  Same planted near-copies as
+    dedup_minhash_near.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    toks = _tokens(F.col("text"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    tok = corpus.select("doc_id", F.explode(shingles).alias("token"))
+    h = F.xxhash64("token")
+    # per (doc, bit): Σ ±1 as 16 columnar sums, then sign → bit.
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig_col = None
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_col = bit if sig_col is None else sig_col + bit
+    sigs = sums.select("doc_id", sig_col.alias("sig"))
+
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * _SIMHASH_BAND).bitwiseAND(
+                F.lit((1 << _SIMHASH_BAND) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "sig", F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_COS_BLOCK = 100
+# The synthetic embeddings are weakly clustered (best cosines ≈ 0.4);
+# a production near-dup gate would sit at ≥ 0.9.
+_COS_THRESHOLD = 0.30
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+         AND a.vec_id // {_COS_BLOCK} = b.vec_id // {_COS_BLOCK}
+    ),
+    comps AS (
+        SELECT vec_a, vec_b,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na2,
+               SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb2
+        FROM pairs, (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) s
+        GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b,
+           FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) / 10000 AS cosine
+    FROM comps
+    WHERE FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) / 10000 >= {_COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: semantic duplicates = pairs above a
+    cosine threshold, computed over deterministic id-blocks (block join
+    key = vec_id div 100) so the candidate set is B·(n/B choose 2), not
+    (n choose 2).  At 100 TB the block key becomes an ANN bucket
+    (sim_ann_lsh_topk's tables); the verify math is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.floor(dot / (norm(F.col("ea")) * norm(F.col("eb"))) * 10000 + F.lit(0.5)) / 10000
+    return (
+        a.join(b, (F.col("block_a") == F.col("block_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_THRESHOLD)
+    )

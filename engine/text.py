@@ -275,3 +275,189 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.expr("max_by(doc_id, struct(n_chars, doc_id))").alias("longest_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond SURVEY §2: training-data-pipeline text operators (north-star
+# mandate — language-ID, quality scoring, BPE-ish token counting,
+# rolling-hash fingerprinting).
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4"],
+}
+
+
+def _markers_sql(lang: str) -> str:
+    return "['" + "','".join(_LANG_MARKERS[lang]) + "']"
+
+
+@query(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("en")})) AS s_en,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("de")})) AS s_de,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("fr")})) AS s_fr,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("es")})) AS s_es,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("zh")})) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
+                WHEN 0 THEN 'unknown'
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+                WHEN s_es THEN 'es' ELSE 'zh' END AS predicted,
+           CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
+                WHEN 0 THEN 'unknown'
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+                WHEN s_es THEN 'es' ELSE 'zh' END = lang AS correct
+    FROM scored
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each language by distinct-marker
+    hits in the token set, predict the argmax (fixed priority order as
+    the tiebreak, 'unknown' when nothing matches).  The synthetic corpus
+    shares one vocabulary across langs, so accuracy here is honestly
+    weak — the operator shape (profile → argmax, one per-row pass, no
+    shuffle) is what carries to a real corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in _LANG_MARKERS:  # dict order = fixed tiebreak priority
+        pred = pred.when(scores[lang] == best, lang)
+    d = d.select("doc_id", "lang", pred.alias("predicted"))
+    return d.withColumn("correct", F.col("predicted") == F.col("lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKENS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+               list_sum(list_transform(toks, x -> length(x))) AS sum_len
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens     AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tokens    AS avg_word_len,
+           FLOOR((0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                  + 0.2 * LEAST(CAST(sum_len AS DOUBLE) / n_tokens / 8.0, 1.0))
+                 * 10000 + 0.5) / 10000 AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: type-token ratio + stopword share +
+    capped average word length, combined into one pinned score — the
+    shape of a pretraining-corpus filter.  Per-row array math only; the
+    score never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    avg_len = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
+    )
+    quality = _fix4(
+        0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        stop.alias("stop_ratio"),
+        avg_len.alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "text_token_bpe_count",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_word_tokens,
+           CAST(list_sum(list_transform(toks, x -> (length(x) + 3) // 4)) AS BIGINT)
+               AS n_subword_est
+    FROM t
+    """,
+)
+def text_token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (word / number / punctuation
+    classes) plus a subword-count estimate of ceil(len/4) per token —
+    the cheap proxy for 'how many BPE tokens will this doc cost'."""
+    d = load(spark, sf_dir, "documents")
+    # group index 0 = the whole match (the pattern has no capture groups)
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_word_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_subword_est"),
+    )
+
+
+_FP_MOD = 1_099_511_627_689  # prime < 2^40: h*31 + 255 stays inside int64
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split_regex(text, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {_FP_MOD}) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Karp-Rabin form:
+    h = (h*31 + byte) mod p, p < 2^40 so the fold never overflows
+    int64).  Order-sensitive unlike md5-of-sorted-tokens — the primitive
+    for shift-tolerant chunk fingerprinting; a winnowing variant would
+    roll the same hash over k-gram windows and keep per-window minima."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
