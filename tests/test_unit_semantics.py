@@ -1,0 +1,141 @@
+"""Edge-semantics unit tests over tiny in-memory frames (SURVEY.md §5
+item 3) + hypothesis property checks (item 4): the behaviors the oracle
+comparison exercises only incidentally — null join rows, short frames,
+arg-max ties, ns-timestamp normalization, dedup idempotence, algebraic
+invariants.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import engine
+from engine.io import load
+from tests.conftest import SF_DIR
+
+
+def test_left_join_unmatched_rows_are_null(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    right = spark.createDataFrame([(1, 10.0)], "id long, w double")
+    out = {r.id: r.w for r in left.join(right, "id", "left").collect()}
+    assert out == {1: 10.0, 2: None, 3: None}
+
+
+def test_window_frame_shorter_than_bound(spark):
+    # rowsBetween(-6, 0) over 3 rows: the frame silently shrinks — the
+    # moving-average denominator must be the actual frame size.
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "d long, v long")
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    rows = df.select("d", F.count("*").over(w).alias("n"), F.sum("v").over(w).alias("s")).collect()
+    assert [(r.n, r.s) for r in sorted(rows)] == [(1, 10), (2, 30), (3, 60)]
+
+
+def test_max_by_struct_tiebreak(spark):
+    # Equal values → the struct's second field (unique key) decides,
+    # matching the oracle's ROW_NUMBER ... ORDER BY v DESC, k DESC form.
+    df = spark.createDataFrame(
+        [("g", 5.0, 1, "first"), ("g", 5.0, 2, "second")],
+        "grp string, v double, k long, name string",
+    )
+    row = df.groupBy("grp").agg(
+        F.expr("max_by(name, struct(v, k))").alias("winner")
+    ).first()
+    assert row.winner == "second"
+
+
+def test_events_ns_timestamp_normalization(spark, duck):
+    # The loader's ns→µs conversion must reproduce DuckDB's read exactly.
+    s = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    )
+    d = duck.execute(
+        "SELECT event_id, ts FROM events ORDER BY event_id LIMIT 5"
+    ).fetchall()
+    assert [(r.event_id, r.ts) for r in s] == [(i, t) for i, t in d]
+    assert all(isinstance(r.ts, datetime.datetime) for r in s)
+
+
+def test_dedup_exact_idempotent(spark):
+    once = engine.QUERIES["dedup_exact"](spark, SF_DIR)
+    # Re-deduping the deduped survivor set must be the identity.
+    w = Window.partitionBy("lang", "source", "doc_id").orderBy("doc_id")
+    again = once.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sample_deterministic_is_stable(spark):
+    a = engine.QUERIES["sample_deterministic"](spark, SF_DIR).collect()
+    b = engine.QUERIES["sample_deterministic"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property checks (small example counts — each example is a
+# Spark job; the properties, not the volume, carry the evidence)
+# ---------------------------------------------------------------------------
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_hyp
+@given(
+    a=st.lists(st.integers(0, 50), max_size=30),
+    b=st.lists(st.integers(0, 50), max_size=30),
+)
+def test_union_all_count_additive(spark, a, b):
+    dfa = spark.createDataFrame([(x,) for x in a], "v long") if a else spark.range(0).select(F.col("id").alias("v"))
+    dfb = spark.createDataFrame([(x,) for x in b], "v long") if b else spark.range(0).select(F.col("id").alias("v"))
+    assert dfa.unionByName(dfb).count() == len(a) + len(b)
+
+
+@_hyp
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40), k=st.integers(1, 10))
+def test_topk_is_prefix_of_sorted(spark, vals, k):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    top = [r.v for r in df.orderBy(F.desc("v"), F.asc("id")).limit(k).collect()]
+    assert top == sorted(vals, reverse=True)[: min(k, len(vals))]
+
+
+@_hyp
+@given(vec=st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=2, max_size=8))
+def test_cosine_self_similarity_is_one(spark, vec):
+    if sum(x * x for x in vec) < 1e-6:
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec,)], "e array<float>")
+    dot = F.aggregate(
+        F.zip_with("e", "e", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = df.select((dot / (F.sqrt(dot) * F.sqrt(dot))).alias("c")).first().c
+    assert cos == pytest.approx(1.0, abs=1e-9)
+
+
+@_hyp
+@given(
+    xs=st.sets(st.integers(0, 30), max_size=15),
+    ys=st.sets(st.integers(0, 30), max_size=15),
+)
+def test_jaccard_bounds_and_symmetry(spark, xs, ys):
+    if not xs or not ys:
+        return
+    inter = len(xs & ys)
+    jac = inter / (len(xs) + len(ys) - inter)
+    assert 0.0 <= jac <= 1.0
+    assert jac == inter / (len(ys) + len(xs) - inter)  # symmetric
+    if xs == ys:
+        assert jac == 1.0
