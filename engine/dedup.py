@@ -435,21 +435,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n choose 2).  At 100 TB the block key becomes an ANN bucket
     (sim_ann_lsh_topk's tables); the verify math is identical."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
@@ -457,7 +442,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    cos = F.floor(dot / (norm(F.col("ea")) * norm(F.col("eb"))) * 10000 + F.lit(0.5)) / 10000
+    # Norms are per-VECTOR: fold them once on each projection, not once
+    # per pair (3× fewer 64-element folds after the block join).
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_a"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(f"vec_id div {_COS_BLOCK}").alias("block_b"),
+        norm(F.col("embedding")).alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.floor(dot / (F.col("norm_a") * F.col("norm_b")) * 10000 + F.lit(0.5)) / 10000
     return (
         a.join(b, (F.col("block_a") == F.col("block_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
