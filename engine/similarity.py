@@ -370,3 +370,90 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+_IVF_K = 16  # centroid count
+_IVF_ITERS = 2  # bounded Lloyd iterations (deterministic init → stable)
+_IVF_PROBES = 2  # centroids probed per query
+
+
+@query("sim_ivf_topk", oracle=None)  # rows-only: iterative algorithm
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the second
+    ANN scale path next to `sim_ann_lsh_topk`, and the engine's
+    demonstration of ITERATIVE algorithms on DataFrames (bounded Lloyd
+    iterations orchestrated from the driver; all data stays executor-side,
+    centroids travel only as broadcast plans).
+
+    1. init: centroids = the K lowest-vec_id vectors (deterministic);
+    2. 2× Lloyd: assign each vector to its nearest centroid (broadcast
+       K=16 centroids, JVM fold per pair), recompute centroids as
+       elementwise means via posexplode → (cid, pos) avg → ordered
+       reassembly;
+    3. index: the final assignment IS the inverted file;
+    4. search: each query probes its 2 nearest centroids and exact-cosine
+       re-ranks only those lists (~2K/16 of the collection per probe).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def nearest(df: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        # df ⋈ broadcast(centroids) → argmin by (distance, cid) per row.
+        dot = _dot(F.col("embedding"), F.col("c_emb"))
+        sim = dot / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim_key"), F.asc("cid"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                F.floor(sim * 1000000 + F.lit(0.5)).alias("sim_key"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= (1 if out == "cid" else _IVF_PROBES))
+            .select("vec_id", "embedding", "cid")
+        )
+
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(_IVF_ITERS):
+        assigned = nearest(e, cents, "cid")
+        cents = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("comp").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("c_emb")
+            )
+            # Truncate lineage between iterations (executor-side
+            # materialization of the 16-row centroid table) — without
+            # this every later stage replays the whole Lloyd chain.
+            .localCheckpoint(eager=False)
+        )
+
+    inverted = nearest(e, cents, "cid").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("cid").alias("list_id"),
+    )
+    probes = nearest(e.filter(F.col("vec_id") < 5), cents, "probe").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.col("cid").alias("list_id"),
+    )
+    cos = _dot(F.col("eq"), F.col("e_emb")) / (
+        _norm(F.col("eq")) * _norm(F.col("e_emb"))
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", _fix(cos, 10000).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

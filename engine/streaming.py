@@ -212,3 +212,54 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("stream_stateful_counter", oracle=None)  # rows-only: streaming state
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event counts that survive across microbatches (the replay is
+    split into two time-ordered batches, so state genuinely carries).
+
+    This is the arbitrary-state API a custom streaming operator (session
+    scoring, CDC merge, online feature update) builds on — the windowed
+    aggs in the other keys only cover built-in state shapes.  Returns
+    the final per-user totals (latest update per user), which must equal
+    the batch groupBy count (asserted in tests/test_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2
+    src = _scratch("stateful_counter")
+    us = F.unix_micros(F.col("ts"))
+    ev.filter(us <= mid).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(us > mid).coalesce(1).write.mode("append").parquet(src)
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = (
+        _events_stream(spark, src, max_files_per_trigger=1)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    qname = _run_to_memory(counted, "update", "stateful_counter")
+    # update mode emits one row per (user, batch): the final state is the
+    # max (counts are monotone).
+    return spark.table(qname).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )

@@ -60,3 +60,14 @@ def test_stream_foreach_batch_equals_batch(spark):
     )
     cols = ["event_type", "n", "sum_value_cents"]
     assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_stream_stateful_counter_equals_batch(spark):
+    stream = engine.QUERIES["stream_stateful_counter"](spark, SF_DIR)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["user_id", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
