@@ -442,3 +442,68 @@ def join_existence_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(top), o.o_custkey == top.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS join_key,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT user_id AS join_key, COUNT(*) AS user_orders
+        FROM events GROUP BY user_id
+    )
+    SELECT f.join_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(f.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(d.user_orders) AS BIGINT) AS dim_val
+    FROM fact f JOIN dim d ON f.join_key = d.join_key
+    GROUP BY f.join_key
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join.  The fact side is deliberately skewed
+    (half of all rows share join_key 0 — the hot-key pathology that
+    stalls one reducer at 100 TB).  The cure demonstrated here:
+
+    - fact rows get a salt = event_id % 16, spreading the hot key over
+      16 shuffle partitions;
+    - the (small) dim side is exploded 16× so every (key, salt) pair
+      finds its match;
+    - the join runs on the composite (join_key, salt) — per-partition
+      load is bounded by max_key_rows/16 instead of max_key_rows.
+
+    Results are salt-invariant, so the oracle is the plain unsalted
+    join.  (AQE's skewedJoin handles mid-size skew automatically; manual
+    salting remains the tool when one key exceeds a whole executor.)
+    """
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("join_key"),
+        "value",
+        (F.col("event_id") % _SALT_BUCKETS).alias("salt"),
+    )
+    dim = (
+        ev.groupBy(F.col("user_id").alias("join_key"))
+        .agg(F.count("*").alias("user_orders"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])))
+    )
+    return (
+        fact.join(dim, ["join_key", "salt"])
+        .groupBy("join_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+            F.max("user_orders").alias("dim_val"),
+        )
+    )
