@@ -108,3 +108,36 @@ def test_hot_paths_whole_stage_codegen(spark, key):
     # printed as `*(n)` stage markers in the finalized AQE plan.
     plan = _plan(spark, key, executed=True)
     assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_bigrams_single_scan_no_self_join(spark):
+    # The indexed-transform bigram build must not plan the naive
+    # positional self-join (one scan of documents, zero join operators).
+    plan = _plan(spark, "text_bigrams")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_sessionization_single_user_shuffle(spark):
+    # lag + cumsum + grouped agg all share the user_id partitioning —
+    # at most 2 exchanges total (one hash, possibly one AQE read),
+    # never one per window operator.
+    plan = _plan(spark, "evt_session_window")
+    assert plan.count("Exchange") <= 2
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    # df table and the 1-row N must broadcast; the (doc, token) side
+    # must never sort-merge for them.
+    plan = _plan(spark, "join_skew_salted")
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, "text_tfidf")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_one_window_pass(spark):
+    # The as-of must be window-based: no join operator at all.
+    plan = _plan(spark, "join_asof")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
