@@ -153,20 +153,32 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The (doc, shingle) relation feeds three consumers (signatures +
     # both sides of the Jaccard verify) — persist the diamond so the
-    # tokenize+explode runs once, not three times.  At cluster scale
-    # this is the stage you'd checkpoint.
+    # tokenize+explode runs once, not three times.  Shingles are carried
+    # as their 64-bit xxhash, not strings: the persisted payload shrinks
+    # ~6×, joins compare longs, and hashed-set Jaccard equals exact
+    # shingle Jaccard up to a ~2^-40 collision probability.  At cluster
+    # scale this is the stage you'd checkpoint.
     doc_shingle = corpus.select(
-        "doc_id", F.explode(shingles).alias("shingle")
+        "doc_id",
+        F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("shingle"),
     ).persist()
 
-    # 16 seeded hashes as COLUMNS of the (doc, shingle) rows, min-reduced
-    # per doc in one pass — columnar min beats exploding 16 hash rows per
-    # shingle by 16× shuffle volume (one shuffle on doc_id either way,
-    # but this one carries 16 longs per shingle row, not 16 rows).
-    sig = doc_shingle.groupBy("doc_id").agg(
+    # 16 hash-family members derived from ONE xxhash64 via universal
+    # hashing (h_i = a_i*h + b_i over the int64 ring — wrap-around is
+    # uniform, which is all MinHash needs): one string hash per shingle
+    # instead of 16, and the mins reduce columnar in a single pass —
+    # no 16× row explosion, no 16× string hashing.
+    # ANSI mode (Spark 4 default) forbids wrapping multiplication, so
+    # the family operates on the low 31 bits: a_i·h31 + b_i < 2^46 —
+    # overflow-free, and 31 uniform bits are ample for min-hash ranking.
+    h31 = F.col("shingle").bitwiseAND(F.lit(0x7FFFFFFF))
+    sig = doc_shingle.select(
+        "doc_id", h31.alias("h")
+    ).groupBy("doc_id").agg(
         *[
             F.min(
-                F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))
+                F.col("h") * F.lit(2 * i + 1)
+                + F.lit((i * 2654435761) % (1 << 31))
             ).alias(f"minh{i}")
             for i in range(_N_HASHES)
         ]
@@ -208,7 +220,10 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact Jaccard verification on the bounded candidate set.
-    sh = doc_shingle.distinct()
+    # doc_shingle is already per-doc distinct (array_distinct upstream) —
+    # no dedup shuffle; set sizes are a tiny count over the persisted
+    # relation.
+    sh = doc_shingle
     n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.withColumnRenamed("doc_id", "doc_a")
     sh_b = sh.select(
