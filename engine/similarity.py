@@ -306,44 +306,57 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
 
-    def plane_weights(t: int, p: int) -> Column:
-        # The ±1 weights are row-independent constants — bake them in as
-        # a literal array (driver-side md5 parity, deterministic across
-        # restarts) instead of hashing 64 values per plane PER ROW, which
-        # cost ~2048 redundant per-row hash calls in the first cut.
-        import hashlib
+    import hashlib
 
-        ws = [
-            1.0
-            if hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[0] % 2 == 0
-            else -1.0
-            for d in range(64)
+    # The ±1 plane weights are row-independent constants (md5 parity of
+    # 't:p:d' — deterministic across restarts): one literal 32×64 matrix
+    # folded by a SINGLE transform expression.  The first cut built 32
+    # separate aggregate HOFs, which ballooned codegen compile time.
+    weight_matrix = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(
+                        1.0
+                        if hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[0] % 2 == 0
+                        else -1.0
+                    )
+                    for d in range(64)
+                ]
+            )
+            for t in range(_LSH_TABLES)
+            for p in range(_LSH_BITS)
         ]
-        return F.array(*[F.lit(w) for w in ws])
+    )
 
     def entries(df: DataFrame) -> DataFrame:
         """One (table, bucket) entry per vector per hash table."""
+        projs = F.transform(
+            weight_matrix,
+            lambda wrow: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), wrow, lambda x, wgt: x.cast("double") * wgt
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        with_projs = df.withColumn("projs", projs)
         sigs = []
         for t in range(_LSH_TABLES):
-            bits = []
+            sig = None
             for p in range(_LSH_BITS):
-                proj = F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        plane_weights(t, p),
-                        lambda x, wgt: x.cast("double") * wgt,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-            sig = bits[0]
-            for b in bits[1:]:
-                sig = sig + b
+                bit = F.when(
+                    F.element_at("projs", t * _LSH_BITS + p + 1) >= 0,
+                    F.lit(1 << p),
+                ).otherwise(F.lit(0))
+                sig = bit if sig is None else sig + bit
             sigs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-        return df.select(
-            "vec_id", "embedding", F.explode(F.array(*sigs)).alias("tb")
-        ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+        return (
+            with_projs.select(
+                "vec_id", "embedding", F.explode(F.array(*sigs)).alias("tb")
+            ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+        )
 
     tables = entries(e)
     q = entries(e.filter(F.col("vec_id") < 5)).select(
