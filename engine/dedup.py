@@ -337,6 +337,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs sharing any 8-bit band (banded, never all-pairs),
     confirmed by hamming distance ≤ 3.
 
+    Band sizing (measured, not guessed): 4 bands cover hamming ≤ 3 by
+    pigeonhole.  Wider signatures were tried and rejected — 60-bit/15-bit
+    bands collapse recall (ham ≤ 3 of 60 is far tighter than 3 of 32),
+    and 60-bit/10-bit/ham ≤ 5 still recalls fewer planted pairs (410 vs
+    438 of 500) at the same runtime.  The 8-bit buckets over-generate
+    candidates on huge corpora; at that scale raise _SIMHASH_BITS and
+    the hamming gate TOGETHER (keep gate/bits ≈ 0.1 and bands = gate+1).
+
     Features are distinct 3-word shingles, not tokens: the corpus draws
     from a ~40-word vocabulary, so token-level signatures of unrelated
     docs are near-identical (a 16-bit token-feature first cut produced
@@ -360,8 +368,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tok = corpus.select("doc_id", F.explode(shingles).alias("token"))
-    h = F.xxhash64("token")
+    # Explode pre-hashed shingles (longs, not strings) — the exploded
+    # relation and the groupBy shuffle carry 8 bytes per feature.
+    tok = corpus.select(
+        "doc_id",
+        F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("token"),
+    )
+    h = F.col("token")
     # per (doc, bit): Σ ±1 as 16 columnar sums, then sign → bit.
     sums = tok.groupBy("doc_id").agg(
         *[
