@@ -242,3 +242,90 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    GROUP BY l_linestatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem sample to ORC, read it back, aggregate.  The
+    oracle reads the original parquet — equality proves the ORC
+    round-trip is lossless (Spark's second first-class columnar format;
+    same pushdown/pruning machinery as parquet)."""
+    sample = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_linestatus", "l_extendedprice")
+    )
+    path = _scratch_dir("orc_roundtrip")
+    sample.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+_BUCKETS = 8
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS spend_cents,
+           MAX(c.c_mktsegment) AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written with
+    ``bucketBy(8, custkey)`` + ``sortBy``, then joined — Spark reads the
+    bucket layout from the catalog and plans a SortMergeJoin with ZERO
+    exchanges (asserted in tests/test_plans.py).
+
+    This is THE pre-shuffle pattern for 100 TB fact⋈fact joins: pay the
+    shuffle once at write time, join shuffle-free forever after.  The
+    oracle is the plain join on the original tables (bucketing never
+    changes results).
+    """
+    configure(spark)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io", "bucketed")
+    for table, key_col in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl_name = f"eng_bucketed_{table}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+        (
+            load(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", os.path.join(path, table))
+            .bucketBy(_BUCKETS, key_col)
+            .sortBy(key_col)
+            .saveAsTable(tbl_name)
+        )
+    o = spark.table("eng_bucketed_orders")
+    c = spark.table("eng_bucketed_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "spend_cents"
+            ),
+            F.max("c_mktsegment").alias("segment"),
+        )
+    )

@@ -141,3 +141,16 @@ def test_asof_join_is_one_window_pass(spark):
     plan = _plan(spark, "join_asof")
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # Both sides bucketed+sorted on the join key: the scans report the
+    # bucket layout and NEITHER the join NOR the o_custkey aggregation
+    # needs a hash exchange — zero shuffles in the whole plan (the
+    # entire point of paying the bucketed write).  Spark may still pick
+    # a broadcast join for the small side; what matters is no
+    # repartitioning anywhere.
+    df = engine.QUERIES["sink_bucketed_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Bucketed: true") == 2
