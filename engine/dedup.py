@@ -495,3 +495,114 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _COS_THRESHOLD)
     )
+
+
+_CC_MAX_ITERS = 10
+
+
+@query("dedup_connected_components", oracle=None)  # rows-only: iterative
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    near-dup pair graph via min-label propagation to convergence — the
+    step a production dedup pipeline runs AFTER pair generation, so
+    "keep one per pair" becomes "keep one per transitive cluster".
+
+    Edge set (deterministic): exact-copy edges (d, d+100000) from the
+    planted corpus plus chain edges (d, d+1) where consecutive docs'
+    token Jaccard ≥ 0.35 — so components include multi-doc chains, not
+    just pairs.  Propagation: each vertex repeatedly takes the min label
+    over its neighborhood (edges both directions) until a fixpoint;
+    labels localCheckpoint per iteration (lineage truncation), and the
+    convergence probe is a count() — the standard Pregel-style halting
+    check.  Bounded by _CC_MAX_ITERS = diameter cap.
+
+    Output: (doc_id, component_id = min doc_id reachable, comp_size).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+
+    # Exact-copy edges via content-hash match (not id arithmetic — the
+    # pipeline shape is hash-join-on-fingerprint, as in dedup_exact).
+    hashed = corpus.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.col("text"), " zz yy$", "")).alias("fp"),
+    )
+    a = hashed.select(F.col("doc_id").alias("src"), "fp")
+    b = hashed.select(F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b"))
+    copy_edges = (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+    )
+
+    # Chain edges between consecutive originals above a Jaccard floor.
+    toks = F.array_distinct(_tokens(F.col("text")))
+    tokset = d.select("doc_id", toks.alias("ts"))
+    nxt = tokset.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("ts"), F.col("ts_b")))
+    union_n = F.size(F.col("ts")) + F.size(F.col("ts_b")) - inter
+    chain_edges = (
+        tokset.join(nxt, tokset.doc_id == nxt.join_id)
+        .filter(inter.cast("double") / union_n >= 0.35)
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+
+    edges = copy_edges.unionByName(chain_edges)
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = corpus.select("doc_id", F.col("doc_id").alias("label"))
+    for it in range(_CC_MAX_ITERS):
+        # neighbor min: labels flow one hop along edges
+        msgs = (
+            both.join(labels, both.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        hop = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping (path halving): label[v] ← label[label[v]] —
+        # without this, a chain of length L needs L one-hop rounds; with
+        # it, convergence is O(log L), so 10 rounds cover any chain here.
+        parents = hop.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            hop.join(parents, hop.label == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev, labels = labels, new_labels
+        # Convergence probe is a separate Spark job — run it only every
+        # other round (the fixpoint is stable, so a one-round-late exit
+        # costs one cheap iteration, not correctness).
+        if it % 2 == 1 or it == _CC_MAX_ITERS - 1:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                break
+
+    comp_size = F.count("*").over(Window.partitionBy("label"))
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        comp_size.alias("comp_size"),
+    )

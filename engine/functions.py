@@ -390,3 +390,33 @@ def fn_json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255                          AS low_byte,
+           p_partkey | 4096                         AS with_flag,
+           xor(p_partkey, 170)                      AS xored,
+           CAST(p_partkey << 2 AS BIGINT)           AS shl2,
+           CAST(p_partkey >> 3 AS BIGINT)           AS shr3,
+           CAST(bit_count(p_partkey) AS INTEGER)    AS popcount
+    FROM part
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit ops on ids — the primitives the hash/band/bucket operators
+    # build on.  Spark shiftleft/shiftright ↔ DuckDB << / >>; XOR is the
+    # xor() function in DuckDB but an operator method in PySpark.
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )

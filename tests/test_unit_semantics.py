@@ -139,3 +139,17 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
     assert jac == inter / (len(ys) + len(xs) - inter)  # symmetric
     if xs == ys:
         assert jac == 1.0
+
+
+def test_connected_components_cluster_planted_dups(spark):
+    rows = engine.QUERIES["dedup_connected_components"](spark, SF_DIR).collect()
+    comp = {r.doc_id: r.component_id for r in rows}
+    # every planted copy must land in its original's component
+    assert all(comp[d] == comp[d + 100_000] for d in range(500))
+    # component id is the min member id, so label ≤ id everywhere
+    assert all(r.component_id <= r.doc_id for r in rows)
+    # sizes consistent: every member of a component reports the same size
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r.comp_size)
+    assert all(len(set(v)) == 1 and len(v) == v[0] for v in by_comp.values())
