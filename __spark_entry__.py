@@ -29,9 +29,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.QUERIES["agg_groupby_pricing"](spark, _SMOKE_SF_DIR)
 
 
+# Keys with a green driver correctness row in CORRECTNESS_r02.json.  The
+# driver evaluates keys in queries()-dict order and (r2 evidence) stops
+# after ~50 keys / a time budget, so the 81 keys it has never reached are
+# served FIRST; these already-proven keys re-verify last (VERDICT r2 next
+# step #1).
+_R2_DRIVER_VERIFIED = (
+    "scan_parquet", "scan_project_prune", "scan_predicate_pushdown",
+    "source_range_synthetic", "source_csv_roundtrip", "source_json_lines",
+    "sink_parquet_partitioned", "source_orc_roundtrip", "sink_bucketed_join",
+    "agg_groupby_pricing", "agg_global", "agg_count_distinct",
+    "agg_multi_distinct", "agg_filtered", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile",
+    "agg_approx_quantile", "agg_approx_distinct", "agg_collect_sorted",
+    "agg_collect_set", "agg_min_max_by", "agg_pivot", "agg_histogram",
+    "project_arithmetic", "project_case_when", "project_cast",
+    "filter_simple", "filter_compound", "filter_null_handling",
+    "filter_regex", "distinct_rows", "sort_multi_key", "sort_nulls_order",
+    "limit_topk", "sample_deterministic", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all", "join_inner_equi",
+    "join_multiway_star", "join_broadcast_dims", "join_left_outer",
+    "join_right_outer",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(engine.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order: driver-unverified keys first (registration order preserved
+    within each group), round-2-verified keys last.
+    """
+    verified = set(_R2_DRIVER_VERIFIED)
+    unreached = [k for k in engine.QUERIES if k not in verified]
+    reached = [k for k in _R2_DRIVER_VERIFIED if k in engine.QUERIES]
+    return {k: engine.QUERIES[k] for k in (*unreached, *reached)}
 
 
 def oracle_sql() -> dict[str, str]:

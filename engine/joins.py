@@ -176,8 +176,8 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
                  AND o_orderdate <  TIMESTAMP '1998-04-01')
     SELECT COALESCE(a.custkey, b.custkey) AS custkey,
-           a.custkey IS NOT NULL AS in_a,
-           b.custkey IS NOT NULL AS in_b
+           CAST(a.custkey IS NOT NULL AS INTEGER) AS in_a,
+           CAST(b.custkey IS NOT NULL AS INTEGER) AS in_b
     FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
     """,
 )
@@ -198,8 +198,11 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = keys("1998-01-01", "1998-04-01").alias("b")
     return a.join(b, F.col("a.custkey") == F.col("b.custkey"), "full").select(
         F.coalesce(F.col("a.custkey"), F.col("b.custkey")).alias("custkey"),
-        F.col("a.custkey").isNotNull().alias("in_a"),
-        F.col("b.custkey").isNotNull().alias("in_b"),
+        # int, not boolean: the driver canonicalizer has crashed on
+        # non-scalar cell types before (r1 arrays); r2's run died exactly
+        # at this key — the first with BOOLEAN output (VERDICT r2 #2).
+        F.col("a.custkey").isNotNull().cast("int").alias("in_a"),
+        F.col("b.custkey").isNotNull().cast("int").alias("in_b"),
     )
 
 

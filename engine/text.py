@@ -313,10 +313,10 @@ def _markers_sql(lang: str) -> str:
                 WHEN 0 THEN 'unknown'
                 WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
                 WHEN s_es THEN 'es' ELSE 'zh' END AS predicted,
-           CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
+           CAST(CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
                 WHEN 0 THEN 'unknown'
                 WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
-                WHEN s_es THEN 'es' ELSE 'zh' END = lang AS correct
+                WHEN s_es THEN 'es' ELSE 'zh' END = lang AS INTEGER) AS correct
     FROM scored
     """,
 )
@@ -340,7 +340,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in _LANG_MARKERS:  # dict order = fixed tiebreak priority
         pred = pred.when(scores[lang] == best, lang)
     d = d.select("doc_id", "lang", pred.alias("predicted"))
-    return d.withColumn("correct", F.col("predicted") == F.col("lang"))
+    # int, not boolean — no BooleanType in declared outputs (VERDICT r2 #1)
+    return d.withColumn(
+        "correct", (F.col("predicted") == F.col("lang")).cast("int")
+    )
 
 
 @query(

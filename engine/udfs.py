@@ -143,7 +143,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bucket,
            FLOOR(LN(1.0 + value) * 10000 + 0.5) / 10000 AS vlog,
-           event_type = 'error' AS is_err
+           CAST(event_type = 'error' AS INTEGER) AS is_err
     FROM events
     """,
 )
@@ -161,14 +161,16 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # np.log(1+v), not log1p: mirrors the oracle's LN(1+v)
                     # operand order so only libm ulps differ (pinned below)
                     "vlog": np.log(1.0 + pdf["value"]),
-                    "is_err": pdf["event_type"] == "error",
+                    # int8, not bool — no BooleanType in declared outputs
+                    # (driver canonicalizer risk, VERDICT r2 #1)
+                    "is_err": (pdf["event_type"] == "error").astype("int32"),
                 }
             )
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = ev.mapInPandas(
         featurize,
-        schema="event_id long, value_bucket long, vlog double, is_err boolean",
+        schema="event_id long, value_bucket long, vlog double, is_err int",
     )
     return out.select(
         "event_id", "value_bucket", _fix4(F.col("vlog")).alias("vlog"), "is_err"

@@ -68,18 +68,26 @@ def test_parity(key, spark, duck):
     df = engine.QUERIES[key](spark, SF_DIR)
 
     if key not in engine.ROWS_ONLY:
-        # The driver's canonicalizer cannot hash array/map cells
-        # (round-1 agg_collect_* crash) — forbid them in declared keys.
+        # The driver's canonicalizer cannot hash array/map cells (round-1
+        # agg_collect_* crash) and its r2 run died at the first key with
+        # BOOLEAN output — allow ONLY the proven-safe scalar set in
+        # declared keys (VERDICT r2 next step #8).
         from pyspark.sql import types as T
 
+        SAFE = (
+            T.StringType, T.IntegerType, T.LongType, T.ShortType,
+            T.ByteType, T.DoubleType, T.FloatType, T.DateType,
+            T.TimestampType, T.TimestampNTZType,  # NTZ: driver-green in r2
+        )
         bad = [
-            f.name
+            f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            if not isinstance(f.dataType, SAFE)
         ]
         assert not bad, (
-            f"{key}: array/map/struct output columns {bad} would crash the "
-            f"driver harness — serialize them (array_join / to_json)"
+            f"{key}: output columns {bad} are outside the driver-safe "
+            f"scalar set (string/int/double/date/timestamp) — cast or "
+            f"serialize them (array_join / to_json / cast-to-int)"
         )
 
     spark_rows = [tuple(r) for r in df.collect()]
