@@ -164,21 +164,28 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     # 16 hash-family members derived from ONE xxhash64 via universal
-    # hashing (h_i = a_i*h + b_i over the int64 ring — wrap-around is
-    # uniform, which is all MinHash needs): one string hash per shingle
-    # instead of 16, and the mins reduce columnar in a single pass —
-    # no 16× row explosion, no 16× string hashing.
-    # ANSI mode (Spark 4 default) forbids wrapping multiplication, so
-    # the family operates on the low 31 bits: a_i·h31 + b_i < 2^46 —
-    # overflow-free, and 31 uniform bits are ample for min-hash ranking.
+    # hashing h_i = (a_i·h + b_i) mod P, P = 2^31−1 (Mersenne prime):
+    # one string hash per shingle instead of 16, and the mins reduce
+    # columnar in a single pass — no 16× row explosion, no 16× string
+    # hashing.  The mod is REQUIRED: without it h_i is strictly monotone
+    # in h, every min-hash picks the same argmin shingle, and the banded
+    # LSH degenerates to 1-hash LSH (recall ≈ J instead of 1−(1−J⁴)⁴) —
+    # found by the r2 advisor (ADVICE.md #1), pinned by the recall test
+    # in tests/test_semantics.py.
+    # ANSI mode (Spark 4 default) forbids wrapping arithmetic, so bound
+    # the operands: h31 < 2^31 and a_i < P < 2^31 keep a_i·h31 + b_i
+    # < 2^62 + 2^31 < 2^63 — overflow-free in int64, then `% P` folds
+    # back to 31 uniform bits (ample for min-hash ranking).
+    _P = (1 << 31) - 1
+    _A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_N_HASHES)]
+    _B = [(40503 * i * i + 987654321 + i) % _P for i in range(_N_HASHES)]
     h31 = F.col("shingle").bitwiseAND(F.lit(0x7FFFFFFF))
     sig = doc_shingle.select(
         "doc_id", h31.alias("h")
     ).groupBy("doc_id").agg(
         *[
             F.min(
-                F.col("h") * F.lit(2 * i + 1)
-                + F.lit((i * 2654435761) % (1 << 31))
+                (F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_P)
             ).alias(f"minh{i}")
             for i in range(_N_HASHES)
         ]

@@ -141,6 +141,24 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
         assert jac == 1.0
 
 
+def test_minhash_lsh_recall_on_planted_pairs(spark):
+    """Banded LSH must surface EVERY planted near-copy (d, d+100000).
+
+    Pins the r2-advisor bug (ADVICE.md #1): without `% P` inside the min,
+    all 16 min-hashes are monotone functions of the single minimum shingle
+    hash and banding degenerates to 1-hash LSH, silently dropping pairs
+    whose appended ' zz yy' shingle becomes the new argmin.  With a real
+    universal family, miss probability per pair is (1-J^4)^4 ≈ 3e-5 at
+    J≈0.98 (the corpus' doc lengths) — all 500 must appear.
+    """
+    rows = engine.QUERIES["dedup_minhash_near"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    missing = [d for d in range(500) if (d, d + 100_000) not in pairs]
+    assert not missing, f"LSH missed {len(missing)} planted pairs: {missing[:10]}"
+    # every surfaced pair passed the exact-Jaccard >= 0.5 verify
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
 def test_connected_components_cluster_planted_dups(spark):
     rows = engine.QUERIES["dedup_connected_components"](spark, SF_DIR).collect()
     comp = {r.doc_id: r.component_id for r in rows}
