@@ -24,13 +24,13 @@ from engine.io import load
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
-           ROUND(AVG(l_discount), 4)                                 AS avg_disc,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100                                 AS sum_qty,
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100                            AS sum_base_price,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100         AS sum_disc_price,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+           FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000                                 AS avg_qty,
+           FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000                            AS avg_price,
+           FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000                                 AS avg_disc,
            COUNT(*)                                                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -51,22 +51,17 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
+            (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_base_price"),
+            (F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor((F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                )) * 100 + F.lit(0.5)) / 100).alias("sum_charge"),
+            (F.floor((F.avg("l_quantity")) * 10000 + F.lit(0.5)) / 10000).alias("avg_qty"),
+            (F.floor((F.avg("l_extendedprice")) * 10000 + F.lit(0.5)) / 10000).alias("avg_price"),
+            (F.floor((F.avg("l_discount")) * 10000 + F.lit(0.5)) / 10000).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -77,10 +72,10 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     oracle="""
     SELECT COUNT(*)                          AS n_rows,
-           ROUND(SUM(l_quantity), 2)         AS sum_qty,
-           ROUND(AVG(l_extendedprice), 4)    AS avg_price,
-           ROUND(MIN(l_extendedprice), 2)    AS min_price,
-           ROUND(MAX(l_extendedprice), 2)    AS max_price,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100         AS sum_qty,
+           FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000    AS avg_price,
+           FLOOR((MIN(l_extendedprice)) * 100 + 0.5) / 100    AS min_price,
+           FLOOR((MAX(l_extendedprice)) * 100 + 0.5) / 100    AS max_price,
            COUNT(DISTINCT l_orderkey)        AS n_orders
     FROM lineitem
     """,
@@ -89,10 +84,10 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+        (F.floor((F.avg("l_extendedprice")) * 10000 + F.lit(0.5)) / 10000).alias("avg_price"),
+        (F.floor((F.min("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("min_price"),
+        (F.floor((F.max("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("max_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -121,7 +116,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            COUNT(DISTINCT l_partkey)   AS n_parts,
            COUNT(DISTINCT l_orderkey)  AS n_orders,
-           ROUND(SUM(l_quantity), 2)   AS sum_qty
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100   AS sum_qty
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -133,21 +128,21 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
     )
 
 
 @query(
     "agg_filtered",
     oracle="""
-    SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT FLOOR((SUM(CASE WHEN p.p_type = 'PROMO'
                           THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2)                        AS promo_revenue,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
-           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          ELSE 0 END)) * 100 + 0.5) / 100                        AS promo_revenue,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS total_revenue,
+           FLOOR((100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
                                   ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+                 / SUM(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000 AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1997-07-01'
@@ -166,9 +161,9 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_revenue"),
-            F.round(F.sum(revenue), 2).alias("total_revenue"),
-            F.round(100.0 * F.sum(promo) / F.sum(revenue), 4).alias("promo_pct"),
+            (F.floor((F.sum(promo)) * 100 + F.lit(0.5)) / 100).alias("promo_revenue"),
+            (F.floor((F.sum(revenue)) * 100 + F.lit(0.5)) / 100).alias("total_revenue"),
+            (F.floor((100.0 * F.sum(promo) / F.sum(revenue)) * 10000 + F.lit(0.5)) / 10000).alias("promo_pct"),
         )
     )
 
@@ -176,7 +171,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_having",
     oracle="""
-    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+    SELECT o_custkey, COUNT(*) AS n_orders, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) > 12
@@ -188,7 +183,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            (F.floor((F.sum("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("total_spent"),
         )
         .filter(F.col("n_orders") > 12)
     )
@@ -230,7 +225,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            l_linestatus,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -242,7 +237,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_price"),
             F.grouping_id().alias("gid"),
         )
         .withColumn("gid", F.col("gid").cast("long"))
@@ -255,7 +250,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -270,7 +265,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus,
                o_orderpriority,
                COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS sum_price
+               FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -281,10 +276,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
-           ROUND(VAR_SAMP(l_quantity), 4)         AS var_qty,
-           ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_pq,
-           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar_pq
+           FLOOR((STDDEV_SAMP(l_extendedprice)) * 10000 + 0.5) / 10000 AS sd_price,
+           FLOOR((VAR_SAMP(l_quantity)) * 10000 + 0.5) / 10000         AS var_qty,
+           FLOOR((CORR(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS corr_pq,
+           FLOOR((COVAR_SAMP(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS covar_pq
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -292,10 +287,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+        (F.floor((F.stddev_samp("l_extendedprice")) * 10000 + F.lit(0.5)) / 10000).alias("sd_price"),
+        (F.floor((F.var_samp("l_quantity")) * 10000 + F.lit(0.5)) / 10000).alias("var_qty"),
+        (F.floor((F.corr("l_extendedprice", "l_quantity")) * 10000 + F.lit(0.5)) / 10000).alias("corr_pq"),
+        (F.floor((F.covar_samp("l_extendedprice", "l_quantity")) * 10000 + F.lit(0.5)) / 10000).alias("covar_pq"),
     )
 
 
@@ -303,10 +298,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(MEDIAN(o_totalprice), 4)                          AS med_price,
-           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
-           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p75,
-           ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p95
+           FLOOR((MEDIAN(o_totalprice)) * 10000 + 0.5) / 10000                          AS med_price,
+           FLOOR((PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p25,
+           FLOOR((PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p75,
+           FLOOR((PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p95
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -314,10 +309,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("med_price"),
-        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
-        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+        (F.floor((F.percentile("o_totalprice", 0.5)) * 10000 + F.lit(0.5)) / 10000).alias("med_price"),
+        (F.floor((F.percentile("o_totalprice", 0.25)) * 10000 + F.lit(0.5)) / 10000).alias("p25"),
+        (F.floor((F.percentile("o_totalprice", 0.75)) * 10000 + F.lit(0.5)) / 10000).alias("p75"),
+        (F.floor((F.percentile("o_totalprice", 0.95)) * 10000 + F.lit(0.5)) / 10000).alias("p95"),
     )
 
 
@@ -327,8 +322,8 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sort-based percentile would be a full shuffle of the column."""
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("med_approx"),
-        F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 4).alias("p95_approx"),
+        (F.floor((F.percentile_approx("o_totalprice", 0.5, 10000)) * 10000 + F.lit(0.5)) / 10000).alias("med_approx"),
+        (F.floor((F.percentile_approx("o_totalprice", 0.95, 10000)) * 10000 + F.lit(0.5)) / 10000).alias("p95_approx"),
     )
 
 
@@ -400,7 +395,7 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest_customer,
            MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest_customer,
-           ROUND(MAX(c_acctbal), 2) AS max_bal
+           FLOOR((MAX(c_acctbal)) * 100 + 0.5) / 100 AS max_bal
     FROM ranked
     GROUP BY c_mktsegment
     """,
@@ -412,7 +407,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest_customer"),
         F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest_customer"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        (F.floor((F.max("c_acctbal")) * 100 + F.lit(0.5)) / 100).alias("max_bal"),
     )
 
 
@@ -450,7 +445,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(LEAST(FLOOR(value / 35.0), 9) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -461,5 +456,5 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(F.floor(F.col("value") / 35.0), F.lit(9)).cast("long")
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sum_value"),
     )

@@ -153,7 +153,7 @@ def _scratch_dir(name: str) -> str:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
     FROM lineitem
     WHERE l_orderkey % 10 = 0
     GROUP BY l_returnflag, l_linestatus
@@ -177,7 +177,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
     )
 
 
@@ -226,7 +226,7 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_parquet_partitioned",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    SELECT o_orderstatus, COUNT(*) AS n, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -240,7 +240,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (F.floor((F.sum("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("sum_price"),
     )
 
 

@@ -209,7 +209,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_nulls_order",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END AS bal_or_null
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE FLOOR((c_acctbal) * 100 + 0.5) / 100 END AS bal_or_null
     FROM customer
     ORDER BY bal_or_null ASC NULLS FIRST, c_custkey ASC
     LIMIT 100
@@ -217,7 +217,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2))
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise((F.floor((F.col("c_acctbal")) * 100 + F.lit(0.5)) / 100))
     return (
         c.select("c_custkey", bal.alias("bal_or_null"))
         .orderBy(F.asc_nulls_first("bal_or_null"), F.asc("c_custkey"))
@@ -228,7 +228,7 @@ def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "limit_topk",
     oracle="""
-    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 100 + 0.5) / 100 AS total_price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 20
@@ -239,7 +239,7 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the driver — no global sort, the right top-k plan at any scale.
     o = load(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+        o.select("o_orderkey", "o_custkey", (F.floor((F.col("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("total_price"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
@@ -250,7 +250,7 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
     FROM lineitem
     WHERE l_orderkey % 20 = 0
     GROUP BY l_returnflag
@@ -265,7 +265,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_price"),
         )
     )
 
