@@ -33,9 +33,6 @@ TABLES = [
     "embeddings",
 ]
 
-_CONFIGURED: set[int] = set()
-
-
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable session tuning.
 
@@ -45,15 +42,18 @@ def configure(spark: SparkSession) -> SparkSession:
     - UTC session timezone: keeps collected timestamps equal to the stored
       wall-clock values DuckDB returns.
     - AQE + Arrow on; these are Spark-4 defaults but pinned defensively.
+
+    Idempotence is probed from the session's own conf, NOT an id(spark)
+    cache: CPython reuses id() after GC, so a fresh session could alias a
+    dead one's cache entry and silently skip the nanosAsLong fix
+    (ADVICE r2 #3 — same defect class as register_views).
     """
-    key = id(spark)
-    if key in _CONFIGURED:
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == "true":
         return spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    _CONFIGURED.add(key)
     return spark
 
 
@@ -67,21 +67,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-_REGISTERED: set[tuple[int, str]] = set()
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views named exactly like the driver's DuckDB oracle views.
 
-    Cached per (session, sf_dir): re-registration re-reads all 10 parquet
-    footers, a pointless metadata cost when called per-query.
+    Idempotence marker lives IN the session conf (not a Python-side
+    id(spark) cache — CPython reuses id() after GC, so a later session
+    could alias a dead session's entry and silently skip registration,
+    ADVICE r2 #3).  The marker stores the registered sf_dir, so switching
+    scale factors re-registers instead of serving stale views.
     """
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _REGISTERED:
+    marker = "spark.graft.registered_sf_dir"
+    if spark.conf.get(marker, None) == sf_dir:
         return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    _REGISTERED.add(cache_key)
+    spark.conf.set(marker, sf_dir)
 
 
 # ---------------------------------------------------------------------------

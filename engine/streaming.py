@@ -39,6 +39,25 @@ def _scratch(name: str) -> str:
 _STAGED: dict[str, str] = {}
 
 
+_PHASE_EPOCH = 1_600_000_000  # fixed base for explicit phase mtimes
+
+
+def _stamp_phase(src: str, phase: int, stamped: set[str]) -> None:
+    """Pin a monotone mtime on each not-yet-stamped file under ``src``.
+
+    The file source replays oldest-mtime-first; phase writes land
+    milliseconds apart, so tie/granularity reordering could deliver the
+    'late' batch early and make watermark semantics nondeterministic
+    (ADVICE r2 #4).  An explicit utime per phase removes the race.
+    """
+    t = _PHASE_EPOCH + phase * 1000
+    for name in os.listdir(src):
+        p = os.path.join(src, name)
+        if p not in stamped and os.path.isfile(p):
+            os.utime(p, (t, t))
+            stamped.add(p)
+
+
 def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Copy the events table into a scratch *directory* (the streaming
     file source requires a directory, and the corpus ships single files;
@@ -126,16 +145,19 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter = (hi - lo) // 4 + 1
     src = _scratch("watermark_late")
     us = F.unix_micros(F.col("ts"))
+    stamped: set[str] = set()
     for i in range(3):  # three in-order phases cover the full range
         phase_lo = lo + i * quarter
         phase_hi = lo + (i + 1) * quarter + (quarter * 2 if i == 2 else 0)
         ev.filter((us >= phase_lo) & (us < phase_hi)).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        _stamp_phase(src, i, stamped)
     # late phase: first-quarter events replayed with new ids
     ev.filter(us < lo + quarter).withColumn(
         "event_id", F.col("event_id") + 1_000_000
     ).coalesce(1).write.mode("append").parquet(src)
+    _stamp_phase(src, 3, stamped)
 
     agg = (
         _events_stream(spark, src, max_files_per_trigger=1)

@@ -80,6 +80,31 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_no_unpartitioned_window_over_unbounded_input():
+    # A Window.orderBy with no partitionBy single-partition-sorts its
+    # whole input — a straggler at 100 TB unless the input is a bounded
+    # aggregate.  Allow-list the two sites whose inputs are provably
+    # bounded (daily rollup: one row per calendar day; acctbal bucket
+    # histogram: one row per currency unit in the domain); anything new
+    # must justify itself here.
+    import pathlib
+
+    allowed = {
+        ("windows.py", "win_moving_avg"),
+        ("joins.py", "join_existence_subquery"),
+    }
+    found = set()
+    for p in pathlib.Path("engine").glob("*.py"):
+        src = p.read_text()
+        fn = None
+        for line in src.splitlines():
+            if line.startswith("def "):
+                fn = line[4:].split("(")[0]
+            if "Window.orderBy" in line:
+                found.add((p.name, fn))
+    assert found <= allowed, f"new unpartitioned Window sites: {found - allowed}"
+
+
 def test_no_driver_side_collect_in_engine_source():
     # Operators must stay distributed: no .collect()/.toPandas()/RDD use
     # anywhere in engine source (bench/test code may collect).
