@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     verified = set(_R2_DRIVER_VERIFIED)
     unreached = [k for k in engine.QUERIES if k not in verified]
+    # Oracle-checked keys first: if the driver's verify loop is
+    # time-budgeted, the strong (hash-compared) checks land before the
+    # weaker rows-only ones.
+    unreached.sort(key=lambda k: k in engine.ROWS_ONLY)
     reached = [k for k in _R2_DRIVER_VERIFIED if k in engine.QUERIES]
     return {k: engine.QUERIES[k] for k in (*unreached, *reached)}
 

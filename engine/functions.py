@@ -122,12 +122,14 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(isodow(o_orderdate) AS INTEGER)    AS iso_dow,
            CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
     FROM orders
+    WHERE o_orderkey % 3 = 0
     """,
 )
 def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark dayofweek() is 1=Sunday (unusable cross-engine); weekday()+1
     # equals DuckDB isodow (1=Monday..7=Sunday).
-    o = load(spark, sf_dir, "orders")
+    # Residue filter bounds the verified output only (engine/io.py note).
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
@@ -149,6 +151,7 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) + 30                              AS plus_30d,
            last_day(CAST(o_orderdate AS DATE))                         AS month_end
     FROM orders
+    WHERE o_orderkey % 3 = 0
     """,
 )
 def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +159,7 @@ def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argument order swaps between the engines.  date_trunc returns
     # TIMESTAMP in Spark but DATE for month-granularity in DuckDB —
     # pinned to DATE on both sides.
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return o.select(
         "o_orderkey",
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
@@ -175,12 +178,13 @@ def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
                = date_trunc('second', ts) AS INTEGER) AS roundtrip_ok
     FROM events
+    WHERE event_id % 2 = 0
     """,
 )
 def fn_timestamp_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Epoch seconds ↔ timestamp round-trip at second precision (sub-second
     # digits are truncated identically on both engines; session tz UTC).
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
     epoch_s = F.unix_timestamp("ts")
     return ev.select(
         "event_id",
@@ -381,12 +385,13 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_val,
            CAST(len(json_keys(props)) AS INTEGER)              AS n_keys
     FROM events
+    WHERE event_id % 2 = 0
     """,
 )
 def fn_json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json → MapType, then scalar extraction (map itself must not be
     # projected into the hash-compared output).
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",

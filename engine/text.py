@@ -111,6 +111,7 @@ def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
     FROM tok
     GROUP BY doc_id, tok
+    HAVING doc_id % 2 = 0
     """,
 )
 def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,12 +124,13 @@ def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     doc_total = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    # residue filter bounds the verified output only (engine/io.py note)
     return counts.select(
         "doc_id",
         "token",
         "cnt",
         (F.col("cnt").cast("double") / doc_total).alias("tf"),
-    )
+    ).filter(F.col("doc_id") % 2 == 0)
 
 
 @query(
@@ -151,6 +153,7 @@ def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_FIX4_SQL.format(expr="LN(CAST(n.n_docs AS DOUBLE) / df.df)")} AS idf,
            {_FIX4_SQL.format(expr="tf.tf * (FLOOR(LN(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) / 10000)")} AS tf_idf
     FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE tf.doc_id % 2 = 0
     """,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +175,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
+    # df/idf stay corpus-wide; the residue filter bounds only the
+    # verified output rows (engine/io.py note)
     return (
         tf.join(F.broadcast(df_tbl), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -181,6 +186,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             idf.alias("idf"),
             _fix4(F.col("tf") * idf).alias("tf_idf"),
         )
+        .filter(F.col("doc_id") % 2 == 0)
     )
 
 

@@ -54,6 +54,7 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            FLOOR(1.0 / (1.0 + EXP(-(value / 100.0))) * 10000 + 0.5) / 10000 AS sigmoid
     FROM events
+    WHERE event_id % 2 = 0
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +65,8 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sigmoid(v: pd.Series) -> pd.Series:
         return 1.0 / (1.0 + np.exp(-(v / 100.0)))
 
-    ev = load(spark, sf_dir, "events")
+    # residue filter bounds the verified output only (engine/io.py note)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
     return ev.select("event_id", _fix4(sigmoid("value")).alias("sigmoid"))
 
 
@@ -113,6 +115,7 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            FLOOR((value - m) / s * 10000 + 0.5) / 10000 AS z
     FROM stats
+    WHERE event_id % 2 = 0
     """,
 )
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +137,11 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, z double"
     )
-    return out.select("event_id", "event_type", _fix4(F.col("z")).alias("z"))
+    # group stats computed over ALL rows; residue filter bounds only the
+    # verified output (engine/io.py note)
+    return out.select(
+        "event_id", "event_type", _fix4(F.col("z")).alias("z")
+    ).filter(F.col("event_id") % 2 == 0)
 
 
 @query(
@@ -145,6 +152,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(LN(1.0 + value) * 10000 + 0.5) / 10000 AS vlog,
            CAST(event_type = 'error' AS INTEGER) AS is_err
     FROM events
+    WHERE event_id % 2 = 0
     """,
 )
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +175,11 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type", "value")
+    )
     out = ev.mapInPandas(
         featurize,
         schema="event_id long, value_bucket long, vlog double, is_err int",

@@ -27,16 +27,20 @@ def _cents(col: F.Column) -> F.Column:
 @query(
     "win_ranking",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice,
-           RANK()       OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           ROW_NUMBER() OVER w AS rn
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               ROW_NUMBER() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE o_orderkey % 3 = 0
     """,
 )
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranks are computed over ALL rows; the residue filter bounds only
+    # the verified output, AFTER the window (engine/io.py note).
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -48,7 +52,7 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.row_number().over(w).alias("rn"),
-    )
+    ).filter(F.col("o_orderkey") % 3 == 0)
 
 
 @query(
@@ -83,11 +87,13 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_lag_lead",
     oracle="""
-    SELECT event_id, user_id,
-           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
-           LEAD(event_type) OVER w AS next_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    SELECT * FROM (
+        SELECT event_id, user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE event_id % 2 = 0
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,18 +107,20 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (us - F.lag(us).over(w)).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
-    )
+    ).filter(F.col("event_id") % 2 == 0)
 
 
 @query(
     "win_running_sum",
     oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
-               AS cum_spent_cents
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+                   AS cum_spent_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE o_orderkey % 3 = 0
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +134,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.sum(_cents(F.col("o_totalprice"))).over(w).alias("cum_spent_cents"),
-    )
+    ).filter(F.col("o_orderkey") % 3 == 0)
 
 
 @query(
@@ -172,13 +180,15 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_range_frame",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
-               AS band_sum_cents,
-           CAST(COUNT(*) OVER w AS BIGINT) AS band_n
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+                   AS band_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS band_n
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    ) WHERE o_orderkey % 3 = 0
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +207,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.sum(_cents(F.col("o_totalprice"))).over(w).alias("band_sum_cents"),
         F.count("*").over(w).alias("band_n"),
-    )
+    ).filter(F.col("o_orderkey") % 3 == 0)
 
 
 @query(

@@ -24,7 +24,10 @@ def _plan(spark, key: str, executed: bool = False) -> str:
 
 def test_scan_predicate_pushdown_reaches_parquet(spark):
     plan = _plan(spark, "scan_predicate_pushdown")
-    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # The range predicate must reach the parquet scan (order within the
+    # PushedFilters list varies with the added residue filter).
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
 
 
 def test_scan_project_prune_reads_three_columns(spark):
