@@ -154,6 +154,59 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_session_native",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id % 2 = 0
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) + {_GAP_US} AS BIGINT) AS window_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def evt_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` in batch mode (VERDICT r2
+    "missing" #3 noted only the lag+cumsum idiom was exercised).
+
+    Dialect pin for the oracle twin: session_window merges an event into
+    the open window iff ts < prev_end = prev_ts + gap, i.e. it SPLITS on
+    gap >= 30 min (strict-less merge) — the lag+cumsum oracle therefore
+    flags ``gap >= GAP`` (the batch idiom key evt_session_window uses
+    ``gap > GAP``, a deliberate boundary difference).  The merged window
+    end is last-event ts + gap.  Same user-residue output bound as
+    evt_session_window.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 2 == 0)
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "evt_funnel",
     oracle="""
     WITH s AS (

@@ -127,6 +127,31 @@ def stream_smoke_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_session_window", oracle=None)  # rows-only: streaming mode
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` as a STATEFUL streaming agg:
+    file-source replay → per-user session windows (30-min gap) →
+    complete-mode memory sink.  Session state merges windows across
+    microbatches on the executors — the canonical dynamic-gap stateful
+    operator.  After the availableNow drain the sink must equal the
+    batch twin ``evt_session_native`` exactly (tests/test_streaming.py).
+    """
+    src = _stage_events_dir(spark, sf_dir)
+    sdf = _events_stream(spark, src).filter(F.col("user_id") % 2 == 0)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    qname = _run_to_memory(agg, "complete", "session_window")
+    return spark.table(qname).select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("start_us"),
+        F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        "n_events",
+    )
+
+
 @query("stream_watermark_late", oracle=None)  # rows-only: streaming mode
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics on a 4-phase replay: three time-ordered batches

@@ -21,6 +21,15 @@ def test_stream_smoke_tumbling_equals_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_session_window_equals_batch(spark):
+    # Native session_window: streaming state-merged sessions must equal
+    # the batch twin exactly (complete mode + availableNow full drain).
+    stream = engine.QUERIES["stream_session_window"](spark, SF_DIR)
+    batch = engine.QUERIES["evt_session_native"](spark, SF_DIR)
+    cols = ["user_id", "start_us", "window_end_us", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_stream_watermark_late_drops_late_rows(spark):
     emitted = {
         (r.hour_start, r.n)
