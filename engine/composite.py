@@ -1,0 +1,178 @@
+"""Composite analytic workloads (beyond SURVEY.md §2, round 3).
+
+End-to-end TPC-H-shaped queries — multi-join + aggregate + top-k in one
+plan — plus a mergeable-sketch key.  The single-operator keys prove each
+primitive; these prove the primitives COMPOSE the way a real reporting
+workload uses them, and they give the bench per-plan anchors where join
+order / broadcast choices actually matter.
+
+Reference parity note: the reference repo (/root/reference,
+README.md:1-2) has no code; shapes follow the public TPC-H spec (Q3/Q5),
+adapted to the driver corpus schema (no shippriority column; synthetic
+NATION_*/region names; dates 1995-2001).
+
+100 TB notes: both composite plans keep every dim-side join broadcast
+(region/nation/customer/supplier are the small sides) so only the
+orders⋈lineitem fact join shuffles; revenue is summed in exact integer
+cents (map-side partial agg, no float drift); the top-k compiles to
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents of a money double (deterministic both engines)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "tpch_q3_top_orders",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top orders): segment-filtered
+    customers ⋈ orders ⋈ lineitem, revenue per open order, top 10.
+
+    Plan shape that must survive 100 TB: the filtered customer dim
+    broadcasts into orders (no shuffle of the fact side for that join);
+    orders⋈lineitem shuffles on orderkey once; the LIMIT compiles to
+    TakeOrderedAndProject (pinned in tests/test_plans.py) with the unique
+    l_orderkey tiebreak making top-10 deterministic.
+    """
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(revenue).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS revenue_cents
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n.n_name ASC
+    """,
+)
+def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-table star — revenue by
+    nation where the supplier and the customer share the nation.
+
+    All five dim sides (region, nation, customer, supplier) broadcast;
+    the only shuffle joins orders⋈lineitem on orderkey and the final
+    5-row aggregate.  The s_nationkey = c_nationkey residual rides on
+    the supplier broadcast join.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+@query("agg_hll_partitioned_merge", oracle=None)  # rows-only: sketch binary
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB cardinality story.
+
+    Per-segment HLL sketches (Apache DataSketches via hll_sketch_agg) are
+    unioned with hll_union_agg into a global estimate WITHOUT re-scanning
+    the base table — the associativity that lets a 1000-executor cluster
+    (or a day-partitioned pipeline) maintain distinct counts by merging
+    per-partition sketches.  Output is long-form (segment, estimate) plus
+    a '_merged' row from the sketch union; tests/test_unit_semantics.py
+    bounds every estimate against the exact distinct count (HLL lgk=12
+    standard error ≈ 1.6%).
+
+    Rows-only: the sketch estimate is implementation-defined (DataSketches
+    HLL), not reproducible in DuckDB SQL.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_custkey"
+    )
+    sketches = seg.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_seg = sketches.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.hll_sketch_estimate("sk").alias("est_distinct_customers"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "est_distinct_customers"
+        )
+    ).select(F.lit("_merged").alias("segment"), "est_distinct_customers")
+    return per_seg.unionByName(merged)

@@ -138,6 +138,22 @@ def test_hot_paths_whole_stage_codegen(spark, key):
     assert "isFinalPlan=true" in plan and "*(" in plan
 
 
+def test_tpch_q3_takeordered_and_broadcasts(spark):
+    # Composite Q3: top-10 must compile to TakeOrderedAndProject (never a
+    # global sort), and the filtered customer dim must broadcast.
+    plan = _plan(spark, "tpch_q3_top_orders", executed=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q5_dims_broadcast(spark):
+    # Composite Q5: all dim-side joins broadcast — no sort-merge join at
+    # test scale (region/nation/customer/supplier are the small sides).
+    plan = _plan(spark, "tpch_q5_nation_revenue", executed=True)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
 def test_bigrams_single_scan_no_self_join(spark):
     # The indexed-transform bigram build must not plan the naive
     # positional self-join (one scan of documents, zero join operators).

@@ -141,6 +141,32 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
         assert jac == 1.0
 
 
+def test_hll_merge_tracks_exact_distinct_counts(spark):
+    """Per-segment HLL estimates and the sketch-union '_merged' estimate
+    must each land within 5% of the exact distinct count (lgk=12 standard
+    error ~1.6%; 5% = 3 sigma)."""
+    from engine.io import load
+    from pyspark.sql import functions as F
+
+    rows = engine.QUERIES["agg_hll_partitioned_merge"](spark, SF_DIR).collect()
+    est = {r.segment: r.est_distinct_customers for r in rows}
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(c, o.o_custkey == c.c_custkey)
+    exact = {
+        r.c_mktsegment: r.n
+        for r in seg.groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["_merged"] = seg.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= 0.05 * exact[k] + 2, (
+            f"{k}: est {est[k]} vs exact {exact[k]}"
+        )
+
+
 def test_minhash_lsh_recall_on_planted_pairs(spark):
     """Banded LSH must surface EVERY planted near-copy (d, d+100000).
 
