@@ -441,6 +441,41 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qty_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS price_cents
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price_cents' AS metric, price_cents AS val FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via native ``unpivot`` (the melt/stack inverse of
+    agg_pivot; round 3).  The reshape is a zero-shuffle per-row expansion
+    of the tiny aggregate — at 100 TB the pattern turns per-partition
+    metric columns into the long form a metrics store ingests."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias(
+            "qty_cents"
+        ),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("price_cents"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty_cents", "price_cents"], "metric", "val"
+    )
+
+
+@query(
     "agg_histogram",
     oracle="""
     SELECT CAST(LEAST(FLOOR(value / 35.0), 9) AS BIGINT) AS bucket,

@@ -539,3 +539,52 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_orders").alias("dim_val"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH fact AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 100 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    meta AS (
+        SELECT DISTINCT c_mktsegment AS seg,
+               'seg:' || c_mktsegment AS label
+        FROM customer
+        UNION ALL SELECT NULL, 'unknown'
+    )
+    SELECT f.c_custkey, f.seg, m.label
+    FROM fact f JOIN meta m ON f.seg IS NOT DISTINCT FROM m.seg
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (round 3): Spark ``eqNullSafe`` (<=>) ↔
+    SQL ``IS NOT DISTINCT FROM``.  Rows whose join key is NULL match the
+    dim's NULL sentinel row instead of silently dropping — the lookup
+    semantics a dimension with an 'unknown' member needs.  NULL keys all
+    hash to one value, so at scale a heavily-NULL fact side is a skew
+    key; here the NULL population is 1% of the dim (bounded by design).
+    """
+    c = load(spark, sf_dir, "customer")
+    fact = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    meta = (
+        c.select(F.col("c_mktsegment").alias("seg")).distinct()
+        .select("seg", F.concat(F.lit("seg:"), F.col("seg")).alias("label"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("string").alias("seg"),
+                F.lit("unknown").alias("label"),
+            )
+        )
+    )
+    return fact.join(
+        F.broadcast(meta), fact["seg"].eqNullSafe(meta["seg"])
+    ).select("c_custkey", fact["seg"].alias("seg"), "label")

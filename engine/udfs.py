@@ -225,3 +225,46 @@ def udtf_split_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped apply (round 3): ``applyInArrow`` hands each
+    group to Python as a pyarrow.Table — zero pandas materialization,
+    the cheapest Python boundary Spark offers.  The per-group math uses
+    pyarrow.compute kernels whose floor/multiply are the same IEEE ops
+    as the SQL oracle, so the result is hash-exact, not approximate.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(v, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sum_value_cents": pa.array(
+                    [pc.sum(cents).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        group_stats, schema="event_type string, n long, sum_value_cents long"
+    )
