@@ -36,7 +36,33 @@ def _scratch(name: str) -> str:
     return d
 
 
-_STAGED: dict[str, str] = {}
+def _staged_src(name: str, sf_dir: str, build) -> str:
+    """Build-once cache for deterministic staged SOURCE directories.
+
+    The phased replay fixtures (watermark phases, doubled events, split
+    halves) are pure functions of the immutable corpus — rebuilding them
+    on every invocation charged each stream key 1-4 Spark write jobs of
+    pure staging cost per bench/verify run.  A `_STAGING_DONE` marker
+    (written only after `build` completes, so partial stages are never
+    reused; `_`-prefixed files are invisible to the parquet file source)
+    makes staging once-per-corpus.  Sinks and checkpoints are NOT cached
+    — only inputs.
+    """
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(d, "_STAGING_DONE")
+    if os.path.exists(marker):
+        return d
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    build(d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
 
 
 _PHASE_EPOCH = 1_600_000_000  # fixed base for explicit phase mtimes
@@ -62,13 +88,13 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Copy the events table into a scratch *directory* (the streaming
     file source requires a directory, and the corpus ships single files;
     a production deployment would already have a partitioned directory).
-    The batch rewrite also bakes in the ns→µs timestamp normalization."""
-    if sf_dir in _STAGED:
-        return _STAGED[sf_dir]
-    dst = _scratch(f"src_{os.path.basename(os.path.normpath(sf_dir))}")
-    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(dst)
-    _STAGED[sf_dir] = dst
-    return dst
+    The batch rewrite also bakes in the ns→µs timestamp normalization.
+    Build-once per corpus via the `_STAGING_DONE` marker."""
+
+    def build(dst: str) -> None:
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(dst)
+
+    return _staged_src("src", sf_dir, build)
 
 
 def _events_stream(
@@ -164,25 +190,28 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed nothing.
     """
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    lo, hi = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).first()
-    quarter = (hi - lo) // 4 + 1
-    src = _scratch("watermark_late")
     us = F.unix_micros(F.col("ts"))
-    stamped: set[str] = set()
-    for i in range(3):  # three in-order phases cover the full range
-        phase_lo = lo + i * quarter
-        phase_hi = lo + (i + 1) * quarter + (quarter * 2 if i == 2 else 0)
-        ev.filter((us >= phase_lo) & (us < phase_hi)).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        _stamp_phase(src, i, stamped)
-    # late phase: first-quarter events replayed with new ids
-    ev.filter(us < lo + quarter).withColumn(
-        "event_id", F.col("event_id") + 1_000_000
-    ).coalesce(1).write.mode("append").parquet(src)
-    _stamp_phase(src, 3, stamped)
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        quarter = (hi - lo) // 4 + 1
+        stamped: set[str] = set()
+        for i in range(3):  # three in-order phases cover the full range
+            phase_lo = lo + i * quarter
+            phase_hi = lo + (i + 1) * quarter + (quarter * 2 if i == 2 else 0)
+            ev.filter((us >= phase_lo) & (us < phase_hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _stamp_phase(src, i, stamped)
+        # late phase: first-quarter events replayed with new ids
+        ev.filter(us < lo + quarter).withColumn(
+            "event_id", F.col("event_id") + 1_000_000
+        ).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 3, stamped)
+
+    src = _staged_src("watermark_late", sf_dir, build)
 
     agg = (
         _events_stream(spark, src, max_files_per_trigger=1)
@@ -212,9 +241,12 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     both copies arrive in one availableNow batch here, so the dedup is
     exhaustive and the expected count is exactly the distinct ids)."""
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    src = _scratch("dedup_state")
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def build(src: str) -> None:
+        ev.coalesce(1).write.mode("append").parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)
+
+    src = _staged_src("dedup_state", sf_dir, build)
 
     deduped = (
         _events_stream(spark, src)
@@ -277,14 +309,20 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    lo, hi = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).first()
-    mid = lo + (hi - lo) // 2
-    src = _scratch("stateful_counter")
-    us = F.unix_micros(F.col("ts"))
-    ev.filter(us <= mid).coalesce(1).write.mode("append").parquet(src)
-    ev.filter(us > mid).coalesce(1).write.mode("append").parquet(src)
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        mid = lo + (hi - lo) // 2
+        us = F.unix_micros(F.col("ts"))
+        stamped: set[str] = set()
+        ev.filter(us <= mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 0, stamped)
+        ev.filter(us > mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 1, stamped)
+
+    src = _staged_src("stateful_counter", sf_dir, build)
 
     def count_events(key, pdfs, state: GroupState):
         total = state.get[0] if state.exists else 0
