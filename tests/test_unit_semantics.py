@@ -185,6 +185,78 @@ def test_minhash_lsh_recall_on_planted_pairs(spark):
     assert all(r.jaccard >= 0.5 for r in rows)
 
 
+def test_simhash_recall_on_planted_pairs(spark):
+    """32-bit banded SimHash (hamming<=3 gate) recalls most planted
+    near-copies; the docstring's measured figure is 438/500 — pin a
+    floor well under it so hash/band regressions (e.g. a degenerate
+    signature) trip the test without making it flaky."""
+    rows = engine.QUERIES["dedup_simhash"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    recall = sum((d, d + 100_000) in pairs for d in range(500))
+    assert recall >= 400, f"simhash recall collapsed: {recall}/500"
+    assert all(r.hamming <= 3 for r in rows)
+
+
+def test_ann_recall_vs_exact_knn(spark):
+    """Both ANN variants must recover most of the exact top-k neighbor
+    sets (deterministic — fixed projections/centroids, no RNG).  Floors
+    pinned under the measured values so a degenerate bucketing (e.g. all
+    vectors in one bucket, or empty probes) trips the test."""
+    def nbrs(key):
+        out = {}
+        for r in engine.QUERIES[key](spark, SF_DIR).collect():
+            out.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = nbrs("sim_knn_topk")
+    for key, floor in [("sim_ann_lsh_topk", 0.5), ("sim_ivf_topk", 0.5)]:
+        approx = nbrs(key)
+        assert set(approx) == set(exact), f"{key}: query set mismatch"
+        hits = sum(len(approx[q] & exact[q]) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        assert hits / total >= floor, f"{key}: recall {hits}/{total}"
+
+
+def test_approx_aggs_track_exact(spark):
+    """Rows-only approx keys get semantic floors: percentile_approx with
+    accuracy=10000 must land within 1% of the exact percentile;
+    approx_count_distinct (HLL++, rsd default 5%) within 10% of exact."""
+    from engine.io import load
+    from pyspark.sql import functions as F
+
+    aq = {
+        r.o_orderstatus: (r.med_approx, r.p95_approx)
+        for r in engine.QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.med, r.p95)
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("med"),
+            F.percentile("o_totalprice", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for got, want in zip(aq[k], exact[k]):
+            assert abs(got - want) <= 0.01 * want, f"{k}: {got} vs {want}"
+
+    ad = {
+        r.event_type: r.n_users_approx
+        for r in engine.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    ex = {
+        r.event_type: r.n
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in ex:
+        assert abs(ad[k] - ex[k]) <= 0.10 * ex[k] + 2, f"{k}: {ad[k]} vs {ex[k]}"
+
+
 def test_connected_components_cluster_planted_dups(spark):
     rows = engine.QUERIES["dedup_connected_components"](spark, SF_DIR).collect()
     comp = {r.doc_id: r.component_id for r in rows}
