@@ -83,6 +83,17 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_registry_consistency():
+    # Every key is either oracle-checked or rows-only, never both/neither,
+    # and the driver shim serves exactly the registry.
+    import __spark_entry__ as entry
+
+    assert set(engine.ORACLES) | engine.ROWS_ONLY == set(engine.QUERIES)
+    assert not (set(engine.ORACLES) & engine.ROWS_ONLY)
+    assert set(entry.queries()) == set(engine.QUERIES)
+    assert entry.oracle_sql() == engine.ORACLES
+
+
 def test_no_unpartitioned_window_over_unbounded_input():
     # A Window.orderBy with no partitionBy single-partition-sorts its
     # whole input — a straggler at 100 TB unless the input is a bounded
