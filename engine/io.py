@@ -200,6 +200,57 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(o_orderpriority) AS n_with_priority,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+    FROM unioned
+    GROUP BY o_orderstatus
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (round 3): two parquet batches written
+    with DIFFERENT schemas (a later batch adds o_orderpriority), read
+    back as one dataset with ``mergeSchema`` — the old batch's missing
+    column surfaces as NULLs.  This is the daily reality of a 100 TB
+    ingest directory: producers add columns; consumers must keep reading
+    the union without rewriting history.  Footer-merge cost scales with
+    file count, so production pins the merged schema in a catalog —
+    noted here, exercised via the on-read path."""
+    o = load(spark, sf_dir, "orders")
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    path = _scratch_dir("schema_evolution")
+    # batch 1: original schema (no priority column)
+    o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", price_cents.alias("price_cents")
+    ).write.mode("overwrite").parquet(path)
+    # batch 2: evolved schema (+ o_orderpriority), appended
+    o.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey", "o_orderstatus", price_cents.alias("price_cents"),
+        "o_orderpriority",
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+@query(
     "source_json_lines",
     oracle="""
     SELECT event_type,
