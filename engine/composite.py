@@ -20,7 +20,7 @@ TakeOrderedAndProject, never a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import query
@@ -176,3 +176,77 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("_merged").alias("segment"), "est_distinct_customers")
     return per_seg.unionByName(merged)
+
+
+@query("pipeline_corpus_clean", oracle=None)  # rows-only: MinHash stage
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the north-star pipeline
+    (BASELINE.json:6) as ONE composed plan:
+
+        quality gate → exact dedup → MinHash near-dup removal
+
+    The input corpus plants one failure mode per stage: byte-identical
+    copies at doc_id+200000 (exact stage), near-copies with 2 appended
+    tokens at +100000 (MinHash stage), and 2-token junk docs at +300000
+    (quality gate).  Output labels EVERY input doc with its fate —
+    kept / low_quality / exact_dup / near_dup — the audit trail a data
+    curation run must emit (you never silently drop training data).
+
+    100 TB shape: the quality gate is a per-row filter (no shuffle);
+    exact dedup shuffles md5 fingerprints (16 bytes), not text; the
+    near-dup stage is the bucketed banded-LSH of
+    engine.dedup.minhash_near_pairs — no all-pairs join anywhere.
+    Drop policy is keep-lowest-doc_id (deterministic); near-dup removal
+    drops the greater member of each verified pair.
+    """
+    from engine.dedup import minhash_near_pairs
+    from engine.text import _tokens
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = (
+        d.unionByName(
+            d.select(
+                (F.col("doc_id") + 100_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 300_000).alias("doc_id"),
+                F.lit("zz spam").alias("text"),
+            )
+        )
+    )
+
+    # Stage 1 — quality gate: ≥ 5 tokens (per-row, no shuffle).
+    n_toks = F.size(_tokens(F.col("text")))
+    gated = raw.withColumn("lowq", n_toks < 5)
+    low_quality = gated.filter("lowq").select(
+        "doc_id", F.lit("low_quality").alias("status")
+    )
+    after_q = gated.filter(~F.col("lowq")).select("doc_id", "text")
+
+    # Stage 2 — exact dedup on md5 fingerprint, keep lowest doc_id.
+    fp = after_q.withColumn("fp", F.md5("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    exact_dup = ranked.filter(F.col("rn") > 1).select(
+        "doc_id", F.lit("exact_dup").alias("status")
+    )
+    uniq = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+
+    # Stage 3 — near-dup removal via banded MinHash-LSH + exact-Jaccard
+    # verify; drop the greater member of each pair.
+    pairs = minhash_near_pairs(uniq)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near_dup = uniq.join(drop, "doc_id", "left_semi").select(
+        "doc_id", F.lit("near_dup").alias("status")
+    )
+    kept = uniq.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.lit("kept").alias("status")
+    )
+
+    return kept.unionByName(near_dup).unionByName(exact_dup).unionByName(low_quality)

@@ -117,31 +117,22 @@ _N_HASHES = 16
 _BAND_SIZE = 4  # → 4 bands of 4 hashes
 
 
-@query("dedup_minhash_near", oracle=None)  # rows-only: xxhash64 ≠ any DuckDB fn
-def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via k-shingle MinHash + LSH banding (rows-only key;
-    Spark's xxhash64 isn't reproducible in DuckDB SQL).
+def minhash_near_pairs(corpus: DataFrame) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) over a (doc_id, text)
+    corpus via k-shingle MinHash + LSH banding.
 
-    Pipeline (every step a DataFrame op, deterministic seeds, no RNG):
+    Shared engine primitive: backs the ``dedup_minhash_near`` key and the
+    ``pipeline_corpus_clean`` composite.  Every step is a DataFrame op
+    with deterministic seeds (no RNG):
       1. 3-word shingles per doc (indexed ``transform`` — per-row, no
          shuffle);
-      2. 16 min-hashes per doc: h_i = min over shingles of
-         xxhash64(i || shingle) — explode + groupBy(doc);
+      2. 16 min-hashes per doc from one xxhash64 via a mod-P universal
+         family — columnar min reduction, no 16× explosion;
       3. 4 band keys per doc = xxhash64 of 4 consecutive min-hashes;
       4. candidate pairs = docs sharing a band key (self-join on the
          band key — bucket-local, never all-pairs);
       5. exact shingle-Jaccard verification on candidates only.
-
-    The duplicated corpus appends near-copies (2 extra tokens) at
-    doc_id+100000; they must surface as (d, d+100000) pairs.
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.select(
-            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
-        )
-    )
     toks = _tokens(F.col("text"))
     shingles = F.array_distinct(
         F.transform(
@@ -259,6 +250,26 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query("dedup_minhash_near", oracle=None)  # rows-only: xxhash64 ≠ any DuckDB fn
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the planted-duplicate corpus — see
+    :func:`minhash_near_pairs` for the banded-LSH pipeline (rows-only
+    key; Spark's xxhash64 isn't reproducible in DuckDB SQL).
+
+    The duplicated corpus appends near-copies (2 extra tokens) at
+    doc_id+100000; all 500 must surface as (d, d+100000) pairs
+    (tests/test_unit_semantics.py recall assertion).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    return minhash_near_pairs(corpus)
 
 
 @query(

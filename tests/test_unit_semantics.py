@@ -262,6 +262,24 @@ def test_approx_aggs_track_exact(spark):
         assert abs(ad[k] - ex[k]) <= 0.10 * ex[k] + 2, f"{k}: {ad[k]} vs {ex[k]}"
 
 
+def test_pipeline_corpus_clean_stage_attribution(spark):
+    """Each planted failure mode must be caught by ITS stage: +300000
+    junk docs → low_quality, +200000 byte copies → exact_dup, +100000
+    near-copies → near_dup; originals are only ever kept or (for the
+    organic near-dup pairs inside the corpus) near_dup — never dropped
+    by the wrong stage."""
+    rows = engine.QUERIES["pipeline_corpus_clean"](spark, SF_DIR).collect()
+    status = {r.doc_id: r.status for r in rows}
+    originals = [d for d in status if d < 100_000]
+    assert len(status) == 4 * len(originals)  # every input doc labeled
+    assert all(status[d + 300_000] == "low_quality" for d in originals)
+    assert all(status[d + 200_000] == "exact_dup" for d in originals)
+    assert all(status[d + 100_000] == "near_dup" for d in originals)
+    assert all(status[d] in ("kept", "near_dup") for d in originals)
+    kept = sum(status[d] == "kept" for d in originals)
+    assert kept >= 0.75 * len(originals), f"only {kept} originals kept"
+
+
 def test_connected_components_cluster_planted_dups(spark):
     rows = engine.QUERIES["dedup_connected_components"](spark, SF_DIR).collect()
     comp = {r.doc_id: r.component_id for r in rows}
