@@ -250,3 +250,68 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kept.unionByName(near_dup).unionByName(exact_dup).unionByName(low_quality)
+
+
+@query(
+    "pack_concat_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS start_off
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / 512.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, chunk_id
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, pretraining style: concatenate each source's
+    documents in doc_id order into one token stream and cut it into
+    fixed 512-token context chunks; a document belongs to the chunk its
+    FIRST token lands in.  Output is the packing manifest per (source,
+    chunk): how many docs start there, their token mass, and the doc-id
+    span — what a dataloader needs to seek into the stream.
+
+    Scale design: the running offset is a window cumsum partitioned by
+    source — at 100 TB the stratum is (source, date-shard) so no single
+    partition holds a whole source; the chunk assignment itself is
+    embarrassingly parallel arithmetic on the offset, and the manifest
+    agg is map-side-combinable.  No join, one shuffle for the window,
+    one for the agg."""
+    d = load(spark, sf_dir, "documents")
+    from engine.text import _tokens
+
+    t = d.select("doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.withColumn(
+            "chunk_id", F.floor(F.col("start_off") / F.lit(512.0)).cast("long")
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

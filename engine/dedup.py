@@ -133,7 +133,11 @@ def minhash_near_pairs(corpus: DataFrame) -> DataFrame:
          band key — bucket-local, never all-pairs);
       5. exact shingle-Jaccard verification on candidates only.
     """
-    toks = _tokens(F.col("text"))
+    # ``toks`` must be a materialized column, not the _tokens(text)
+    # expression tree: element_at re-evaluates its argument subtree per
+    # lambda element, so an inlined split() re-tokenizes the doc for
+    # every shingle — O(n²) per doc (measured 8× at sf0.1).
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
             F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -149,10 +153,16 @@ def minhash_near_pairs(corpus: DataFrame) -> DataFrame:
     # ~6×, joins compare longs, and hashed-set Jaccard equals exact
     # shingle Jaccard up to a ~2^-40 collision probability.  At cluster
     # scale this is the stage you'd checkpoint.
-    doc_shingle = corpus.select(
-        "doc_id",
-        F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("shingle"),
-    ).persist()
+    doc_shingle = (
+        corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias(
+                "shingle"
+            ),
+        )
+        .persist()
+    )
 
     # 16 hash-family members derived from ONE xxhash64 via universal
     # hashing h_i = (a_i·h + b_i) mod P, P = 2^31−1 (Mersenne prime):
@@ -377,7 +387,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
         )
     )
-    toks = _tokens(F.col("text"))
+    # Materialized token column, not the _tokens(text) tree — see the
+    # O(n²) element_at note in minhash_near_pairs above.
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
             F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -388,7 +400,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Explode pre-hashed shingles (longs, not strings) — the exploded
     # relation and the groupBy shuffle carry 8 bytes per feature.
-    tok = corpus.select(
+    tok = corpus.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
         "doc_id",
         F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("token"),
     )

@@ -340,3 +340,76 @@ def evt_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n
         ).alias("error_ratio"),
     )
+
+
+@query(
+    "evt_anomaly_mad",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(vc, 0.5) AS med_cents
+        FROM e GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, ABS(vc - med_cents) AS dev, med_cents
+        FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           MIN(d.med_cents) AS med_cents,
+           MIN(mad.mad_cents) AS mad_cents
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment outlier detection: median + MAD (median
+    absolute deviation) of event value per event_type; an event is
+    anomalous when |v − median| > 3·MAD.  Unlike mean/stddev, the
+    estimator doesn't move when the outliers it hunts contaminate it.
+
+    Hash-safety: values enter as exact integer cents, so both engines'
+    percentile interpolation lands on exact quarter-integers (lo +
+    (hi−lo)·0.5 over ints/half-ints) — med, MAD, and the 3·MAD
+    comparison are bit-identical IEEE, never a rounding lottery.
+
+    Scale design: two grouped exact percentiles + broadcast joins of the
+    tiny per-type stats dim back onto the fact.  Exact percentile sorts
+    within each type; at 100 TB swap `percentile` for
+    `approx_percentile(…, 10000)` (documented accuracy knob) — the
+    outlier COUNT tolerates a quantile within ±ε, the contract shape
+    doesn't change."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("vc", 0.5).alias("med_cents")
+    )
+    withdev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("vc") - F.col("med_cents"))
+    )
+    mad = withdev.groupBy("event_type").agg(
+        F.percentile("dev", 0.5).alias("mad_cents")
+    )
+    return (
+        withdev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+        )
+    )

@@ -233,15 +233,18 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     path = _scratch_dir("schema_evolution")
-    # batch 1: original schema (no priority column)
+    # batch 1: original schema (no priority column).  coalesce(4): the
+    # sf0.01 batch is ~1.5k rows; 32 shuffle-partition-sized files would
+    # mean 64 footers for mergeSchema to union — file count, not bytes,
+    # is the merge cost (as the docstring notes for production).
     o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_orderstatus", price_cents.alias("price_cents")
-    ).write.mode("overwrite").parquet(path)
+    ).coalesce(4).write.mode("overwrite").parquet(path)
     # batch 2: evolved schema (+ o_orderpriority), appended
     o.filter(F.col("o_orderkey") % 10 == 5).select(
         "o_orderkey", "o_orderstatus", price_cents.alias("price_cents"),
         "o_orderpriority",
-    ).write.mode("append").parquet(path)
+    ).coalesce(4).write.mode("append").parquet(path)
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),

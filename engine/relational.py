@@ -372,3 +372,47 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _custkeys(spark, sf_dir, _WINDOW_A).exceptAll(
         _custkeys(spark, sf_dir, _WINDOW_B)
     )
+
+
+@query(
+    "sample_stratified_mix",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN o_orderkey % (CASE o_orderstatus
+                    WHEN 'F' THEN 5 WHEN 'O' THEN 20 ELSE 2 END) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN o_orderkey % (CASE o_orderstatus
+                    WHEN 'F' THEN 5 WHEN 'O' THEN 20 ELSE 2 END) = 0
+               THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS kept_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum mixing weights — the
+    domain-mixing primitive of a pretraining pipeline (keep 1/5 of
+    stratum F, 1/20 of O, 1/2 of the rest).  Selection is key-mod, not
+    `.sampleBy()`: restart-stable, partition-layout-independent, and
+    exactly reproducible by the oracle — rates are approximate-per-
+    stratum the same way hash sampling is at any scale.
+
+    Scale design: a single map-side-combinable aggregate; the keep
+    decision is per-row arithmetic (no window, no row_number sort, no
+    shuffle beyond the 3-row agg).  An exact-rate variant would
+    row_number() each stratum — rejected here: it single-partition-sorts
+    every stratum at 100 TB for no statistical gain."""
+    o = load(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 5)
+        .when(F.col("o_orderstatus") == "O", 20)
+        .otherwise(2)
+    )
+    keep = (F.col("o_orderkey") % rate) == 0
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(keep, cents).otherwise(0)).alias("kept_price_cents"),
+    )

@@ -210,13 +210,19 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra shuffle (the oracle's positional self-join is the naive form;
     at 100 TB the array version wins by a full shuffle)."""
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # Materialize the token array BEFORE referencing it inside the
+    # lambda: an inlined _tokens(text) subtree is re-evaluated by every
+    # element_at call per element — O(n²) re-tokenization per doc
+    # (measured 8× at sf0.1).  As a projected column it's split once
+    # per row and each element_at is an O(1) attribute lookup.
+    toks = F.col("toks")
     bigrams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(_tokens(F.col("text")).alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -470,3 +476,130 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# round 3: training-corpus hygiene — decontamination & repetition quality
+# ---------------------------------------------------------------------------
+
+def _trigrams(toks: F.Column) -> F.Column:
+    """3-word shingles over an ALREADY-MATERIALIZED token-array column
+    (same indexed-transform idiom as the MinHash shingler,
+    engine/dedup.py — per-row JVM work, no shuffle).  ``toks`` must be
+    an attribute reference, not the _tokens(...) expression tree: each
+    element_at re-evaluates its argument subtree per element, so an
+    inlined split() makes shingling O(n²) per doc (measured 8× at
+    sf0.1)."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+
+
+_TRI_SQL = """
+    tok AS (
+        SELECT doc_id,
+               generate_subscripts({t}, 1) AS pos,
+               unnest({t}) AS tok
+        FROM documents d
+    ),
+    tri AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS tri
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    )
+""".format(t="list_filter(string_split(lower(d.text), ' '), t -> t <> '')")
+
+
+@query(
+    "text_decontaminate_overlap",
+    oracle=f"""
+    WITH {_TRI_SQL},
+    dtri AS (SELECT DISTINCT doc_id, tri FROM tri),
+    ev AS (SELECT DISTINCT tri FROM dtri WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM dtri WHERE doc_id % 97 <> 0)
+    SELECT corpus.doc_id,
+           COUNT(*) AS n_tri,
+           COUNT(ev.tri) AS n_shared,
+           CAST(FLOOR(10000.0 * COUNT(ev.tri) / COUNT(*)) AS BIGINT) AS contam_bp
+    FROM corpus LEFT JOIN ev USING (tri)
+    GROUP BY corpus.doc_id
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap between every training
+    document and a held-out eval set (docs with ``doc_id % 97 == 0``
+    stand in for the benchmark).  A doc's contamination score is the
+    share of its distinct trigrams that appear anywhere in the eval set
+    (basis points, integer — hash-safe).
+
+    Scale design: the eval side collapses to a DISTINCT trigram set —
+    benchmark suites are tiny next to a 100 TB corpus, so it is
+    broadcast and the probe is a map-side hash lookup per corpus
+    trigram; no shuffle touches the corpus beyond the per-doc distinct
+    + final groupBy(doc_id).  In production the eval trigrams would be
+    13-grams in a bloom filter; 3-grams fit this corpus's doc length.
+    """
+    d = load(spark, sf_dir, "documents")
+    tri = d.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(_trigrams(F.col("toks")))).alias("tri"),
+    )
+    ev = (
+        tri.filter(F.col("doc_id") % 97 == 0)
+        .select("tri").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = tri.filter(F.col("doc_id") % 97 != 0)
+    joined = corpus.join(F.broadcast(ev), "tri", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.count("hit").alias("n_shared"),
+    )
+    return agg.select(
+        "doc_id", "n_tri", "n_shared",
+        F.floor(F.lit(10000.0) * F.col("n_shared") / F.col("n_tri"))
+        .cast("long").alias("contam_bp"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH {_TRI_SQL}
+    SELECT doc_id,
+           COUNT(*) AS n_tri,
+           COUNT(DISTINCT tri) AS n_uniq,
+           CAST(FLOOR(10000.0 * (COUNT(*) - COUNT(DISTINCT tri)) / COUNT(*)) AS BIGINT)
+               AS dup_bp
+    FROM tri
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-repetition quality signal (Gopher-style): per document,
+    the fraction of trigram occurrences that are repeats of an earlier
+    trigram in the SAME document — boilerplate / template text scores
+    high and gets gated out of pretraining corpora.  Integer basis
+    points, exact on both engines.
+
+    Scale design: one explode + one groupBy(doc_id) with map-side
+    partial agg; count-distinct is per-doc (bounded by doc length), not
+    global, so no giant distinct shuffle exists."""
+    d = load(spark, sf_dir, "documents")
+    tri = d.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(_trigrams(F.col("toks"))).alias("tri")
+    )
+    agg = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.countDistinct("tri").alias("n_uniq"),
+    )
+    return agg.select(
+        "doc_id", "n_tri", "n_uniq",
+        F.floor(
+            F.lit(10000.0) * (F.col("n_tri") - F.col("n_uniq")) / F.col("n_tri")
+        ).cast("long").alias("dup_bp"),
+    )
