@@ -527,7 +527,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_MAX_ITERS = 10
+_CC_MAX_ITERS = 16
 
 
 @query("dedup_connected_components", oracle=None)  # rows-only: iterative
@@ -540,11 +540,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge set (deterministic): exact-copy edges (d, d+100000) from the
     planted corpus plus chain edges (d, d+1) where consecutive docs'
     token Jaccard ≥ 0.35 — so components include multi-doc chains, not
-    just pairs.  Propagation: each vertex repeatedly takes the min label
-    over its neighborhood (edges both directions) until a fixpoint;
-    labels localCheckpoint per iteration (lineage truncation), and the
-    convergence probe is a count() — the standard Pregel-style halting
-    check.  Bounded by _CC_MAX_ITERS = diameter cap.
+    just pairs.  Propagation: per round, each vertex takes the min label
+    over its neighborhood, then each label-GROUP takes the min over its
+    members' candidates (star contraction — see the loop comment for why
+    hop-min + pointer jumping alone degrades to one-hop creep), until a
+    fixpoint; labels localCheckpoint per iteration (lineage truncation),
+    and the convergence probe is a count() — the standard Pregel-style
+    halting check.  Bounded by _CC_MAX_ITERS; raises if the cap is hit.
 
     Output: (doc_id, component_id = min doc_id reachable, comp_size).
     """
@@ -591,44 +593,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("label"))
+    # Star-contraction label propagation.  Plain hop-min + pointer
+    # jumping is NOT O(log d): when a smaller label enters a chain
+    # through an edge at one end, it creeps ONE vertex per round —
+    # nothing points AT the entry vertex, so path halving never
+    # accelerates it (observed at sf0.1: changed plateaued at ~6/round
+    # past the old 10-round cap, leaving non-canonical labels).  The
+    # missing step is the per-group reduction: after each member
+    # collects its neighborhood min, the GROUP takes the min over its
+    # members' candidates (groupBy(label).min), so a new min arriving at
+    # any member reaches every member — and the group's root — in one
+    # round.  This is the star-contraction kernel of the MapReduce CC
+    # family (Kiveris et al., "Connected Components in MapReduce and
+    # Beyond"); measured fixpoint in 7 rounds at sf0.1.
     for it in range(_CC_MAX_ITERS):
-        # neighbor min: labels flow one hop along edges
+        # 1. hop-min: each vertex's candidate = min over own + neighbor labels
         msgs = (
             both.join(labels, both.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "label")
+            .select(F.col("dst").alias("doc_id"), F.col("label").alias("lab"))
         )
         hop = (
-            labels.unionByName(msgs)
+            labels.select("doc_id", F.col("label").alias("lab"))
+            .unionByName(msgs)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("lab").alias("cand"))
         )
-        # pointer jumping (path halving): label[v] ← label[label[v]] —
-        # without this, a chain of length L needs L one-hop rounds; with
-        # it, convergence is O(log L), so 10 rounds cover any chain here.
-        parents = hop.select(
+        cur = labels.join(hop, "doc_id")  # doc_id, label, cand
+        # 2. star contraction: the label-group's new label = min over
+        #    its members' candidates
+        repmin = cur.groupBy("label").agg(F.min("cand").alias("rep_new"))
+        new = cur.join(repmin, "label").select(
+            "doc_id", F.least("cand", "rep_new").alias("label")
+        )
+        # 3. one pointer jump keeps labels canonical between rounds
+        parents = new.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
-        new_labels = (
-            hop.join(parents, hop.label == parents.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        new = new.join(parents, new.label == parents.p_id, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
         )
+        new_labels = new.localCheckpoint(eager=True)
         prev, labels = labels, new_labels
-        # Convergence probe is a separate Spark job — run it only every
-        # other round (the fixpoint is stable, so a one-round-late exit
-        # costs one cheap iteration, not correctness).
-        if it % 2 == 1 or it == _CC_MAX_ITERS - 1:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            if changed == 0:
-                break
+        # Convergence probe: a tiny count job per round; exiting a round
+        # late costs more than the probe.
+        changed = (
+            labels.alias("n")
+            .join(prev.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if changed == 0:
+            break
+    else:
+        # Better loud than silently returning non-canonical labels.
+        raise RuntimeError(
+            "connected components did not converge within "
+            f"{_CC_MAX_ITERS} rounds — raise _CC_MAX_ITERS (diameter cap)"
+        )
 
     comp_size = F.count("*").over(Window.partitionBy("label"))
     return labels.select(

@@ -287,6 +287,10 @@ def test_connected_components_cluster_planted_dups(spark):
     assert all(comp[d] == comp[d + 100_000] for d in range(500))
     # component id is the min member id, so label ≤ id everywhere
     assert all(r.component_id <= r.doc_id for r in rows)
+    # labels must be at the FIXPOINT: every component id is canonical
+    # (labels itself).  A capped-out run leaves creeping labels where
+    # comp[l] < l — the sf0.1 bug the star-contraction rewrite fixed.
+    assert all(comp[l] == l for l in set(comp.values()))
     # sizes consistent: every member of a component reports the same size
     by_comp = {}
     for r in rows:
