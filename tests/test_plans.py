@@ -209,3 +209,27 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Bucketed: true") == 2
+
+
+def test_decontaminate_eval_probe_is_broadcast(spark):
+    # The eval-set trigram probe must be a broadcast hash join — never a
+    # shuffle join of the corpus against the (tiny) benchmark set.
+    plan = _plan(spark, "text_decontaminate_overlap")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_stratified_mix_single_shuffle(spark):
+    # Keep-decision is per-row arithmetic folded into one agg: exactly
+    # one exchange (the 3-row groupBy), no window, no join.
+    plan = _plan(spark, "sample_stratified_mix")
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_pack_chunks_no_join_bounded_shuffles(spark):
+    # Packing = window cumsum + manifest agg; must stay join-free and
+    # not add shuffles beyond the source partitioning + final agg.
+    plan = _plan(spark, "pack_concat_chunks")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
