@@ -358,55 +358,18 @@ _SIMHASH_BITS = 32
 _SIMHASH_BAND = 8  # 4 bands of 8 bits; verify gate is hamming ≤ 3
 
 
-@query("dedup_simhash", oracle=None)  # rows-only: xxhash64 bit extraction
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature where bit b is the sign of
-    Σ_features (±1 by bit b of xxhash64(feature)); near-dups are
-    candidate pairs sharing any 8-bit band (banded, never all-pairs),
-    confirmed by hamming distance ≤ 3.
+def simhash_pairs(feat: DataFrame) -> DataFrame:
+    """(doc_id, token:long) hashed features → near-dup pairs
+    (doc_a, doc_b, hamming ≤ 3) via 32-bit SimHash + 8-bit banding.
 
-    Band sizing (measured, not guessed): 4 bands cover hamming ≤ 3 by
-    pigeonhole.  Wider signatures were tried and rejected — 60-bit/15-bit
-    bands collapse recall (ham ≤ 3 of 60 is far tighter than 3 of 32),
-    and 60-bit/10-bit/ham ≤ 5 still recalls fewer planted pairs (410 vs
-    438 of 500) at the same runtime.  The 8-bit buckets over-generate
-    candidates on huge corpora; at that scale raise _SIMHASH_BITS and
-    the hamming gate TOGETHER (keep gate/bits ≈ 0.1 and bands = gate+1).
-
-    Features are distinct 3-word shingles, not tokens: the corpus draws
-    from a ~40-word vocabulary, so token-level signatures of unrelated
-    docs are near-identical (a 16-bit token-feature first cut produced
-    258k false candidates); the shingle space is large enough for
-    signatures to decorrelate.  Same planted near-copies as
-    dedup_minhash_near.
-    """
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.select(
-            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
-        )
-    )
-    # Materialized token column, not the _tokens(text) tree — see the
-    # O(n²) element_at note in minhash_near_pairs above.
-    toks = F.col("toks")
-    shingles = F.array_distinct(
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
-    # Explode pre-hashed shingles (longs, not strings) — the exploded
-    # relation and the groupBy shuffle carry 8 bytes per feature.
-    tok = corpus.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
-        "doc_id",
-        F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("token"),
-    )
+    Shared engine primitive: backs ``dedup_simhash`` (text shingle
+    features) and ``mm_simhash_bytes`` (binary byte-gram features).
+    Banded candidate generation — bucket-local self-join, never
+    all-pairs; see dedup_simhash's docstring for the band-size
+    measurement."""
     h = F.col("token")
-    # per (doc, bit): Σ ±1 as 16 columnar sums, then sign → bit.
-    sums = tok.groupBy("doc_id").agg(
+    # per (doc, bit): Σ ±1 as 32 columnar sums, then sign → bit.
+    sums = feat.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -454,6 +417,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query("dedup_simhash", oracle=None)  # rows-only: xxhash64 bit extraction
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature where bit b is the sign of
+    Σ_features (±1 by bit b of xxhash64(feature)); near-dups are
+    candidate pairs sharing any 8-bit band (banded, never all-pairs),
+    confirmed by hamming distance ≤ 3.
+
+    Band sizing (measured, not guessed): 4 bands cover hamming ≤ 3 by
+    pigeonhole.  Wider signatures were tried and rejected — 60-bit/15-bit
+    bands collapse recall (ham ≤ 3 of 60 is far tighter than 3 of 32),
+    and 60-bit/10-bit/ham ≤ 5 still recalls fewer planted pairs (410 vs
+    438 of 500) at the same runtime.  The 8-bit buckets over-generate
+    candidates on huge corpora; at that scale raise _SIMHASH_BITS and
+    the hamming gate TOGETHER (keep gate/bits ≈ 0.1 and bands = gate+1).
+
+    Features are distinct 3-word shingles, not tokens: the corpus draws
+    from a ~40-word vocabulary, so token-level signatures of unrelated
+    docs are near-identical (a 16-bit token-feature first cut produced
+    258k false candidates); the shingle space is large enough for
+    signatures to decorrelate.  Same planted near-copies as
+    dedup_minhash_near.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    # Materialized token column, not the _tokens(text) tree — see the
+    # O(n²) element_at note in minhash_near_pairs above.
+    toks = F.col("toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    # Explode pre-hashed shingles (longs, not strings) — the exploded
+    # relation and the groupBy shuffle carry 8 bytes per feature.
+    tok = corpus.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("token"),
+    )
+    return simhash_pairs(tok)
 
 
 _COS_BLOCK = 100

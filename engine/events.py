@@ -413,3 +413,79 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mad_cents").alias("mad_cents"),
         )
     )
+
+
+@query(
+    "evt_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT g.event_type, g.hour,
+           CASE WHEN h.n IS NULL THEN 0 ELSE 1 END AS observed,
+           COALESCE(h.n, 0) AS n,
+           last_value(h.cents IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cents_ffill
+    FROM grid g
+    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    """,
+)
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: project each event_type onto a
+    dense hourly grid between its first and last observed hour; empty
+    hours appear with n=0 and carry the last observed hourly value
+    forward (`last(..., ignorenulls)` — the FFILL of every time-series
+    store).  `observed` flags real vs filled rows (int, not boolean —
+    driver-safe scalar set).
+
+    Scale design: the grid is generated from the per-type bounds dim
+    (tiny — one row per type) via sequence+explode, so the dense grid
+    never materializes driver-side; the left join hashes on (type,
+    hour) against map-side-combined hourly partials, and the fill
+    window partitions by type — at 100 TB the partition key becomes
+    (type, week) with a seeded boundary row per partition, the standard
+    distributed-ffill split."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        ),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.when(F.col("n").isNull(), 0).otherwise(1).alias("observed"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
+    )

@@ -203,3 +203,55 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix4(F.col("byte_mean")).alias("byte_mean"),
         fix4(F.col("byte_entropy")).alias("byte_entropy"),
     )
+
+
+_BYTE_GRAM = 12
+_MM_COPY_OFFSET = 100_000
+
+
+@query("mm_simhash_bytes", oracle=None)  # rows-only: xxhash64 bit extraction
+def mm_simhash_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level near-duplicate detection for binary media payloads:
+    12-byte sliding grams → xxhash64 features → the shared 32-bit
+    banded-SimHash primitive (engine.dedup.simhash_pairs).  This is the
+    codec-free half of image/audio dedup — it catches re-uploads,
+    re-muxes, and trailing-metadata edits without decoding anything;
+    the decoded-feature path (perceptual hash over pixels) would feed
+    the SAME primitive via mm_decode_features.
+
+    Near-dups are planted: each payload reappears under media_id +
+    100000 with 6 bytes appended — recall is pinned by a floor test
+    (12-byte grams measured best: 457/500 planted pairs recalled vs
+    441 at 4-byte grams, which correlate across unrelated payloads).
+
+    Scale design: grams are per-row JVM work (sequence+substring inside
+    one transform over the materialized payload — no Python boundary);
+    everything downstream is the banded self-join, bucket-local, never
+    all-pairs."""
+    m = _media(spark, sf_dir).select("media_id", "payload")
+    corpus = m.unionByName(
+        m.select(
+            (F.col("media_id") + _MM_COPY_OFFSET).alias("media_id"),
+            F.concat(F.col("payload"), F.encode(F.lit(" zz yy"), "utf-8")).alias(
+                "payload"
+            ),
+        )
+    )
+    feat = corpus.select(
+        F.col("media_id").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(octet_length(payload) - {_BYTE_GRAM - 1}, 1)),"
+                    f" i -> xxhash64(substring(payload, i, {_BYTE_GRAM})))"
+                )
+            )
+        ).alias("token"),
+    )
+    from engine.dedup import simhash_pairs
+
+    return simhash_pairs(feat).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

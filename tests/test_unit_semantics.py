@@ -197,6 +197,19 @@ def test_simhash_recall_on_planted_pairs(spark):
     assert all(r.hamming <= 3 for r in rows)
 
 
+def test_mm_simhash_bytes_recall_on_planted_payloads(spark):
+    """Byte-gram SimHash over binary payloads recalls the planted
+    6-bytes-appended copies; measured 457/500 at 12-byte grams — floor
+    pinned under it, plus a candidate-volume ceiling so gram-width
+    regressions that correlate unrelated payloads (4-byte grams) show
+    up as a pair explosion."""
+    rows = engine.QUERIES["mm_simhash_bytes"](spark, SF_DIR).collect()
+    pairs = {(r.media_a, r.media_b) for r in rows}
+    recall = sum((d, d + 100_000) in pairs for d in range(500))
+    assert recall >= 420, f"byte-simhash recall collapsed: {recall}/500"
+    assert len(rows) <= 1500, f"candidate explosion: {len(rows)} pairs"
+
+
 def test_ann_recall_vs_exact_knn(spark):
     """Both ANN variants must recover most of the exact top-k neighbor
     sets (deterministic — fixed projections/centroids, no RNG).  Measured
