@@ -603,3 +603,50 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10000.0) * (F.col("n_tri") - F.col("n_uniq")) / F.col("n_tri")
         ).cast("long").alias("dup_bp"),
     )
+
+
+@query(
+    "text_edit_distance_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               substr(a.text, 1, 80) AS ta, substr(b.text, 1, 80) AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(ta, tb) AS lev,
+           CAST(FLOOR(10000.0 * (1 - levenshtein(ta, tb)
+                / GREATEST(len(ta), len(tb), 1))) AS BIGINT) AS sim_bp
+    FROM p
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance between consecutive documents — the
+    exact-verify stage of a fuzzy-dedup pipeline (candidates from
+    MinHash/SimHash get confirmed by edit distance, the way
+    dedup_jaccard_verify confirms set overlap).  Distance runs on an
+    80-char prefix: Levenshtein is O(m·n) per pair, so production gates
+    bound the operand length BEFORE the quadratic step — the prefix
+    gate (or a length-difference gate) is the scale design, not an
+    approximation footnote.  `sim_bp` normalizes to basis points with
+    exact integer→double division (hash-safe on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring("text", 1, 80).alias("ta"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 80).alias("tb"),
+    )
+    pairs = a.join(b, a.doc_id == b.join_id).select(
+        F.col("doc_id").alias("doc_a"), "doc_b", "ta", "tb"
+    )
+    lev = F.levenshtein("ta", "tb")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        lev.alias("lev"),
+        F.floor(
+            10000.0
+            * (1 - lev / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)))
+        ).cast("long").alias("sim_bp"),
+    )
