@@ -45,3 +45,24 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily narrow spark.sql.shuffle.partitions around a
+    driver-orchestrated job sequence (iterative loops, microbatch runs)
+    whose per-stage data is tiny: 32 tasks per reduce stage is pure
+    scheduling overhead when each stage carries a few thousand rows.
+    Restores the caller's setting on exit; plans executed AFTER the
+    block (e.g. the returned DataFrame's final action) see the original
+    conf."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

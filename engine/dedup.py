@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine.core import query
+from engine.core import query, scoped_shuffle_partitions
 from engine.io import load
 
 _COPY_OFFSET = 100_000
@@ -612,19 +612,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("label"))
-    # Star-contraction label propagation.  Plain hop-min + pointer
-    # jumping is NOT O(log d): when a smaller label enters a chain
-    # through an edge at one end, it creeps ONE vertex per round —
-    # nothing points AT the entry vertex, so path halving never
-    # accelerates it (observed at sf0.1: changed plateaued at ~6/round
-    # past the old 10-round cap, leaving non-canonical labels).  The
-    # missing step is the per-group reduction: after each member
-    # collects its neighborhood min, the GROUP takes the min over its
-    # members' candidates (groupBy(label).min), so a new min arriving at
-    # any member reaches every member — and the group's root — in one
-    # round.  This is the star-contraction kernel of the MapReduce CC
-    # family (Kiveris et al., "Connected Components in MapReduce and
-    # Beyond"); measured fixpoint in 7 rounds at sf0.1.
+    # The loop's per-stage data is ~10k rows: run its driver-orchestrated
+    # jobs under 8 shuffle partitions (measured 8.3 s → 6.4 s at sf0.1;
+    # 32 tasks per tiny reduce stage is pure scheduling overhead).  The
+    # caller's conf is restored before the returned plan executes.
+    with scoped_shuffle_partitions(spark, 8):
+        labels = _cc_propagate(both, labels)
+
+    comp_size = F.count("*").over(Window.partitionBy("label"))
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        comp_size.alias("comp_size"),
+    )
+
+
+def _cc_propagate(both: DataFrame, labels: DataFrame) -> DataFrame:
+    """Star-contraction label propagation to the fixpoint.
+
+    Plain hop-min + pointer jumping is NOT O(log d): when a smaller
+    label enters a chain through an edge at one end, it creeps ONE
+    vertex per round — nothing points AT the entry vertex, so path
+    halving never accelerates it (observed at sf0.1: changed plateaued
+    at ~6/round past the old 10-round cap, leaving non-canonical
+    labels).  The missing step is the per-group reduction: after each
+    member collects its neighborhood min, the GROUP takes the min over
+    its members' candidates (groupBy(label).min), so a new min arriving
+    at any member reaches every member — and the group's root — in one
+    round.  This is the star-contraction kernel of the MapReduce CC
+    family (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"); measured fixpoint in 7 rounds at sf0.1.
+    """
     for it in range(_CC_MAX_ITERS):
         # 1. hop-min: each vertex's candidate = min over own + neighbor labels
         msgs = (
@@ -667,17 +685,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         if changed == 0:
-            break
-    else:
-        # Better loud than silently returning non-canonical labels.
-        raise RuntimeError(
-            "connected components did not converge within "
-            f"{_CC_MAX_ITERS} rounds — raise _CC_MAX_ITERS (diameter cap)"
-        )
-
-    comp_size = F.count("*").over(Window.partitionBy("label"))
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("component_id"),
-        comp_size.alias("comp_size"),
+            return labels
+    # Better loud than silently returning non-canonical labels.
+    raise RuntimeError(
+        "connected components did not converge within "
+        f"{_CC_MAX_ITERS} rounds — raise _CC_MAX_ITERS (diameter cap)"
     )

@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.core import query
+from engine.core import query, scoped_shuffle_partitions
 from engine.io import configure, load
 
 _SINK_IDS = itertools.count()
@@ -35,18 +35,13 @@ _SINK_IDS = itertools.count()
 # sf0.1 (smoke 2.8 s → 0.9 s).  In production this knob is sized to state
 # volume; here every query starts on a fresh checkpoint, so the narrower
 # setting never conflicts with stored state.
-_STREAM_SHUFFLE_PARTITIONS = "8"
+_STREAM_SHUFFLE_PARTITIONS = 8
 
 
 @contextlib.contextmanager
 def _stream_shuffle(spark: SparkSession):
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, _STREAM_SHUFFLE_PARTITIONS)
-    try:
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE_PARTITIONS):
         yield
-    finally:
-        spark.conf.set(key, prev)
 
 
 def _scratch(name: str) -> str:
