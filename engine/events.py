@@ -489,3 +489,52 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
     )
+
+
+@query(
+    "evt_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM pairs)
+    SELECT s.day,
+           COUNT(DISTINCT CASE WHEN p.day = s.day THEN p.user_id END) AS dau,
+           COUNT(DISTINCT p.user_id) AS wau7
+    FROM spine s
+    JOIN pairs p ON p.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def evt_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct users — DAU and trailing-7-day WAU per day.
+    COUNT(DISTINCT) cannot ride a window range frame (distinct state
+    isn't subtractable), so the engine uses the spine-join shape: the
+    day spine joins every (day, user) pair within its trailing week,
+    then one grouped dual count-distinct.
+
+    Scale design: pre-distincting (day, user) first collapses the event
+    stream to its per-day user sets BEFORE the 7× fan-out join — the
+    join input is DAU-sized, not event-sized.  The spine side is tiny
+    (one row per day) and broadcasts; at 100 TB the pairs side is
+    bucketed by week so the band join stays co-partitioned (same recipe
+    as join_range_band), or the exact distinct is swapped for mergeable
+    HLL sketches (agg_hll_partitioned_merge) when ±2% error is fine."""
+    # DATE on both sides — DuckDB's date_trunc('day', ts) yields DATE
+    # while Spark's yields TIMESTAMP (dialect trap; see
+    # engine/functions.py date notes), so the day grain is cast to DATE
+    # explicitly in both engines.
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date(F.col("ts")).alias("day"), "user_id").distinct()
+    spine = pairs.select("day").distinct().select(F.col("day").alias("s_day"))
+    joined = pairs.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.date_sub(F.col("s_day"), 6))
+        & (F.col("day") <= F.col("s_day")),
+    )
+    return joined.groupBy(F.col("s_day").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("s_day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau7"),
+    )
