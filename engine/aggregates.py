@@ -12,7 +12,7 @@ and percentiles; the exact variants are the oracle-checkable twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import query
@@ -492,4 +492,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority ASC
+        ) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — Spark's native ``mode()`` and DuckDB's
+    ``mode()`` both leave ties implementation-defined, so the portable
+    form is count + rank, which also returns the count alongside.
+
+    Scale design: the candidate relation after the first groupBy is
+    |groups|×|distinct values| — tiny — so the ranking window costs
+    nothing; the heavy input only pays one map-side-combinable count."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_value"),
+            F.col("cnt").alias("mode_count"),
+        )
     )

@@ -538,3 +538,53 @@ def evt_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dau"),
         F.countDistinct("user_id").alias("wau7"),
     )
+
+
+@query(
+    "evt_path_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n,
+           CAST(FLOOR(10000.0 * COUNT(*) / SUM(COUNT(*)) OVER
+               (PARTITION BY prev_type)) AS BIGINT) AS p_bp
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def evt_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: for each user's
+    time-ordered event stream, count (previous event_type → next
+    event_type) steps and normalize per source state to basis points —
+    the Markov-chain input of funnel/attribution analytics.  Ordering
+    ties break on event_id (unique), so the lag is deterministic on
+    both engines.
+
+    Scale design: one window (partitioned by user — millions of small
+    partitions, no skew) feeding a grouped count whose output is
+    |event_types|² rows; the per-source normalization rides a window
+    over that tiny aggregate, not over the event stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.floor(F.lit(10000.0) * F.col("n") / total).cast("long").alias("p_bp"),
+    )
