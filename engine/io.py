@@ -54,6 +54,15 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The driver hands us a DEFAULT session: shuffle.partitions=200.
+    # 200 reduce tasks per stage over sf0.01-sf0.1 inputs is pure
+    # scheduling overhead (measured: the all-key sf0.01 sweep drops
+    # ~35% with 32) and directly burns the driver's verify budget.
+    # Runtime-settable; AQE coalesces further below 32 when stages are
+    # tiny.  Applied once per session (guarded by the probe above) so
+    # scoped overrides (engine.core.scoped_shuffle_partitions) are
+    # never clobbered mid-block.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 
