@@ -142,6 +142,61 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q10_returns",
+    oracle=f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS lost_revenue_cents,
+           COUNT(*) AS n_return_items
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue_cents DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns in one half-year window — the third
+    composite, exercising a fact-side flag filter + date-windowed
+    order filter + two broadcast dims + top-k in one plan.
+
+    Plan shape that must survive 100 TB: the returnflag filter prunes
+    lineitem AT THE SCAN (PushedFilters), the date filter prunes orders
+    likewise, so the one orderkey shuffle joins two pre-filtered facts;
+    customer and nation broadcast; LIMIT 20 with the unique c_custkey
+    tiebreak compiles to TakeOrderedAndProject.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("lost_revenue_cents"),
+            F.count("*").alias("n_return_items"),
+        )
+        .orderBy(F.desc("lost_revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 @query("agg_hll_partitioned_merge", oracle=None)  # rows-only: sketch binary
 def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the 100 TB cardinality story.
@@ -314,4 +369,77 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN substr(md5(text), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5(text), 1, 1) IN ('c','d') THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(FLOOR(10000.0 * COUNT(*)
+                      / SUM(COUNT(*)) OVER (PARTITION BY lang) + 0.5)
+                AS BIGINT) AS lang_share_bp
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split report every
+    training pipeline needs before anything is shuffled to a trainer.
+
+    Assignment hashes the CONTENT (first md5 hex nibble: 12/16 train,
+    2/16 val, 2/16 test), not the row id — so re-ingesting the corpus
+    with different ids keeps every document in the same split, and an
+    exact duplicate can never straddle the train/test boundary (the
+    leakage mode an id-based split invites).  Output is the per-(split,
+    lang) balance report: doc/token mass plus each split's share of its
+    language in basis points — the check that stratification held.
+
+    Scale design: the hash + bucket is per-row map work fused into the
+    scan; one map-side-combinable agg shuffles ~(3 splits × langs) rows;
+    the share-of-language window runs over that already-aggregated tiny
+    frame, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    from engine.text import _tokens
+
+    agg = (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(_tokens(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )
+    lang_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return agg.select(
+        "split",
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.floor(10000.0 * F.col("n_docs") / lang_total + F.lit(0.5))
+        .cast("long")
+        .alias("lang_share_bp"),
     )

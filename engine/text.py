@@ -650,3 +650,96 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1 - lev / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)))
         ).cast("long").alias("sim_bp"),
     )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH {_TRI_SQL}
+    SELECT tri AS trigram, COUNT(*) AS cnt
+    FROM tri
+    GROUP BY tri
+    ORDER BY cnt DESC, trigram ASC
+    LIMIT 25
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent trigrams — the boilerplate detector: at
+    corpus scale the top shared n-grams ARE the templates/headers a
+    cleaning pipeline strips (the line-frequency pass of C4-style
+    cleaning, recast over n-grams since this corpus has no line
+    structure).
+
+    Scale design: trigrams come from the indexed-transform shingler
+    (per-row JVM work, zero self-join — the oracle's positional 3-way
+    join is the naive form); the count agg combines map-side so the
+    shuffle carries (trigram, partial) at vocabulary cardinality, and
+    top-25 with the trigram tiebreak compiles to TakeOrderedAndProject,
+    never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(_tokens(F.col("text")).alias("toks"))
+        .select(F.explode(_trigrams(F.col("toks"))).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("trigram"))
+        .limit(25)
+    )
+
+
+@query(
+    "text_corpus_mixture",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS sum_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, n_docs, sum_tokens,
+           CAST(FLOOR(10000.0 * sum_tokens
+                      / SUM(sum_tokens) OVER () + 0.5) AS BIGINT) AS share_bp,
+           FLOOR(((CAST(SUM(sum_tokens) OVER () AS DOUBLE)
+                   / COUNT(*) OVER ()) / sum_tokens) * 10000 + 0.5) / 10000
+               AS uniform_boost
+    FROM t
+    """,
+)
+def text_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per source — the numbers a pretraining run
+    needs to build its sampling schedule: each source's token mass,
+    its share of the corpus (basis points), and the oversampling factor
+    (`uniform_boost`) that would equalize sources (boost > 1 means the
+    source must be up-sampled/repeated to reach a uniform mix).
+
+    Scale design: one map-side-combinable agg collapses the corpus to
+    one row per source; the share/boost windows run over that
+    source-cardinality frame (a few hundred rows at worst), never the
+    corpus.  The boost ratio divides exact integer token counts in
+    IEEE double (correctly rounded on both engines) then floor-pins to
+    4 decimals — hash-safe."""
+    d = load(spark, sf_dir, "documents")
+    t = (
+        d.select("source", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0))
+    total = F.sum("sum_tokens").over(w)
+    n_src = F.count("*").over(w)
+    return t.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.floor(10000.0 * F.col("sum_tokens") / total + F.lit(0.5))
+        .cast("long")
+        .alias("share_bp"),
+        _fix4((total.cast("double") / n_src) / F.col("sum_tokens")).alias(
+            "uniform_boost"
+        ),
+    )

@@ -233,3 +233,33 @@ def test_pack_chunks_no_join_bounded_shuffles(spark):
     plan = _plan(spark, "pack_concat_chunks")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_tpch_q10_topk_and_dims_broadcast(spark):
+    # Composite Q10: top-20 compiles to TakeOrderedAndProject; customer
+    # and nation dims broadcast; the returnflag/date filters reach the
+    # parquet scans so the orderkey join sees pre-filtered facts.
+    plan = _plan(spark, "tpch_q10_returns", executed=True)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_ngram_topk_single_scan_take_ordered(spark):
+    # Trigram top-k: indexed-transform shingler (no positional
+    # self-join — the oracle's 3-way join is the naive form), one
+    # vocabulary-sized agg exchange, TakeOrderedAndProject top-25.
+    plan = _plan(spark, "text_ngram_topk", executed=True)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_and_mixture_window_over_aggregate_only(spark):
+    # Split report / mixture weights: the share windows must run over
+    # the POST-aggregate frame (split×lang / source cardinality), never
+    # the corpus — exactly two exchanges (agg + tiny window), no join.
+    for key in ("split_train_holdout", "text_corpus_mixture"):
+        plan = _plan(spark, key)
+        assert "Join" not in plan, key
+        assert plan.count("Exchange") <= 2, key
