@@ -504,7 +504,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = vec_id div 100) so the candidate set is B·(n/B choose 2), not
     (n choose 2).  At 100 TB the block key becomes an ANN bucket
     (sim_ann_lsh_topk's tables); the verify math is identical."""
-    e = load(spark, sf_dir, "embeddings")
+    return _cosine_block_pairs(load(spark, sf_dir, "embeddings")).filter(
+        F.col("cosine") >= _COS_THRESHOLD
+    )
+
+
+def _cosine_block_pairs(e: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine) over deterministic id-blocks — the shared
+    candidate generator for dedup_embedding_cosine and the threshold
+    calibration sweep.  Cosine is fix4-pinned (hash-safe)."""
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
@@ -535,11 +543,194 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("block_a") == F.col("block_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= _COS_THRESHOLD)
+    )
+
+
+_SWEEP_BP = (2000, 2500, 3000, 3500, 4000)
+
+_COS_COMPS_SQL = f"""
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+         AND a.vec_id // {_COS_BLOCK} = b.vec_id // {_COS_BLOCK}
+    ),
+    comps AS (
+        SELECT vec_a, vec_b,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+               SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na2,
+               SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb2
+        FROM pairs, (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) s
+        GROUP BY vec_a, vec_b
+    ),
+    cosines AS (
+        SELECT FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) / 10000
+                   AS cosine
+        FROM comps
+    )
+"""
+
+
+@query(
+    "dedup_cosine_calibration",
+    oracle=f"""
+    WITH {_COS_COMPS_SQL}
+    SELECT CAST(g.threshold_bp AS BIGINT) AS threshold_bp,
+           COUNT(c.cosine) AS n_pairs
+    FROM (SELECT unnest([{", ".join(str(x) for x in _SWEEP_BP)}])
+                 AS threshold_bp) g
+    LEFT JOIN cosines c ON c.cosine >= g.threshold_bp / 10000.0
+    GROUP BY g.threshold_bp
+    """,
+)
+def dedup_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration sweep for the semantic near-dup gate: how
+    many candidate pairs survive at each cosine threshold — the curve a
+    pipeline operator reads before picking the dedup cutoff (too low
+    collapses distinct docs, too high leaks near-copies).
+
+    Scale design: the sweep costs ONE pass over the blocked candidate
+    pairs — each threshold is a conditional partial sum inside a single
+    map-side-combinable aggregate (no 5× explode, no per-threshold
+    rescan); the long-form result is a constant-size stack of the 1-row
+    aggregate.  Zero-survivor thresholds still emit a row (count 0), so
+    the curve is always complete."""
+    pairs = _cosine_block_pairs(load(spark, sf_dir, "embeddings"))
+    aggd = pairs.agg(
+        *[
+            F.sum((F.col("cosine") >= bp / 10000.0).cast("long")).alias(f"t{bp}")
+            for bp in _SWEEP_BP
+        ]
+    )
+    stack = ", ".join(f"{bp}L, t{bp}" for bp in _SWEEP_BP)
+    return aggd.select(
+        F.expr(
+            f"stack({len(_SWEEP_BP)}, {stack}) AS (threshold_bp, n_pairs)"
+        )
     )
 
 
 _CC_MAX_ITERS = 16
+
+
+def _neardup_corpus(d: DataFrame) -> DataFrame:
+    """documents ∪ planted exact copies (doc_id+offset, text + ' zz yy')."""
+    return d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+
+
+def _neardup_edges(d: DataFrame) -> DataFrame:
+    """The near-dup pair graph shared by dedup_connected_components and
+    dedup_graph_degree: exact-copy edges (content-fingerprint hash join
+    over the planted corpus) plus chain edges between consecutive
+    originals whose token-set Jaccard ≥ 0.35.  Undirected, src < dst
+    for copy edges, src = dst-1 for chain edges.
+
+    Token sets travel as xxhash64 longs, not strings: the (doc, ts)
+    shuffle payload shrinks ~6× and array_intersect compares longs —
+    hashed-set Jaccard equals exact Jaccard up to ~2^-40 collisions
+    (same argument as the MinHash shingle hashing above); measured
+    6.2 s → 2.1 s for the edge build at sf0.1, identical edge set.
+    dedup_graph_degree's DuckDB oracle recomputes this edge set with
+    PLAIN STRING sets and hash-matches the degree histogram — the
+    collision-freeness claim is therefore verified, not assumed."""
+    corpus = _neardup_corpus(d)
+
+    # Exact-copy edges via content-hash match (not id arithmetic — the
+    # pipeline shape is hash-join-on-fingerprint, as in dedup_exact).
+    hashed = corpus.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.col("text"), " zz yy$", "")).alias("fp"),
+    )
+    a = hashed.select(F.col("doc_id").alias("src"), "fp")
+    b = hashed.select(F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b"))
+    copy_edges = (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+    )
+
+    # Chain edges between consecutive originals above a Jaccard floor.
+    toks = F.transform(
+        F.array_distinct(_tokens(F.col("text"))), lambda t: F.xxhash64(t)
+    )
+    tokset = d.select("doc_id", toks.alias("ts"))
+    nxt = tokset.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("ts"), F.col("ts_b")))
+    union_n = F.size(F.col("ts")) + F.size(F.col("ts_b")) - inter
+    chain_edges = (
+        tokset.join(nxt, tokset.doc_id == nxt.join_id)
+        .filter(inter.cast("double") / union_n >= 0.35)
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    return copy_edges.unionByName(chain_edges)
+
+
+@query(
+    "dedup_graph_degree",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz yy' FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, md5(regexp_replace(text, ' zz yy$', '')) AS fp
+        FROM corpus
+    ),
+    copy_edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM hashed a JOIN hashed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ts
+        FROM documents
+    ),
+    chain_edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+              >= 0.35
+    ),
+    edges AS (SELECT * FROM copy_edges UNION ALL SELECT * FROM chain_edges),
+    und AS (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges),
+    deg AS (SELECT v, COUNT(*) AS degree FROM und GROUP BY v)
+    SELECT degree, COUNT(*) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+)
+def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph — the graph-health
+    check a dedup pipeline runs BEFORE connected components: a heavy
+    tail here (one vertex touching thousands of pairs) predicts a giant
+    component that collapses half the corpus, usually boilerplate.
+
+    This key is also the correctness anchor for
+    dedup_connected_components (rows-only, iterative): it hash-verifies
+    the exact edge set CC consumes — the oracle rebuilds the graph with
+    plain string token sets, so the hashed-set Jaccard shortcut is
+    proven collision-free on this corpus, not assumed.
+
+    Scale design: degree = one explode of the edge list + two
+    map-side-combinable aggs; no iteration, no window."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _neardup_edges(d)
+    und = edges.select(F.col("src").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
 
 
 @query("dedup_connected_components", oracle=None)  # rows-only: iterative
@@ -563,50 +754,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, component_id = min doc_id reachable, comp_size).
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.select(
-            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
-        )
-    )
-
-    # Exact-copy edges via content-hash match (not id arithmetic — the
-    # pipeline shape is hash-join-on-fingerprint, as in dedup_exact).
-    hashed = corpus.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.col("text"), " zz yy$", "")).alias("fp"),
-    )
-    a = hashed.select(F.col("doc_id").alias("src"), "fp")
-    b = hashed.select(F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b"))
-    copy_edges = (
-        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("src") < F.col("dst")))
-        .select("src", "dst")
-    )
-
-    # Chain edges between consecutive originals above a Jaccard floor.
-    # Token sets travel as xxhash64 longs, not strings: the (doc, ts)
-    # shuffle payload shrinks ~6× and array_intersect compares longs —
-    # hashed-set Jaccard equals exact Jaccard up to ~2^-40 collisions
-    # (same argument as the MinHash shingle hashing above); measured
-    # 6.2 s → 2.1 s for the edge build at sf0.1, identical edge set.
-    toks = F.transform(
-        F.array_distinct(_tokens(F.col("text"))), lambda t: F.xxhash64(t)
-    )
-    tokset = d.select("doc_id", toks.alias("ts"))
-    nxt = tokset.select(
-        (F.col("doc_id") - 1).alias("join_id"),
-        F.col("doc_id").alias("dst"),
-        F.col("ts").alias("ts_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("ts"), F.col("ts_b")))
-    union_n = F.size(F.col("ts")) + F.size(F.col("ts_b")) - inter
-    chain_edges = (
-        tokset.join(nxt, tokset.doc_id == nxt.join_id)
-        .filter(inter.cast("double") / union_n >= 0.35)
-        .select(F.col("doc_id").alias("src"), "dst")
-    )
-
-    edges = copy_edges.unionByName(chain_edges)
+    corpus = _neardup_corpus(d)
+    # Edge set shared with (and hash-verified by) dedup_graph_degree.
+    edges = _neardup_edges(d)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
