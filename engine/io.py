@@ -410,3 +410,126 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_mktsegment").alias("segment"),
         )
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey AS k, o_totalprice + 100.0 AS p, 'U' AS st
+        FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 1000000 AS k, o_totalprice * 0.5 AS p, 'I' AS st
+        FROM orders WHERE o_orderkey % 300 = 0
+    ),
+    updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    matched AS (
+        SELECT b.o_orderkey,
+               CASE WHEN u.k IS NOT NULL THEN 'update' ELSE 'keep' END
+                   AS action,
+               CAST(FLOOR(COALESCE(u.p, b.o_totalprice) * 100 + 0.5)
+                    AS BIGINT) AS price_cents,
+               COALESCE(u.st, b.o_orderstatus) AS status
+        FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.k
+    ),
+    inserts AS (
+        SELECT u.k AS o_orderkey, 'insert' AS action,
+               CAST(FLOOR(u.p * 100 + 0.5) AS BIGINT) AS price_cents,
+               u.st AS status
+        FROM updates u LEFT JOIN orders b ON u.k = b.o_orderkey
+        WHERE b.o_orderkey IS NULL
+    )
+    SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM inserts)
+    WHERE o_orderkey % 3 = 0
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC upsert semantics without a table format: apply a
+    deterministic change batch (updates for orderkey % 50 = 0, inserts
+    at orderkey + 1e6 for orderkey % 300 = 0) onto the orders snapshot,
+    emitting the merged state with per-row fate (keep/update/insert).
+
+    Scale design — the two MERGE paths cost differently and are planned
+    differently: MATCHED rows ride a broadcast left join (the CDC batch
+    is small by definition; the base fact NEVER shuffles), while
+    NOT-MATCHED detection anti-probes the base on a key-only projection
+    — column pruning makes the anti shuffle 8 bytes/row, not the row.
+    This is what a Delta/Iceberg MERGE plans under the hood, minus the
+    file-level pruning a table format adds (there, the probe narrows to
+    files whose key ranges overlap the batch).  Output bounded by the
+    mirrored % 3 residue (driver-budget rule).
+    """
+    base = load(spark, sf_dir, "orders")
+    upd = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 100.0).alias("p"),
+        F.lit("U").alias("st"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 300 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("k"),
+        (F.col("o_totalprice") * 0.5).alias("p"),
+        F.lit("I").alias("st"),
+    )
+    updates = upd.unionByName(ins)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    matched = base.join(
+        F.broadcast(updates), base.o_orderkey == updates.k, "left"
+    ).select(
+        "o_orderkey",
+        F.when(F.col("k").isNotNull(), "update").otherwise("keep").alias("action"),
+        cents(F.coalesce("p", "o_totalprice")).alias("price_cents"),
+        F.coalesce("st", "o_orderstatus").alias("status"),
+    )
+    inserts = updates.join(
+        base.select("o_orderkey"), updates.k == F.col("o_orderkey"), "left_anti"
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.lit("insert").alias("action"),
+        cents(F.col("p")).alias("price_cents"),
+        F.col("st").alias("status"),
+    )
+    return matched.unionByName(inserts).filter(F.col("o_orderkey") % 3 == 0)
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    WITH lines AS (SELECT text AS value FROM documents WHERE doc_id % 5 = 0)
+    SELECT length(value) AS n_chars,
+           len(list_filter(string_split(lower(value), ' '), t -> t <> ''))
+               AS n_tokens,
+           COUNT(*) AS n_lines
+    FROM lines
+    GROUP BY 1, 2
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text source (``spark.read.text``) — the
+    unstructured half of corpus ingestion: write a document sample out
+    as plain text (one doc per line), read it back as a one-column
+    lines DataFrame, profile it.  Equality against the parquet-derived
+    oracle proves the text round-trip preserves content byte-for-byte.
+
+    Scale design: text sources split by line at arbitrary byte offsets,
+    so a 100 TB dump parallelizes per-block with no schema or footer
+    metadata; the profile agg groups on derived per-line stats, which
+    collapses the corpus to its (length, token-count) signature —
+    map-side combinable, shuffle is histogram-sized.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("text")
+    )
+    path = _scratch_dir("text_lines")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    toks = F.filter(F.split(F.lower(F.col("value")), " "), lambda t: t != "")
+    return (
+        back.select(
+            F.length("value").alias("n_chars"), F.size(toks).alias("n_tokens")
+        )
+        .groupBy("n_chars", "n_tokens")
+        .agg(F.count("*").alias("n_lines"))
+    )
