@@ -367,3 +367,32 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).groupBy("user_id").agg(
         F.max("n_events").alias("n_events")
     )
+
+
+@query("stream_sliding_agg", oracle=None)  # rows-only: streaming mode
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evt_sliding_window executed via Structured Streaming: file-source
+    replay → overlapping 1-hour/15-minute windows → complete-mode memory
+    sink.  Each event updates FOUR window states concurrently — the
+    overlap-fanout stateful shape tumbling windows don't exercise.
+    After the availableNow drain the sink must equal the batch twin
+    exactly (asserted in tests/test_streaming.py)."""
+    src = _stage_events_dir(spark, sf_dir)
+    agg = (
+        _events_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    qname = _run_to_memory(agg, "complete", "sliding_agg")
+    return spark.table(qname).select(
+        (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias(
+            "win_start_s"
+        ),
+        "n",
+        "sum_value_cents",
+    )

@@ -80,3 +80,30 @@ def test_stream_stateful_counter_equals_batch(spark):
     )
     cols = ["user_id", "n_events"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_sliding_agg_equals_batch(spark):
+    # Overlapping-window state fanout: every event updates four 1h/15min
+    # windows; the drained sink must equal the same windows computed in
+    # batch (inline twin — evt_sliding_window aggregates different
+    # columns, so the comparison recomputes count + cents sum here).
+    stream = engine.QUERIES["stream_sliding_agg"](spark, SF_DIR)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias(
+                "win_start_s"
+            ),
+            "n",
+            "sum_value_cents",
+        )
+    )
+    cols = ["win_start_s", "n", "sum_value_cents"]
+    assert _rows(stream, cols) == _rows(batch, cols)
