@@ -443,3 +443,69 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lang_share_bp"),
     )
+
+
+@query(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN {_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")})
+                AS BIGINT) AS total_cents,
+           CAST(FLOOR(10000.0
+                * SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN {_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}
+                      ELSE 0 END)
+                / SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")})
+                + 0.5) AS BIGINT) AS promo_share_bp
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of revenue from
+    promo-type parts per ship month — the ratio-of-aggregates pattern
+    (conditional numerator and unconditional denominator in ONE pass,
+    never two scans).
+
+    Plan shape that must survive 100 TB: the date filter prunes the
+    lineitem scan; the part dim broadcasts (no fact shuffle for the
+    join); both sums ride a single map-side-combinable aggregate.
+    Revenue in exact integer cents; the share divides two exact longs
+    in IEEE double and floor-pins to basis points.  `date_trunc` yields
+    TIMESTAMP in Spark but DATE in DuckDB — cast to DATE on both sides
+    (dialect trap, see engine/functions.py).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    ).alias("promo_cents")
+    total = F.sum(rev).alias("total_cents")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(promo, total)
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            F.floor(
+                10000.0 * F.col("promo_cents") / F.col("total_cents") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("promo_share_bp"),
+        )
+    )

@@ -657,3 +657,50 @@ def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_us"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@query(
+    "evt_inactivity_churn",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+    per_user AS (
+        SELECT user_id, MAX(epoch_us(ts)) AS last_seen_us,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.last_seen_us, p.n_events,
+           CAST(FLOOR((m.max_us - p.last_seen_us) / 86400000000.0)
+                AS BIGINT) AS days_inactive,
+           CAST(CASE WHEN (m.max_us - p.last_seen_us) >= 30 * 86400000000
+                THEN 1 ELSE 0 END AS INTEGER) AS churned
+    FROM per_user p, mx m
+    """,
+)
+def evt_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn detection by inactivity: each user's last-seen time, event
+    count, whole days of inactivity relative to the corpus horizon, and
+    a 30-day churn flag — the retention-ops complement of
+    evt_retention_cohort (which measures who RETURNS; this measures who
+    LEFT).
+
+    Scale design: one map-side-combinable per-user aggregate; the
+    corpus horizon is a 1-row aggregate broadcast into it (cross join
+    of N×1 — no shuffle of the user side).  Exact integer microsecond
+    arithmetic end-to-end; the day floor divides longs in IEEE double
+    (identical on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(us).alias("last_seen_us"), F.count("*").alias("n_events")
+    )
+    mx = ev.agg(F.max(us).alias("max_us"))
+    gap = F.col("max_us") - F.col("last_seen_us")
+    return per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "last_seen_us",
+        "n_events",
+        F.floor(gap / 86400000000.0).cast("long").alias("days_inactive"),
+        F.when(gap >= 30 * 86400000000, 1).otherwise(0).cast("int").alias(
+            "churned"
+        ),
+    )
