@@ -704,3 +704,172 @@ def evt_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned"
         ),
     )
+
+
+@query(
+    "evt_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM bounds
+    ),
+    j AS (
+        SELECT g.event_type, g.h, hr.cents,
+               CASE WHEN hr.cents IS NOT NULL THEN 1 ELSE 0 END AS observed,
+               CASE WHEN hr.cents IS NOT NULL THEN g.h END AS obs_h
+        FROM grid g LEFT JOIN hourly hr
+          ON hr.event_type = g.event_type AND hr.h = g.h
+    ),
+    w AS (
+        SELECT event_type, h, observed, cents,
+               last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+               last_value(obs_h IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+               first_value(obs_h IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j
+    )
+    SELECT event_type, h AS hour_h, CAST(observed AS INTEGER) AS observed,
+           FLOOR((CASE WHEN observed = 1 THEN CAST(cents AS DOUBLE)
+                  ELSE pc + (nc - pc) * CAST(h - ph AS DOUBLE) / (nh - ph)
+                  END) * 10000 + 0.5) / 10000 AS cents_interp
+    FROM w
+    """,
+)
+def evt_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps — the resample mode
+    evt_gap_fill's forward-fill can't express: every empty hour gets
+    the value on the straight line between its nearest observed
+    neighbors (the pandas ``interpolate(method='linear')`` of the
+    distributed world).
+
+    Scale design: the dense grid comes from the per-type bounds dim
+    (sequence+explode, never driver-side); FOUR ignore-nulls window
+    reads (prev/next value and hour) share ONE (type, hour)
+    partitioning — a single shuffle and sort serves both directions,
+    the backward frame reading the same sorted runs.  Boundary rows
+    are observed by construction, so every gap is interior and the
+    lerp denominator is never zero.  All inputs are exact integers
+    (cents, epoch-hours); the lerp divides exact-int doubles and
+    fix4-pins — hash-safe on both engines."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h")
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "cents",
+        F.when(F.col("cents").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("h")).alias("obs_h"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pc = F.last("cents", ignorenulls=True).over(back)
+    ph = F.last("obs_h", ignorenulls=True).over(back)
+    nc = F.first("cents", ignorenulls=True).over(fwd)
+    nh = F.first("obs_h", ignorenulls=True).over(fwd)
+    lerp = pc + (nc - pc) * (F.col("h") - ph).cast("double") / (nh - ph)
+    interp = F.when(F.col("observed") == 1, F.col("cents").cast("double")).otherwise(lerp)
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_h"),
+        F.col("observed").cast("int").alias("observed"),
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000).alias("cents_interp"),
+    )
+
+
+@query(
+    "evt_ab_lift",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+           CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents_a,
+           CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents_b,
+           CAST(FLOOR(10000.0
+                * ((CAST(SUM(CASE WHEN user_id % 2 = 1
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+                    / SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END))
+                   / (CAST(SUM(CASE WHEN user_id % 2 = 0
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)))
+                + 0.5) AS BIGINT) AS lift_bp
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control (A) / treatment
+    (B) by a deterministic id parity, per-event-type mean value compared
+    as treatment-over-control lift in basis points — the
+    experimentation-platform aggregate every product pipeline ships.
+
+    Scale design: both arms are conditional partial sums inside ONE
+    map-side-combinable aggregate over one scan — no per-arm subquery,
+    no join of arm aggregates.  Means divide exact integer cents by
+    exact counts; the lift ratio is written with the identical
+    operation order on both engines, then floor-pinned."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    n_a = F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a")
+    n_b = F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b")
+    cents_a = F.sum(F.when(is_a, cents).otherwise(F.lit(0))).alias("cents_a")
+    cents_b = F.sum(F.when(~is_a, cents).otherwise(F.lit(0))).alias("cents_b")
+    g = ev.groupBy("event_type").agg(n_a, n_b, cents_a, cents_b)
+    mean_a = F.col("cents_a").cast("double") / F.col("n_a")
+    mean_b = F.col("cents_b").cast("double") / F.col("n_b")
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cents_a",
+        "cents_b",
+        F.floor(10000.0 * (mean_b / mean_a) + F.lit(0.5))
+        .cast("long")
+        .alias("lift_bp"),
+    )

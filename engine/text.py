@@ -743,3 +743,79 @@ def text_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_boost"
         ),
     )
+
+
+@query(
+    "text_keywords_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.tok
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok AS token,
+               {_FIX4_SQL.format(expr="tf.tf * (FLOOR(LN(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) / 10000)")} AS tf_idf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        WHERE tf.doc_id % 4 = 0
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf_idf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf_idf DESC, token ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tf_idf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 tokens by tf·idf — the
+    classic unsupervised tagger (and the feature a retrieval index or
+    topic labeller consumes downstream of text_tfidf).
+
+    Scale design: identical single-shuffle tf/df build as text_tfidf
+    (df table and 1-row N broadcast into the big (doc, token) side);
+    the per-doc top-3 is a row_number over the doc partition — k is
+    constant so the window state is bounded, and the pinned-score +
+    token tiebreak makes the cut deterministic on both engines (pinned
+    tf_idf values DO tie; the unique token breaks every tie)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("cnt").cast("double")
+                / F.sum("cnt").over(Window.partitionBy("doc_id"))
+            ).alias("tf"),
+        )
+    )
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "token", _fix4(F.col("tf") * idf).alias("tf_idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf_idf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tf_idf")
+    )
