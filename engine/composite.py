@@ -509,3 +509,60 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promo_share_bp"),
         )
     )
+
+
+@query(
+    "tpch_q19_disjunct",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")})
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity conjunctions across the join — the
+    predicate-shape stress test: Catalyst must extract the common
+    implied filters and push what it can below the join instead of
+    evaluating the full DNF as a post-join residual.
+
+    Plan shape that must survive 100 TB: the extracted per-side
+    disjunctions (brand IN (...) + size range on part, quantity range
+    on lineitem) prune both scans; the part dim broadcasts; the full
+    three-way OR runs as the join residual over already-pruned rows.
+    Single global aggregate, exact cents."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10)
+            & (q <= 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20)
+            & (q <= 50)
+        )
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.filter(cond).agg(
+        F.count("*").alias("n_items"), F.sum(rev).alias("revenue_cents")
+    )

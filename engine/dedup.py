@@ -841,3 +841,66 @@ def _cc_propagate(both: DataFrame, labels: DataFrame) -> DataFrame:
         "connected components did not converge within "
         f"{_CC_MAX_ITERS} rounds — raise _CC_MAX_ITERS (diameter cap)"
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz yy' FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(text, ' zz yy$', '')) AS fp,
+               length(text) AS n_chars
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT doc_id, fp, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY n_chars ASC, doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+        FROM fp
+    )
+    SELECT doc_id AS kept_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the stage AFTER duplicate
+    detection: from each exact-duplicate cluster (content fingerprint
+    over the planted corpus) keep ONE document by a deterministic
+    quality rule (shortest text = the un-mutated original, doc_id as
+    the final tiebreak), report what was kept and how many copies drop.
+    Keep-BEST, not keep-first: arrival order is nondeterministic at
+    scale, content-ranked selection is reproducible.
+
+    Scale design: fingerprint is per-row map work; ranking and cluster
+    size share ONE fp partitioning (single shuffle, two window reads);
+    no join at all — the grouped-ranking form of dedup_exact's
+    hash-first design."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = _neardup_corpus(d).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.col("text"), " zz yy$", "")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ws = Window.partitionBy("fp")
+    return (
+        fp.select(
+            "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(ws).alias("cluster_size"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -873,3 +873,59 @@ def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_bp"),
     )
+
+
+@query(
+    "evt_streaks",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn_all,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rn_type
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, rn_all - rn_type AS island,
+               COUNT(*) AS streak
+        FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM islands GROUP BY user_id, event_type
+    """,
+)
+def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive same-type events per user — the
+    gaps-and-islands pattern (row_number difference trick): two
+    row_numbers over the SAME sort order differ by a constant within
+    each run, so the difference is the island id and no self-join or
+    iterative pass is needed.
+
+    Scale design: both window passes and the island aggregate share the
+    user partitioning — one shuffle; the rn-difference trick turns a
+    sequential-scan problem into per-partition window arithmetic, which
+    is why it survives 100 TB where a loop or self-join would not.
+    Unique (ts, event_id) ordering makes islands deterministic."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_all = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        us, F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    islands = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("streak")
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.max("streak").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )

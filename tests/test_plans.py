@@ -263,3 +263,27 @@ def test_split_and_mixture_window_over_aggregate_only(spark):
         plan = _plan(spark, key)
         assert "Join" not in plan, key
         assert plan.count("Exchange") <= 2, key
+
+
+def test_tpch_q19_disjunction_pushed(spark):
+    # Q19's three OR'd conjunctions: Catalyst must extract the per-side
+    # implied disjunction (quantity bands) and push it to the lineitem
+    # scan rather than evaluate the whole DNF post-join; part broadcasts.
+    plan = _plan(spark, "tpch_q19_disjunct", executed=True)
+    assert "BroadcastHashJoin" in plan
+    assert "Or(" in plan.split("PushedFilters")[1][:400]
+
+
+def test_streaks_single_shuffle_no_join(spark):
+    # Gaps-and-islands via rn-difference: both windows and the island
+    # agg share the user partitioning — join-free, bounded exchanges.
+    plan = _plan(spark, "evt_streaks")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_keep_best_single_shuffle_no_join(spark):
+    # Representative selection: rank and cluster size share one fp
+    # partitioning; no join anywhere in the plan.
+    plan = _plan(spark, "dedup_keep_best")
+    assert "Join" not in plan
