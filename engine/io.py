@@ -533,3 +533,87 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_chars", "n_tokens")
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+def _staged_sink(name: str, sf_dir: str, build) -> str:
+    """Build-once cache for deterministic derived TABLES (same contract
+    as engine.streaming._staged_src: marker written only after `build`
+    completes; inputs are immutable corpus functions, so rebuilding per
+    invocation would charge every bench/verify run pure staging cost)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_io",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(d, "_STAGING_DONE")
+    if os.path.exists(marker):
+        return d
+    import shutil
+
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    build(d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "scan_partition_pruned_join",
+    oracle="""
+    WITH fact AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-06'
+    )
+    SELECT f.order_month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(f.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM fact f JOIN dim d ON f.order_month = d.order_month
+    GROUP BY f.order_month
+    """,
+)
+def scan_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is stored
+    partitioned by month; joining it to a filtered dim on the partition
+    column must prune the fact SCAN to the dim's months at runtime —
+    Spark injects the dim's build-side values as a pruning subquery
+    into the fact scan (``dynamicpruningexpression``, pinned in
+    tests/test_plans.py).
+
+    This is THE 100 TB star-join accelerator: without DPP the fact scan
+    reads every partition and the join discards 90%+ of it; with DPP
+    the scan itself skips non-qualifying partitions — I/O proportional
+    to the dim filter, not the fact size.  The partitioned table stages
+    build-once per corpus (immutable input → marker-cached)."""
+    configure(spark)
+
+    def build(dst: str) -> None:
+        load(spark, sf_dir, "orders").withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        ).write.mode("overwrite").partitionBy("order_month").parquet(dst)
+
+    path = _staged_sink("orders_by_month", sf_dir, build)
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .filter(F.col("order_month").between("1997-01", "1997-06"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+    )

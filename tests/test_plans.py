@@ -287,3 +287,12 @@ def test_keep_best_single_shuffle_no_join(spark):
     # partitioning; no join anywhere in the plan.
     plan = _plan(spark, "dedup_keep_best")
     assert "Join" not in plan
+
+
+def test_dpp_prunes_fact_scan(spark):
+    # Joining the month-partitioned fact to a filtered dim on the
+    # partition column must inject a runtime pruning subquery into the
+    # fact scan (dynamic partition pruning) — not scan-all + join-drop.
+    plan = _plan(spark, "scan_partition_pruned_join", executed=True)
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
