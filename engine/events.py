@@ -929,3 +929,55 @@ def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").cast("long").alias("longest_streak"),
         F.count("*").cast("long").alias("n_streaks"),
     )
+
+
+@query(
+    "evt_pct_change",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, cents,
+           LAG(cents) OVER (PARTITION BY event_type ORDER BY hour)
+               AS prev_cents,
+           CAST(FLOOR(10000.0 * (cents - LAG(cents) OVER (
+                    PARTITION BY event_type ORDER BY hour))
+                / LAG(cents) OVER (PARTITION BY event_type ORDER BY hour)
+                + 0.5) AS BIGINT) AS change_bp
+    FROM hourly
+    """,
+)
+def evt_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour percent change of each event type's value mass —
+    the delta/trend primitive every metrics dashboard derives (NULL
+    change on each series' first hour, exact basis points elsewhere).
+
+    Scale design: hourly rollup is one map-side-combinable agg; the
+    lag and the change expression share one (type, hour-ordered)
+    window partitioning — one shuffle after the rollup.  cents are
+    exact longs; the change ratio divides exact ints in IEEE double
+    and floor-pins, so NULL/zero-denominator rows (none in this
+    corpus: every observed hour has positive mass) and sign handling
+    mirror exactly."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("cents").over(w)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "cents",
+        prev.alias("prev_cents"),
+        F.floor(10000.0 * (F.col("cents") - prev) / prev + F.lit(0.5))
+        .cast("long")
+        .alias("change_bp"),
+    )

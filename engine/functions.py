@@ -13,7 +13,11 @@ pins the exact Spark↔DuckDB semantic mapping inline:
 - transcendentals (ln/log10/power) may differ in the last ulp across
   libm implementations → pinned to 4 decimals via the deterministic
   floor(x*1e4+0.5)/1e4 form on both sides; sqrt is IEEE-correctly-rounded
-  and stays raw.
+  and stays raw;
+- integer division: DuckDB ``/`` on BIGINTs yields DOUBLE (so
+  ``epoch(..)/3600`` silently becomes fractional — bit evt_interpolate_
+  linear's grid build); use ``//`` in DuckDB ↔ ``(a / b).cast("long")``
+  in Spark (both floor for non-negative operands).
 """
 
 from __future__ import annotations
