@@ -981,3 +981,53 @@ def evt_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("change_bp"),
     )
+
+
+@query(
+    "evt_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                   AS t1,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                   AS t2
+        FROM events
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           COUNT(*) AS cnt
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY cnt DESC, path ASC
+    LIMIT 10
+    """,
+)
+def evt_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across all user journeys — the
+    3-step sequence-mining readout (what evt_path_transitions' 1st-order
+    Markov matrix can't see: WHICH multi-step flows actually dominate).
+
+    Scale design: both leads share one (user, time)-ordered window
+    partitioning (single shuffle); path counting is map-side
+    combinable at path-vocabulary cardinality, and the top-10 with the
+    path tiebreak compiles to TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(10)
+    )

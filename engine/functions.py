@@ -433,3 +433,42 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(FLOOR(l_quantity / (l_linenumber - 1) * 10000
+                          + 0.5) AS BIGINT) END AS qty_per_prior_line_e4,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                     AS BIGINT) END AS unit_cents,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: Spark 4 runs ANSI SQL by
+    default, so plain ``/`` by zero and overflowing casts THROW
+    mid-job — a single bad row kills a 100 TB stage.  The ``try_*``
+    family (here ``try_divide``) returns NULL instead, which is the
+    production posture for dirty data; the oracle mirrors with
+    explicit zero guards.  The first divisor (l_linenumber - 1) IS
+    zero on every first line — the NULL path is exercised for real.
+
+    Per-row map work only; the residue filter bounds verified rows."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    qpp = F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1)
+    unit = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(qpp * 10000 + F.lit(0.5)).cast("long").alias(
+            "qty_per_prior_line_e4"
+        ),
+        F.floor(unit * 100 + F.lit(0.5)).cast("long").alias("unit_cents"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    )
