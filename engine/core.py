@@ -66,3 +66,35 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set(key, prev)
+
+
+def staged_build_once(base: str, name: str, sf_dir: str, build) -> str:
+    """Build-once cache for deterministic staged directories (streaming
+    replay sources, derived partitioned tables).
+
+    The staged artifacts are pure functions of the immutable corpus, so
+    rebuilding per invocation charges every bench/verify run pure
+    staging cost.  A `_STAGING_DONE` marker is written only after
+    ``build`` completes — partial stages are never reused — and
+    `_`-prefixed files are invisible to Spark's parquet file source.
+    Sinks and checkpoints must NOT be cached — only inputs.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        base,
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(d, "_STAGING_DONE")
+    if os.path.exists(marker):
+        return d
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    build(d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d

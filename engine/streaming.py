@@ -53,32 +53,13 @@ def _scratch(name: str) -> str:
 
 
 def _staged_src(name: str, sf_dir: str, build) -> str:
-    """Build-once cache for deterministic staged SOURCE directories.
+    """Build-once cache for deterministic staged SOURCE directories —
+    phased replay fixtures (watermark phases, doubled events, split
+    halves) are pure functions of the immutable corpus (shared
+    contract: engine.core.staged_build_once)."""
+    from engine.core import staged_build_once
 
-    The phased replay fixtures (watermark phases, doubled events, split
-    halves) are pure functions of the immutable corpus — rebuilding them
-    on every invocation charged each stream key 1-4 Spark write jobs of
-    pure staging cost per bench/verify run.  A `_STAGING_DONE` marker
-    (written only after `build` completes, so partial stages are never
-    reused; `_`-prefixed files are invisible to the parquet file source)
-    makes staging once-per-corpus.  Sinks and checkpoints are NOT cached
-    — only inputs.
-    """
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    marker = os.path.join(d, "_STAGING_DONE")
-    if os.path.exists(marker):
-        return d
-    if os.path.exists(d):
-        shutil.rmtree(d)
-    os.makedirs(d, exist_ok=True)
-    build(d)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return d
+    return staged_build_once("spark_graft_stream", name, sf_dir, build)
 
 
 _PHASE_EPOCH = 1_600_000_000  # fixed base for explicit phase mtimes

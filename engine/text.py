@@ -161,7 +161,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     *before* the product so the ln ulp-drift can't leak into tf_idf.
     The df table and the 1-row N are broadcast — the big (doc,token)
     side never reshuffles for the joins."""
-    d = load(spark, sf_dir, "documents")
+    # df/idf stay corpus-wide; the residue filter bounds only the
+    # verified output rows (engine/io.py note)
+    return _tfidf_scored(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 0
+    )
+
+
+def _tfidf_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, token, idf, tf_idf) over the whole corpus — the shared
+    scoring frame behind text_tfidf and text_keywords_topk.  The idf is
+    fix4-pinned BEFORE the tf product (load-bearing for hash parity:
+    ln() ulp drift must not leak into tf_idf); the df table and 1-row N
+    broadcast so the big (doc, token) side never reshuffles."""
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = (
         tok.groupBy("doc_id", "token")
@@ -175,8 +187,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
-    # df/idf stay corpus-wide; the residue filter bounds only the
-    # verified output rows (engine/io.py note)
     return (
         tf.join(F.broadcast(df_tbl), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -186,7 +196,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             idf.alias("idf"),
             _fix4(F.col("tf") * idf).alias("tf_idf"),
         )
-        .filter(F.col("doc_id") % 2 == 0)
     )
 
 
@@ -788,28 +797,10 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant so the window state is bounded, and the pinned-score +
     token tiebreak makes the cut deterministic on both engines (pinned
     tf_idf values DO tie; the unique token breaks every tie)."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "doc_id",
-            "token",
-            (
-                F.col("cnt").cast("double")
-                / F.sum("cnt").over(Window.partitionBy("doc_id"))
-            ).alias("tf"),
-        )
-    )
-    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
     scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .crossJoin(F.broadcast(n_docs))
+        _tfidf_scored(load(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") % 4 == 0)
-        .select("doc_id", "token", _fix4(F.col("tf") * idf).alias("tf_idf"))
+        .select("doc_id", "token", "tf_idf")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf_idf"), F.asc("token")
