@@ -1031,3 +1031,40 @@ def evt_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "evt_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n,
+           CAST(FLOOR(10000.0 * COUNT(*) / SUM(COUNT(*)) OVER () + 0.5)
+                AS BIGINT) AS share_bp
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heatmap: event volume by (ISO day-of-week,
+    hour-of-day) with each cell's share of total traffic — the
+    seasonality profile capacity planning and anomaly baselines read.
+
+    Scale design: one map-side-combinable agg collapses the stream to
+    ≤168 cells; the share window runs over that constant-size frame.
+    Spark's dayofweek() is 1=Sunday — weekday()+1 mirrors DuckDB's
+    isodow (1=Monday), the fn_date_parts dialect pin."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy(F.lit(0)))
+    return agg.select(
+        "iso_dow",
+        "hour_of_day",
+        "n",
+        F.floor(10000.0 * F.col("n") / total + F.lit(0.5))
+        .cast("long")
+        .alias("share_bp"),
+    )
