@@ -810,3 +810,91 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "rk", "token", "tf_idf")
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               {_TOKENS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT DISTINCT source, doc_id, t.tok
+        FROM base, UNNEST(toks) AS t(tok)
+    ),
+    fo AS (
+        SELECT source, tok, MIN(doc_id) AS first_doc
+        FROM tok GROUP BY source, tok
+    ),
+    new_per_doc AS (
+        SELECT source, first_doc AS doc_id, COUNT(*) AS n_new
+        FROM fo GROUP BY source, first_doc
+    ),
+    per_doc AS (
+        SELECT b.source, b.doc_id,
+               len(b.toks) AS n_tok,
+               COALESCE(n.n_new, 0) AS n_new
+        FROM base b LEFT JOIN new_per_doc n
+          ON n.source = b.source AND n.doc_id = b.doc_id
+    )
+    SELECT source, doc_id,
+           CAST(SUM(n_tok) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(n_new) OVER w AS BIGINT) AS vocab_cum
+    FROM per_doc
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY doc_id % 5 = 0
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve per source: cumulative
+    token mass vs cumulative DISTINCT vocabulary as each source's
+    stream is consumed in doc order — the curve tokenizer sizing and
+    corpus-diversity checks read (a flattening curve = repetitive
+    source).
+
+    Cumulative-distinct cannot ride a window (distinct state isn't
+    subtractable) — the engine shape is first-occurrence attribution:
+    min(doc_id) per (source, token) marks each token's debut, debut
+    counts roll up per doc, and a plain cumulative SUM over the
+    per-doc frame reproduces the running vocabulary exactly.
+
+    Scale design: the explode collapses to per-doc distinct tokens
+    before any shuffle; two map-side-combinable aggs; the cumsum
+    window partitions by source (at 100 TB: source × epoch-shard with
+    carry-in offsets).  All-integer outputs — no FP anywhere."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id", _tokens(F.col("text")).alias("toks"))
+    tok = base.select(
+        "source", "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    fo = tok.groupBy("source", "tok").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = fo.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_new")
+    )
+    per_doc = (
+        base.select("source", "doc_id", F.size("toks").alias("n_tok"))
+        .join(new_per_doc, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_doc.select(
+            "source",
+            "doc_id",
+            F.sum("n_tok").over(w).cast("long").alias("tokens_cum"),
+            F.sum("n_new").over(w).cast("long").alias("vocab_cum"),
+        )
+        .filter(F.col("doc_id") % 5 == 0)
+    )

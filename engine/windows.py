@@ -308,3 +308,84 @@ def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "win_rolling_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, hour, cents,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour, cents,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+               FLOOR((CAST(n AS DOUBLE) * cents - s1)
+                     / SQRT(CAST(n AS DOUBLE) * (n * s2 - s1 * s1))
+                     * 10000 + 0.5) / 10000
+           END AS zscore
+    FROM win WHERE n = 24
+    """,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each hour's value mass vs the trailing
+    24-hour mean/std of its event type — the online complement of
+    evt_anomaly_mad's global robust gate.
+
+    Determinism design: windowed ``stddev`` would sum DOUBLES in
+    engine-specific order (hash lottery) — instead the frame carries
+    EXACT integer sums (Σx, Σx², both long: cents < 2^31, 24·cents²
+    < 2^63) and the z-score is derived algebraically,
+    z = (n·x − Σx) / sqrt(n·(n·Σx² − (Σx)²)), one double division and
+    one correctly-rounded sqrt from exact integers → bit-identical,
+    then fix4-pinned.  Warm-up rows (frame < 24h) are excluded on both
+    sides; zero-variance frames yield NULL via the guard.
+
+    Scale design: one rollup agg, then a single (type, hour) window
+    partitioning carries all three frame sums."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    win = hourly.select(
+        "event_type",
+        "hour",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("s2"),
+    )
+    disc = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n").cast("double") * F.col("cents") - F.col("s1")) / F.sqrt(
+        F.col("n").cast("double") * disc
+    )
+    return (
+        win.filter(F.col("n") == 24)
+        .select(
+            "event_type",
+            "hour",
+            "cents",
+            F.when(disc > 0, F.floor(z * 10000 + F.lit(0.5)) / 10000).alias(
+                "zscore"
+            ),
+        )
+    )
