@@ -566,3 +566,216 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         F.count("*").alias("n_items"), F.sum(rev).alias("revenue_cents")
     )
+
+
+@query(
+    "tpch_q6_forecast",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM({_CENTS_SQL.format(expr="l_extendedprice * l_discount")}) AS BIGINT)
+               AS revenue_delta_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): pure scan-filter-agg —
+    the canonical predicate-pushdown benchmark.  What discount revenue
+    would be recovered if mid-band discounts on small quantities were
+    dropped for one shipping year.
+
+    Plan shape that must survive 100 TB: ALL four predicates reach the
+    parquet scan as PushedFilters (date range + discount band + quantity
+    cap — every one is a plain column comparison, nothing hides behind
+    an expression); zero joins, zero shuffles beyond the 1-row final
+    aggregate of map-side partials.  Delta revenue in exact integer
+    cents per item before summing (order-independent long adds)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_delta_cents"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders from one half-year
+    that had at least one line shipped >90 days after the order date
+    (the corpus has no commit/receipt dates — late shipping is the
+    adapted lateness predicate), counted per priority class.
+
+    Plan shape that must survive 100 TB: the date filter prunes the
+    orders scan BEFORE the semi join; LEFT SEMI keeps the probe side at
+    most one output row per order (no multiplicity to re-distinct); the
+    cross-side lateness predicate (l_shipdate > o_orderdate + 90d) rides
+    the join condition, so Spark evaluates it during the hash probe, not
+    as a post-join filter.  5-row aggregate of map-side partials."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM({_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trading nations):
+    revenue per (supplier nation, customer nation, ship year) restricted
+    to the two directed pairs between NATION_1 and NATION_2.
+
+    Plan shape that must survive 100 TB: both nation filters are pushed
+    INTO the dims before any fact join — supplier shrinks to ~2/25 and
+    broadcasts into lineitem (~8% of the fact survives the first probe),
+    customer shrinks to ~2/25 and broadcasts into orders (~8% survive)
+    — so the only shuffle, lineitem⋈orders on orderkey, moves two
+    already-decimated sides.  The directed-pair disjunction runs as a
+    residual over that join's output, not a post-aggregate filter.
+    Joining unfiltered facts first and filtering nations last would
+    shuffle 12.5× the data for identical output."""
+    pair = ("NATION_1", "NATION_2")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    directed = (
+        (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
+    ) | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(directed)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds 300, with their customer, priced, top 20 by value.
+
+    Plan shape that must survive 100 TB: the HAVING aggregate runs on
+    lineitem ALONE first (map-side partial sums on the natural orderkey
+    clustering) and survives only a tiny fraction of orders — that
+    survivor set, not raw lineitem, joins orders; at this corpus the
+    survivor side broadcasts outright.  Customer broadcasts as always.
+    The LIMIT compiles to TakeOrderedAndProject with the unique orderkey
+    tiebreak.  sum_qty is integral-valued double (quantities are whole
+    numbers ≤ 50, exact in IEEE) so the BIGINT cast is lossless on both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_d"))
+        .filter(F.col("qty_d") > 300)
+        .select("l_orderkey", F.col("qty_d").cast("long").alias("sum_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )

@@ -296,3 +296,45 @@ def test_dpp_prunes_fact_scan(spark):
     plan = _plan(spark, "scan_partition_pruned_join", executed=True)
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_all_predicates_pushed_no_join(spark):
+    # Q6 is the canonical pushdown benchmark: every predicate is a plain
+    # column comparison, so ALL of them must reach the parquet scan.
+    # (The metadata string elides past 100 chars by default — raise the
+    # limit for the assertion, or the later filters vanish into "...".)
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try:
+        plan = _plan(spark, "tpch_q6_forecast")
+    finally:
+        spark.conf.set(key, prev)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_tpch_q4_semi_join_with_cross_side_residual(spark):
+    # The EXISTS compiles to LEFT SEMI with the lateness predicate inside
+    # the join (probe-time evaluation), never a post-join filter+distinct.
+    plan = _plan(spark, "tpch_q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_tpch_q7_dims_broadcast_single_fact_shuffle(spark):
+    # Both nation-filtered dims broadcast; the only shuffle join is
+    # lineitem⋈orders (plus the final tiny aggregate exchange).
+    plan = _plan(spark, "tpch_q7_nation_volume", executed=True)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q18_takeordered_having_before_join(spark):
+    # Top-20 compiles to TakeOrderedAndProject; the HAVING aggregate runs
+    # on lineitem alone (hash-agg below the join, never join-then-agg).
+    plan = _plan(spark, "tpch_q18_large_orders", executed=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
