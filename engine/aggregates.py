@@ -538,3 +538,79 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sx,
+               SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS sxy,
+               SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sxx,
+               SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS syy
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(
+               ((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))
+               / SQRT(((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * sx))
+                      * ((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy)))
+               * 10000 + 0.5) AS BIGINT) AS corr_e4,
+           CAST(FLOOR(
+               ((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+               * 10000 + 0.5) AS BIGINT) AS cov_e4
+    FROM s ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of quantity vs price per
+    (returnflag, linestatus) — computed from EXACT integer power sums,
+    not the engines' native ``corr``/``covar_samp``.
+
+    Why not F.corr: both engines implement streaming co-moment updates
+    whose FP result depends on accumulation order — Spark's parallel
+    partials and DuckDB's serial scan disagree in late ulps, a hash
+    lottery.  Here the five power sums are longs (order-independent,
+    exact — inputs are integral-valued after the half-up pin, bounded so
+    no ANSI overflow: qty ≤ 50, whole-dollar price ≤ ~1.1e5, so syy per
+    group stays < 2^63 up to ~sf100), and the closing corr/cov formulas
+    are a FIXED sequence of IEEE double ops on identical exact inputs —
+    bit-identical across engines, then floor-pinned to 1e-4.
+
+    Scale design: one map-side-combinable aggregate over the fact scan;
+    the closing math runs on |groups| rows.  This is the sufficient-
+    statistics pattern every distributed stats engine uses (merge = add
+    the power sums), the same shape a 1000-executor cluster wants."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = (nd * F.col("sxy")) - (F.col("sx").cast("double") * F.col("sy"))
+    varx = (nd * F.col("sxx")) - (F.col("sx").cast("double") * F.col("sx"))
+    vary = (nd * F.col("syy")) - (F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.floor(num / F.sqrt(varx * vary) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("corr_e4"),
+        F.floor(num / (nd * (nd - F.lit(1.0))) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("cov_e4"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -898,3 +898,82 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") % 5 == 0)
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.tok
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    lp AS (
+        SELECT cnt.tok,
+               CAST(FLOOR(-LN(CAST(cnt.c AS DOUBLE) / tot.n) * 10000 + 0.5)
+                    AS BIGINT) AS nll_e4
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp.nll_e4) AS BIGINT) AS total_nll_e4,
+           CAST(FLOOR(CAST(SUM(lp.nll_e4) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS avg_nll_e4
+    FROM tok JOIN lp ON tok.tok = lp.tok
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram flavor: fit a unigram LM
+    on the corpus itself (token count / total count), then score every
+    document by its average negative log-likelihood — the classic
+    perplexity-proxy filter a pretraining pipeline runs to rank docs by
+    "typicality" (low avg NLL ≈ common language, high ≈ rare/garbled).
+
+    Determinism discipline (CLAUDE.md): ln() is the ONLY transcendental
+    — each token's NLL is floor-pinned to integer ten-thousandth-nats
+    immediately, and everything after is exact long arithmetic (sums
+    are order-independent, so Spark's partial aggs and DuckDB's serial
+    fold agree bit-for-bit); the final average is ONE IEEE division of
+    two exact longs, then floor-pinned.
+
+    Scale design (100 TB): the unigram table is a map-side-combinable
+    count (vocab ≪ corpus) and BROADCASTS into the (doc, token) stream —
+    the big side never shuffles for the model join; per-doc scoring is
+    one partial-agg pass.  At real scale the vocab table would be
+    frequency-truncated with an <unk> bucket; this corpus' vocab is
+    bounded so the full table broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("n")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_e4"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("nll_e4").alias("total_nll_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_nll_e4",
+            F.floor(
+                F.col("total_nll_e4").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_nll_e4"),
+        )
+        .orderBy("doc_id")
+    )
