@@ -401,45 +401,74 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<bigint>")
+    def _top_cids(emb, cs):  # (embeddings, packed centroids) -> top cids
+        # cs is the SAME 1-row packed centroid array repeated per row
+        # (broadcast crossJoin) — parse once per batch.  Vectorized
+        # argmin over all K centroids in one matmul: the first cut
+        # crossJoined every vector with every centroid and folded the
+        # cosine with Catalyst HOFs per pair (~interpreted 4k boxed ops
+        # per pair) plus a row_number shuffle — measured 3.8 s at sf0.1
+        # for 32k pairs; the batch form is map-only, no shuffle.
+        first = cs.iloc[0]
+        cids = np.array([c["cid"] for c in first], dtype=np.int64)
+        C = np.stack([np.asarray(c["c_emb"], dtype=np.float64) for c in first])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # Same pinning as the old sim_key: floor(sim*1e6+0.5), tiebreak
+        # smaller cid first — identical argmin semantics, batch-wide.
+        keys = np.floor(mn @ Cn.T * 1_000_000 + 0.5).astype(np.int64)
+        order = np.lexsort((np.broadcast_to(cids, keys.shape), -keys), axis=1)
+        top = cids[order[:, :_IVF_PROBES]]
+        return pd.Series(list(top))
+
     def nearest(df: DataFrame, cents: DataFrame, out: str) -> DataFrame:
-        # df ⋈ broadcast(centroids) → argmin by (distance, cid) per row.
-        dot = _dot(F.col("embedding"), F.col("c_emb"))
-        sim = dot / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim_key"), F.asc("cid"))
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "cid",
-                F.floor(sim * 1000000 + F.lit(0.5)).alias("sim_key"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= (1 if out == "cid" else _IVF_PROBES))
-            .select("vec_id", "embedding", "cid")
+        # df ⋈ broadcast(1-row packed centroids) → per-row vectorized
+        # argmin by (pinned sim desc, cid asc); map-only, no shuffle.
+        packed = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c_emb"))).alias("cs")
         )
+        top = df.crossJoin(F.broadcast(packed)).select(
+            "vec_id", "embedding", _top_cids("embedding", "cs").alias("tc")
+        )
+        if out == "cid":
+            return top.select(
+                "vec_id", "embedding", F.element_at("tc", 1).alias("cid")
+            )
+        return top.select("vec_id", "embedding", F.explode("tc").alias("cid"))
 
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    for _ in range(_IVF_ITERS):
-        assigned = nearest(e, cents, "cid")
-        cents = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("comp").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
-                ).alias("c_emb")
+    # Eager checkpoints inside the scoped block: the Lloyd stages (tiny
+    # 16×64 reduces) run NOW at 8 shuffle partitions and their lineage
+    # is truncated; the final search plan below executes later under
+    # the caller's conf.  Lazy checkpoints would defer every Lloyd
+    # stage into the final action — replayed at 32 partitions.
+    from engine.core import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        for _ in range(_IVF_ITERS):
+            assigned = nearest(e, cents, "cid")
+            cents = (
+                assigned.select(
+                    "cid", F.posexplode("embedding").alias("pos", "comp")
+                )
+                .groupBy("cid", "pos")
+                .agg(F.avg(F.col("comp").cast("double")).alias("m"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"].cast("float"),
+                    ).alias("c_emb")
+                )
+                .localCheckpoint(eager=True)
             )
-            # Truncate lineage between iterations (executor-side
-            # materialization of the 16-row centroid table) — without
-            # this every later stage replays the whole Lloyd chain.
-            .localCheckpoint(eager=False)
-        )
 
     inverted = nearest(e, cents, "cid").select(
         F.col("vec_id").alias("neighbor_id"),
