@@ -614,3 +614,74 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cov_e4"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(c) AS n FROM cell GROUP BY 1
+    ),
+    term AS (
+        SELECT cell.event_type, cell.c, tot.n,
+               CAST(FLOOR(-LN(CAST(cell.c AS DOUBLE) / tot.n) * 10000 + 0.5)
+                    AS BIGINT) AS nll_e4
+        FROM cell JOIN tot ON cell.event_type = tot.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_cells,
+           CAST(FLOOR(CAST(SUM(c * nll_e4) AS DOUBLE) / MAX(n) + 0.5) AS BIGINT)
+               AS entropy_e4
+    FROM term GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats, ×1e4) of each event type's hour-of-day
+    distribution — the information-theoretic uniformity score a data-
+    quality pipeline uses to flag skewed traffic (entropy ≈ ln 24 ⇒
+    evenly spread; ≈ 0 ⇒ single-hour spike).
+
+    Determinism discipline: ln() is pinned per CELL to integer
+    ten-thousandth-nats; Σ c·nll_e4 is exact long arithmetic
+    (order-independent), and the close is one IEEE division of exact
+    longs, floor-pinned — the same exact-sufficient-statistics pattern
+    as agg_corr_exact / text_unigram_logprob.
+
+    Scale design: two map-side-combinable counts (cells ≪ events); the
+    entropy close runs on |types|×24 rows.  Mergeable across shards by
+    adding cell counts — the sketch-free form of distributed entropy."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").alias("c")
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("c").alias("n"))
+    term = cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "c",
+        "n",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("n")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_e4"),
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count("*").alias("n_cells"),
+            F.floor(
+                F.sum(F.col("c") * F.col("nll_e4")).cast("double") / F.max("n")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("entropy_e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -7,7 +7,7 @@ every filter below into the parquet scan (PushedFilters) and prunes columns
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import query
@@ -415,4 +415,58 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(keep, cents).otherwise(0)).alias("kept_price_cents"),
+    )
+
+
+@query(
+    "sample_group_reservoir",
+    oracle="""
+    WITH keyed AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               md5(CAST(c_custkey AS VARCHAR)) AS hk
+        FROM customer
+    ),
+    ranked AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY hk, c_custkey) AS rn
+        FROM keyed
+    )
+    SELECT c_mktsegment, c_custkey,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample — exactly k rows per
+    group, stable across restarts, partition layouts, and engines: the
+    distributed stand-in for reservoir sampling that a training-data
+    pipeline uses to pull balanced per-domain eval slices.  The "random"
+    order is md5 of the unique key (proven cross-engine by fn_hash_md5),
+    NOT .sample() whose RNG is partition-layout-dependent and not
+    per-group exact.
+
+    Scale design: rank-within-group is one shuffle on the group key; at
+    100 TB the pre-filter `hk < bound` (a per-group quantile of the hash
+    domain, computable from a count) drops ~all rows before the sort —
+    the classic top-k-by-hash pushdown; Spark's partial TakeOrderedAndProject
+    within partitions already bounds the per-partition sort to k."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_cents"),
+            "rn",
+        )
+        .orderBy("c_mktsegment", "rn")
     )

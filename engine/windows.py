@@ -389,3 +389,87 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, c_custkey, rev_cents,
+               SUM(rev_cents) OVER (
+                   PARTITION BY segment ORDER BY rev_cents DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+               SUM(rev_cents) OVER (PARTITION BY segment) AS tot_cents
+        FROM rev
+    )
+    SELECT segment, c_custkey, rev_cents,
+           CAST(FLOOR(10000.0 * cum_cents / tot_cents + 0.5) AS BIGINT)
+               AS cum_share_bp,
+           CASE WHEN FLOOR(10000.0 * cum_cents / tot_cents + 0.5) <= 8000
+                THEN 'A'
+                WHEN FLOOR(10000.0 * cum_cents / tot_cents + 0.5) <= 9500
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM ranked
+    WHERE c_custkey % 3 = 0
+    ORDER BY segment, cum_share_bp, c_custkey
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: rank customers by revenue
+    within their market segment, accumulate the running revenue share,
+    and bucket A (first 80% of segment revenue), B (to 95%), C (tail) —
+    the classic 80/20 report every revenue-ops workload runs.
+
+    Determinism: revenue in exact integer cents; the running share is
+    ONE IEEE division of exact longs per row, floor-pinned to basis
+    points; the cumsum frame carries the unique custkey tiebreak so
+    equal-revenue customers accumulate in a fixed order.
+
+    Scale design: the heavy fact scan collapses to one row per
+    (segment, customer) via a map-side-combinable agg BEFORE any window;
+    both windows share the segment partitioning — one shuffle.  The
+    windows partition by segment, never globally; at 100 TB with a
+    single giant segment the two-pass form (range-bucket the revenue
+    domain, cumsum bucket totals, add within-bucket offsets) replaces
+    the per-partition sort.  Residue slice bounds verified rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("rev_cents")
+        )
+    )
+    cum_w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("segment")
+    share_bp = F.floor(
+        10000.0 * F.sum("rev_cents").over(cum_w) / F.sum("rev_cents").over(tot_w)
+        + F.lit(0.5)
+    )
+    return (
+        rev.select(
+            "segment",
+            "c_custkey",
+            "rev_cents",
+            share_bp.cast("long").alias("cum_share_bp"),
+            F.when(share_bp <= 8000, "A")
+            .when(share_bp <= 9500, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .filter(F.col("c_custkey") % 3 == 0)
+        .orderBy("segment", "cum_share_bp", "c_custkey")
+    )
