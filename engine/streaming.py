@@ -377,3 +377,74 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value_cents",
     )
+
+
+@query("stream_stream_join", oracle=None)  # rows-only: streaming mode
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the flagship Structured Streaming
+    operator the windowed-agg keys don't exercise: correlate each click
+    with the same user's purchases within the next 30 minutes, both
+    sides unbounded streams.
+
+    Both sides carry a 1-hour watermark and the join condition carries
+    the time band, so Spark derives a state-eviction horizon for each
+    side (left rows are held only until watermark > l_ts + 30 min) —
+    WITHOUT the band + watermarks the state store would grow forever;
+    with them state is bounded by (event rate × ~1.5 h) per side
+    regardless of stream length.  The replay is phased 3 ways
+    (maxFilesPerTrigger=1, monotone mtimes) so boundary-crossing pairs
+    genuinely exercise cross-microbatch state: a click arriving in
+    phase i matches a purchase arriving in phase i+1 — the watermark
+    lag keeps exactly those rows alive across the batch seam.
+
+    The drained append-mode sink must equal the batch join exactly
+    (tests/test_streaming.py: inline batch twin) — phases are
+    time-ordered, so no on-time pair is ever evicted early.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    us = F.unix_micros(F.col("ts"))
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        third = (hi - lo) // 3 + 1
+        stamped: set[str] = set()
+        for i in range(3):
+            ev.filter(
+                (us >= lo + i * third) & (us < lo + (i + 1) * third)
+            ).coalesce(1).write.mode("append").parquet(src)
+            _stamp_phase(src, i, stamped)
+
+    src = _staged_src("ss_join", sf_dir, build)
+
+    def side(prefix: str, etype: str) -> DataFrame:
+        return (
+            _events_stream(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("l", "click").join(
+        side("r", "purchase"),
+        F.expr(
+            "l_user = r_user AND r_ts >= l_ts "
+            "AND r_ts <= l_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    qname = _run_to_memory(joined, "append", "ss_join")
+    return spark.table(qname).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
+        .cast("long")
+        .alias("lag_s"),
+    )

@@ -107,3 +107,41 @@ def test_stream_sliding_agg_equals_batch(spark):
     )
     cols = ["win_start_s", "n", "sum_value_cents"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    # Stream-stream inner join with watermarks + time band: the drained
+    # append sink must equal the same join computed in batch — including
+    # the pairs that cross the 3-phase microbatch seams (cross-batch
+    # join state), which the time-ordered replay must never evict early.
+    stream = engine.QUERIES["stream_stream_join"](spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("user_id"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    batch = (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
+            .cast("long")
+            .alias("lag_s"),
+        )
+    )
+    cols = ["user_id", "click_id", "purchase_id", "lag_s"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
