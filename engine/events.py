@@ -820,8 +820,10 @@ def evt_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_ab_lift",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-           SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
            CAST(SUM(CASE WHEN user_id % 2 = 0
                     THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                     ELSE 0 END) AS BIGINT) AS cents_a,

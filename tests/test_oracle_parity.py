@@ -63,6 +63,29 @@ def _normalize(columns, rows):
     return cols, out
 
 
+ORACLE_KEYS = sorted(engine.ORACLES)
+
+# DuckDB output types whose pandas/arrow conversion is lossless and
+# matches Spark's: anything else (HUGEINT from bare SUM(int), DECIMAL,
+# BOOLEAN) degrades to float/object in the driver's canonicalizer and
+# hash-mismatches even when values are equal (r3: evt_ab_lift — the
+# only non-green key of the round — had uncast SUM(CASE...) counts).
+_DUCK_SAFE = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP_NS",
+}
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_oracle_output_types(key, duck):
+    desc = duck.execute(f"DESCRIBE ({engine.ORACLES[key]})").fetchall()
+    bad = [(n, t) for n, t, *_ in desc if t not in _DUCK_SAFE]
+    assert not bad, (
+        f"{key}: oracle output columns {bad} are outside the DuckDB-safe "
+        f"type set — CAST(... AS BIGINT/DOUBLE/VARCHAR) in the oracle SQL"
+    )
+
+
 @pytest.mark.parametrize("key", KEYS)
 def test_parity(key, spark, duck):
     df = engine.QUERIES[key](spark, SF_DIR)
