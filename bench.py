@@ -68,8 +68,10 @@ def main() -> None:
         "dedup_connected_components",
         "pipeline_corpus_clean",
     }
+    only = os.environ.get("SPARK_GRAFT_KEYS")
+    keys = sorted(only.split(",")) if only else sorted(engine.QUERIES)
     times: dict[str, float] = {}
-    for key in sorted(engine.QUERIES):
+    for key in keys:
         t0 = time.perf_counter()
         df = engine.QUERIES[key](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -80,7 +82,10 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     sf = _sf_from_dir(SF_DIR)
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        # A filtered A/B run must not clobber the committed full-map
+        # anchor the driver ordering and BASELINE.md lean on.
+        "bench_full.json" if not only else "bench_partial.json",
     )
     with open(full_path, "w") as f:
         json.dump(

@@ -88,13 +88,28 @@ def staged_build_once(base: str, name: str, sf_dir: str, build) -> str:
         base,
         f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    # The corpus is immutable WITHIN a round but the driver regenerates
+    # it BETWEEN rounds (r4 rolled events.ts from ns to µs) — a marker
+    # that never expires would replay stale data.  Fingerprint the
+    # source directory (name/size/mtime per file) into the marker and
+    # rebuild on any mismatch.
+    try:
+        fp = ",".join(
+            f"{f}:{st.st_size}:{st.st_mtime_ns}"
+            for f in sorted(os.listdir(sf_dir))
+            if (st := os.stat(os.path.join(sf_dir, f)))
+        )
+    except OSError:
+        fp = "unknown"
     marker = os.path.join(d, "_STAGING_DONE")
     if os.path.exists(marker):
-        return d
+        with open(marker) as f:
+            if f.read() == fp:
+                return d
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     build(d)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return d

@@ -67,12 +67,26 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one corpus table; normalizes events.ts ns→µs TimestampType."""
+    """Read one corpus table; normalizes events.ts to µs TimestampType.
+
+    The driver has shipped events.ts as BOTH parquet timestamp[ns]
+    (rounds 1-3: reads as bigint under nanosAsLong) and timestamp[us]
+    with isAdjustedToUTC=false (round 4: reads as TIMESTAMP_NTZ).  Every
+    downstream operator assumes session-UTC TimestampType (unix_micros
+    rejects NTZ), so both encodings fold to the same LTZ wall-clock here
+    — the session timezone is pinned UTC by configure(), which makes the
+    NTZ→LTZ cast value-preserving and DuckDB-identical.
+    """
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 epoch-nanos → integer µs division (exact; no double round-trip)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # int64 epoch-nanos → integer µs division (exact; no double
+            # round-trip)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
