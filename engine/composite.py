@@ -779,3 +779,67 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query("pack_bin_firstfit", oracle=None)  # rows-only: FFD is imperative
+def pack_bin_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing — the tighter sibling of
+    pack_concat_chunks: instead of cutting one concatenated stream,
+    place each document (longest first) into the first 512-token bin
+    with room, opening a new bin when none fits.  This is the packing
+    a finetuning dataloader uses to minimize padding waste; FFD
+    guarantees ≤ 11/9·OPT + 1 bins (Johnson 1973, public result).
+
+    Genuinely imperative semantics (each placement depends on all prior
+    placements) → Arrow-batched applyInPandas per source group, the
+    designed escape hatch for custom stateful operators.  Rows-only:
+    no SQL oracle exists for FFD; tests/test_unit_semantics.py asserts
+    capacity, determinism, density vs the cumsum-chunk baseline, and
+    exact token conservation.
+
+    Scale design (100 TB): packing state is PER GROUP (source shard) —
+    groups distribute across executors, state never crosses a group, so
+    the operator scales with the number of shards exactly like the
+    groupBy it rides on.  At real scale the group key is
+    (source, date-shard) to bound group size; docs above capacity get
+    singleton bins rather than being dropped (no silent data loss).
+    Output: one row per doc with its bin assignment + bin fill stats.
+    """
+    import pandas as pd
+
+    from engine.text import _tokens
+
+    cap = 512
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # fill level per open bin
+        bin_of = []
+        for tok in pdf["n_tok"]:
+            for b, fill in enumerate(fills):
+                if fill + tok <= cap:
+                    fills[b] = fill + tok
+                    bin_of.append(b)
+                    break
+            else:
+                bin_of.append(len(fills))
+                fills.append(tok)
+        pdf["bin_id"] = pd.array(bin_of, dtype="int64")
+        pdf["bin_fill"] = pd.array(
+            [fills[b] for b in bin_of], dtype="int64"
+        )
+        return pdf
+
+    out = t.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id long, source string, n_tok int, bin_id long, bin_fill long",
+    )
+    return out.select(
+        "source", "doc_id", "n_tok", "bin_id", "bin_fill"
+    )

@@ -977,3 +977,121 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Deterministic PII injection shared by the Spark plan and the oracle:
+# the synthetic corpus carries no real PII, so plant it by id residue —
+# emails on ‰5, phone numbers on ‰7, URLs on ‰11 (composites get
+# several kinds; most docs stay clean, making the zero path non-vacuous).
+_PII_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' see https://example.com/d/' || doc_id
+                       ELSE '' END
+               AS text
+        FROM documents
+"""
+
+_RE_EMAIL = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+_RE_PHONE = "555-[0-9]{4}"
+_RE_URL = "https://[a-z0-9./]+"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH pii AS ({_PII_SQL}),
+    m AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_RE_PHONE}')) AS n_phones,
+               len(regexp_extract_all(text, '{_RE_URL}'))   AS n_urls
+        FROM pii
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(n_phones AS INTEGER) AS n_phones,
+           CAST(n_urls AS INTEGER)   AS n_urls,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                    '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                    '{_RE_PHONE}', '[PHONE]', 'g'),
+                    '{_RE_URL}', '[URL]', 'g')) AS INTEGER) AS redacted_len,
+           CAST(CASE WHEN n_emails + n_phones + n_urls = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS clean
+    FROM m
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before anything else: detect emails / phone numbers / URLs,
+    count them per document, and measure the redacted text.  The corpus
+    is synthetic, so PII is PLANTED deterministically by doc_id residue
+    (same injection expression on both engines) — docs hit 0-3 pattern
+    kinds, so detector counts, the multi-pattern redaction cascade, and
+    the clean-doc fast path are all exercised non-vacuously.
+
+    Dialect trap: Spark regexp_replace is global by default; DuckDB
+    needs the explicit 'g' flag — without it only the first match per
+    doc is redacted and redacted_len diverges on multi-PII docs.
+
+    Scale design (100 TB): pure per-row JVM regex work (regexp_count /
+    regexp_replace are codegen'd string expressions) — no shuffle, no
+    Python boundary; the scan is the cost.  Patterns are anchored
+    character classes (no catastrophic backtracking: linear in text
+    length on both Java regex and RE2)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/d/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_URL,
+        "[URL]",
+    )
+    n_e = F.regexp_count(F.col("text"), F.lit(_RE_EMAIL))
+    n_p = F.regexp_count(F.col("text"), F.lit(_RE_PHONE))
+    n_u = F.regexp_count(F.col("text"), F.lit(_RE_URL))
+    return injected.select(
+        "doc_id",
+        n_e.cast("int").alias("n_emails"),
+        n_p.cast("int").alias("n_phones"),
+        n_u.cast("int").alias("n_urls"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+        F.when(n_e + n_p + n_u == 0, 1).otherwise(0).cast("int").alias("clean"),
+    )

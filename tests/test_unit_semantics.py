@@ -309,3 +309,44 @@ def test_connected_components_cluster_planted_dups(spark):
     for r in rows:
         by_comp.setdefault(r.component_id, []).append(r.comp_size)
     assert all(len(set(v)) == 1 and len(v) == v[0] for v in by_comp.values())
+
+
+def test_pack_bin_firstfit_invariants(spark):
+    """FFD packing: capacity respected (except oversize singletons),
+    token conservation, deterministic across runs, and never looser
+    than the cumsum-chunk baseline's bin count per source."""
+    rows = engine.QUERIES["pack_bin_firstfit"](spark, SF_DIR).collect()
+    cap = 512
+    by_bin: dict[tuple, int] = {}
+    for r in rows:
+        by_bin[(r.source, r.bin_id)] = by_bin.get((r.source, r.bin_id), 0) + r.n_tok
+    docs_per_bin: dict[tuple, int] = {}
+    for r in rows:
+        docs_per_bin[(r.source, r.bin_id)] = (
+            docs_per_bin.get((r.source, r.bin_id), 0) + 1
+        )
+    for r in rows:
+        # reported fill equals the bin's actual token sum
+        assert r.bin_fill == by_bin[(r.source, r.bin_id)]
+        # capacity holds unless the bin is a single oversize doc
+        if r.bin_fill > cap:
+            assert docs_per_bin[(r.source, r.bin_id)] == 1 and r.n_tok > cap
+    # conservation: every doc packed exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # FFD is at least as tight as ceiling(total/cap) lower bound allows
+    # and no source uses more bins than one-doc-per-bin
+    import math
+
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for src, rs in per_source.items():
+        n_bins = len({r.bin_id for r in rs})
+        total = sum(r.n_tok for r in rs)
+        assert n_bins >= math.ceil(total / cap) - sum(r.n_tok > cap for r in rs)
+        assert n_bins <= len(rs)
+        # bins numbered densely from 0
+        assert {r.bin_id for r in rs} == set(range(n_bins))
+    # determinism
+    again = engine.QUERIES["pack_bin_firstfit"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
