@@ -291,12 +291,20 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_dup = ranked.filter(F.col("rn") > 1).select(
         "doc_id", F.lit("exact_dup").alias("status")
     )
-    uniq = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+    # ``uniq`` feeds THREE consumers (the MinHash stage and both status
+    # joins) and its subtree is the whole 4-way union + fingerprint
+    # window — persist it so that runs once, not three times.  At
+    # cluster scale this is the natural stage boundary you'd checkpoint
+    # between dedup passes.  (bench.py clears the cache after this key.)
+    uniq = (
+        ranked.filter(F.col("rn") == 1).select("doc_id", "text").persist()
+    )
 
     # Stage 3 — near-dup removal via banded MinHash-LSH + exact-Jaccard
-    # verify; drop the greater member of each pair.
+    # verify; drop the greater member of each pair.  ``drop`` is probed
+    # by both status joins — persist the (tiny) id set too.
     pairs = minhash_near_pairs(uniq)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct().persist()
     near_dup = uniq.join(drop, "doc_id", "left_semi").select(
         "doc_id", F.lit("near_dup").alias("status")
     )

@@ -796,24 +796,34 @@ def _cc_propagate(both: DataFrame, labels: DataFrame) -> DataFrame:
     """
     prev_sum = None
     for it in range(_CC_MAX_ITERS):
-        # 1. hop-min: each vertex's candidate = min over own + neighbor labels
-        msgs = (
-            both.join(labels, both.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), F.col("label").alias("lab"))
+        # 1. hop-min: each vertex's candidate = min over own + neighbor
+        #    labels.  The vertex's OWN label rides along as a tagged row
+        #    (own=1) and is recovered inside the same aggregation — no
+        #    labels⋈hop re-join afterwards (one join per round saved).
+        own = labels.select(
+            "doc_id", F.col("label").alias("lab"), F.lit(1).alias("is_own")
         )
-        hop = (
-            labels.select("doc_id", F.col("label").alias("lab"))
-            .unionByName(msgs)
+        msgs = both.join(labels, both.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"),
+            F.col("label").alias("lab"),
+            F.lit(0).alias("is_own"),
+        )
+        cur = (
+            own.unionByName(msgs)
             .groupBy("doc_id")
-            .agg(F.min("lab").alias("cand"))
+            .agg(
+                F.min("lab").alias("cand"),
+                # every doc has exactly one own row; max(when) plucks it
+                F.max(F.when(F.col("is_own") == 1, F.col("lab"))).alias(
+                    "label"
+                ),
+            )
         )
-        cur = labels.join(hop, "doc_id")  # doc_id, label, cand
         # 2. star contraction: the label-group's new label = min over
-        #    its members' candidates
-        repmin = cur.groupBy("label").agg(F.min("cand").alias("rep_new"))
-        new = cur.join(repmin, "label").select(
-            "doc_id", F.least("cand", "rep_new").alias("label")
-        )
+        #    its members' candidates — a partition window, ONE shuffle,
+        #    instead of the groupBy + re-join it replaces.
+        rep_new = F.min("cand").over(Window.partitionBy("label"))
+        new = cur.select("doc_id", F.least("cand", rep_new).alias("label"))
         # 3. one pointer jump keeps labels canonical between rounds
         parents = new.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
