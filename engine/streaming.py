@@ -448,3 +448,72 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_s"),
     )
+
+
+@query(
+    "stream_rate_source",
+    oracle="""
+    SELECT CAST(i % 10 AS INTEGER) AS residue,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS total
+    FROM range(3000) t(i)
+    GROUP BY i % 10
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE rate-micro-batch source — the built-in generator a
+    streaming deployment smoke-tests throughput with (no file staging at
+    all).  Each microbatch emits exactly ``rowsPerBatch`` consecutive
+    values, so the stream's content is a pure function of the batch
+    count — this is the ONE streaming key whose output is
+    SQL-expressible, and its oracle is DuckDB ``range(3000)``: the agg
+    filters to the first three batches' values (0..2999), which are
+    guaranteed complete once batchId ≥ 3, making the complete-mode
+    sink independent of when the query is stopped.
+
+    Scale design: the rate source partitions its value range across
+    ``numPartitions``; the residue agg is map-side-combinable.  The
+    stop-by-batch-id loop is driver-side QUERY control (streaming
+    queries are driver-managed by definition), not data iteration.
+    """
+    import time
+
+    configure(spark)
+    ckpt = _scratch("rate_source_ckpt")
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = (
+        src.filter(F.col("value") < 3000)
+        .groupBy((F.col("value") % 10).cast("int").alias("residue"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").cast("long").alias("total"),
+        )
+    )
+    qname = f"rate_source_{next(_SINK_IDS)}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # Unbounded source: stop once the deterministic prefix (3
+        # batches = values 0..2999) has been processed.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["batchId"] >= 3:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    return spark.table(qname)

@@ -1095,3 +1095,83 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("int").alias("redacted_len"),
         F.when(n_e + n_p + n_u == 0, 1).otherwise(0).cast("int").alias("clean"),
     )
+
+
+@query(
+    "text_url_domain_mix",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.'
+               || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                       WHEN doc_id % 3 = 1 THEN 'org'
+                       ELSE 'net' END
+               || '/p/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/a/b' ELSE '' END AS url,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, n_tok,
+               regexp_extract(url, 'https://([a-z0-9.]+)/', 1) AS domain,
+               regexp_extract(url, '\\.([a-z]+)/', 1) AS tld,
+               len(regexp_extract_all(url, '/')) - 2 AS path_depth
+        FROM urls
+    )
+    SELECT domain, tld,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MAX(path_depth) AS INTEGER) AS max_depth,
+           CAST(FLOOR(10000.0 * SUM(n_tok)
+                      / SUM(SUM(n_tok)) OVER () + 0.5) AS BIGINT)
+               AS token_share_bp
+    FROM parsed
+    GROUP BY domain, tld
+    """,
+)
+def text_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix report — the first question asked of any web-scraped
+    training corpus: token mass per source domain (and TLD), as curation
+    weights in basis points.  Source URLs are synthesized
+    deterministically from doc_id (20 domains × 3 TLDs, same expression
+    on both engines) since the corpus ships none; extraction is plain
+    regexp (identical RE2/Java semantics for these character-class
+    patterns).
+
+    Scale design: URL parse is per-row codegen'd regex; the per-domain
+    agg is map-side-combinable with a ~60-group result, and the share
+    denominator is a single-row window over that tiny aggregate — no
+    second scan, no join, one shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, "/a/b").otherwise(""),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+        F.regexp_extract(url, "https://([a-z0-9.]+)/", 1).alias("domain"),
+        F.regexp_extract(url, "\\.([a-z]+)/", 1).alias("tld"),
+        (F.size(F.split(url, "/")) - 3).alias("path_depth"),
+    )
+    g = parsed.groupBy("domain", "tld").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.max("path_depth").cast("int").alias("max_depth"),
+    )
+    share = F.floor(
+        10000.0 * F.col("sum_tokens") / F.sum("sum_tokens").over(Window.partitionBy())
+        + F.lit(0.5)
+    ).cast("long")
+    return g.select(
+        "domain", "tld", "n_docs", "sum_tokens", "max_depth",
+        share.alias("token_share_bp"),
+    )

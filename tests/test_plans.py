@@ -338,3 +338,28 @@ def test_tpch_q18_takeordered_having_before_join(spark):
     plan = _plan(spark, "tpch_q18_large_orders", executed=True)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_no_shuffle_pure_map(spark):
+    # PII scan/redact is per-row regex work — any Exchange means the
+    # plan grew a shuffle it doesn't need.
+    plan = _plan(spark, "text_pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_domain_mix_single_shuffle_window_over_aggregate(spark):
+    # one shuffle for the domain agg + the single-row share window over
+    # the ~60-group aggregate (never over the base table)
+    plan = _plan(spark, "text_url_domain_mix")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_firstfit_single_group_shuffle(spark):
+    # FFD packing rides one groupBy(source) shuffle into applyInPandas;
+    # the Python stage must be FlatMapGroupsInPandas (Arrow), nothing
+    # row-at-a-time.
+    plan = _plan(spark, "pack_bin_firstfit")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
