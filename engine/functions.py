@@ -472,3 +472,59 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(unit * 100 + F.lit(0.5)).cast("long").alias("unit_cents"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"meta":{"type":"' || event_type || '","k":'
+               || CAST(json_extract_string(props, '$.k') AS VARCHAR)
+               || '},"vals":['
+               || CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ',' || CAST(user_id AS VARCHAR) || ']}' AS doc
+        FROM events WHERE event_id % 4 = 0
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.meta.type') AS meta_type,
+           CAST(json_extract(doc, '$.meta.k') AS INTEGER) AS meta_k,
+           CAST(json_extract(doc, '$.vals[0]') AS BIGINT) AS cents,
+           CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS uid,
+           CAST(json_array_length(doc, '$.vals') AS INTEGER) AS n_vals
+    FROM j
+    """,
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: build a nested JSON doc from event fields,
+    ``parse_json`` it into a VARIANT cell, and pull typed values back
+    out with ``variant_get`` JSONPath — the open-format semi-structured
+    column type that replaces string-typed JSON blobs.  The oracle runs
+    the same paths through DuckDB's JSON operators on the identical doc.
+
+    Scale design: VARIANT stores a parsed binary encoding, so repeated
+    path extraction skips re-tokenizing the JSON text (the win over
+    get_json_object, which re-parses per call); everything here is
+    per-row codegen work on one scan, no shuffle, and the VARIANT cell
+    itself never leaves the plan (declared outputs stay scalar)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit('},"vals":['),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.lit(","),
+        F.col("user_id").cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+        F.variant_get(v, "$.meta.k", "int").alias("meta_k"),
+        F.variant_get(v, "$.vals[0]", "long").alias("cents"),
+        F.variant_get(v, "$.vals[1]", "long").alias("uid"),
+        F.size(F.variant_get(v, "$.vals", "array<long>")).cast("int").alias("n_vals"),
+    )

@@ -588,3 +588,40 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(
         F.broadcast(meta), fact["seg"].eqNullSafe(meta["seg"])
     ).select("c_custkey", fact["seg"].alias("seg"), "label")
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name AS nation,
+           l.c_custkey AS c_custkey,
+           CAST(FLOOR(l.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           l.rk AS rk
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                    AS INTEGER) AS rk
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) l
+"""
+
+
+@query("join_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL-surface twin of
+    win_topk_per_group: for each nation row, the lateral derived table
+    re-evaluates with that row's key in scope (top-3 customers by
+    balance, unique tiebreak).  The IDENTICAL SQL text runs on DuckDB.
+
+    Scale design: Catalyst decorrelates the lateral into a ranked
+    window + filter over ONE customer shuffle (plan-pinned in
+    tests/test_plans.py: no nested-loop join, no per-outer-row re-scan)
+    — the same physical shape the DataFrame top-k-per-group key gets,
+    which is exactly the point: declarative lateral syntax, no
+    execution penalty."""
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

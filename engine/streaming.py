@@ -517,3 +517,59 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(qname)
+
+
+@query("stream_static_enrich", oracle=None)  # rows-only: streaming mode
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the enrichment pattern every event pipeline
+    runs: the unbounded stream joins a bounded dimension (here events ⋈
+    customer on user_id→c_custkey) and aggregates revenue-weighted
+    activity per market segment.  The static side is re-planned per
+    microbatch and BROADCAST (it never holds watermark state — unlike
+    the stream-stream key, no state store grows with the dim).
+
+    After the availableNow drain the complete-mode sink must equal the
+    batch twin exactly (asserted in tests/test_streaming.py).
+
+    Scale design: the dim is loaded once per microbatch plan and
+    broadcast to executors; at 100 TB the dim would be a compacted
+    lookup table (or stream-stream with snapshot semantics if the dim
+    itself churns).  The stream side carries only (user_id, cents) into
+    the join — columns pruned before the broadcast probe."""
+    src = _stage_events_dir(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _events_stream(spark, src).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    qname = _run_to_memory(agg, "complete", "static_enrich")
+    return spark.table(qname)
+
+
+def stream_static_enrich_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of stream_static_enrich (test oracle)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )

@@ -363,3 +363,11 @@ def test_pack_firstfit_single_group_shuffle(spark):
     plan = _plan(spark, "pack_bin_firstfit")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # The correlated LATERAL LIMIT must decorrelate: a window/rank over
+    # one customer shuffle, never a nested-loop per outer row.
+    plan = _plan(spark, "join_lateral_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

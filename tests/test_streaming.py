@@ -145,3 +145,13 @@ def test_stream_stream_join_equals_batch(spark):
     cols = ["user_id", "click_id", "purchase_id", "lag_s"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from engine.streaming import stream_static_enrich_batch_twin
+
+    stream = engine.QUERIES["stream_static_enrich"](spark, SF_DIR)
+    batch = stream_static_enrich_batch_twin(spark, SF_DIR)
+    cols = ["c_mktsegment", "n_events", "sum_cents"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
