@@ -635,7 +635,7 @@ def scan_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_python_datasource",
     oracle="""
     WITH rows AS (
-        SELECT CAST(i // 1000 AS INTEGER) AS part_id,
+        SELECT CAST(i // 2000 AS INTEGER) AS part_id,
                i AS row_id,
                (i * 37) % 10000 AS amount_cents
         FROM range(8000) t(i)
@@ -682,11 +682,11 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class _SyntheticLedgerReader(DataSourceReader):
         def partitions(self):
-            return [InputPartition(i) for i in range(8)]
+            return [InputPartition(i) for i in range(4)]
 
         def read(self, partition):
-            base = partition.value * 1000
-            for r in range(1000):
+            base = partition.value * 2000
+            for r in range(2000):
                 rid = base + r
                 yield (partition.value, rid, (rid * 37) % 10000)
 

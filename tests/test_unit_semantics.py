@@ -350,3 +350,34 @@ def test_pack_bin_firstfit_invariants(spark):
     # determinism
     again = engine.QUERIES["pack_bin_firstfit"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """PQ/ADC with exact re-rank must recover most exact-L2 top-5 sets
+    (deterministic: fixed init + bounded Lloyd, no RNG).  Measured 88%
+    at sf0.01; raw ADC@5 without the re-rank stage is only 20% on this
+    weakly-clustered corpus (quantization error ~23% of mean pair
+    distance), which is exactly why the key ships the two-stage shape.
+    Floor pinned under the measurement so a degenerate codebook (empty
+    clusters collapsing, mis-indexed ADC tables) trips the test."""
+    import numpy as np
+
+    rows = engine.QUERIES["sim_pq_adc_topk"](spark, SF_DIR).collect()
+    approx: dict[int, set] = {}
+    for r in rows:
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in engine.io.load(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    X = np.stack([emb[i] for i in ids])
+    hits = tot = 0
+    for q in sorted(approx):
+        assert len(approx[q]) == 5
+        d = ((X - emb[q]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+        exact = [ids[j] for j in order if ids[j] != q][:5]
+        hits += len(approx[q] & set(exact))
+        tot += 5
+    assert hits / tot >= 0.6, f"PQ recall {hits}/{tot}"
