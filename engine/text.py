@@ -1175,3 +1175,81 @@ def text_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", "tld", "n_docs", "sum_tokens", "max_depth",
         share.alias("token_share_bp"),
     )
+
+
+_BPE_MERGES = 8
+
+
+@query("text_bpe_train_merges", oracle=None)  # rows-only: iterative merges
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the op that turns a raw corpus into the
+    merge table a tokenizer ships with.  Real BPE trainers split the
+    work exactly as this plan does: the CORPUS-SCALE stage is the word
+    frequency count (one map-side-combinable shuffle over every token in
+    every document — the part that grows with 100 TB); the MERGE loop
+    then runs on the bounded word-frequency table (vocabulary ≪ corpus,
+    by Heaps' law), because pair statistics are weighted sums over
+    distinct words — the corpus is never rescanned per merge.
+
+    The merge loop is sequential by definition (merge k+1 depends on
+    merge k), so it runs inside ONE applyInPandas group over the
+    compacted vocab — the same "bounded state on one executor" shape as
+    a production trainer; at web scale the vocab table is still MBs.
+    Deterministic: ties break on (count desc, pair lexicographic).
+
+    Output: (rank, left, right, merged, pair_count) per learned merge —
+    hash-stable, asserted against a hand-computed prefix in
+    tests/test_unit_semantics.py."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        # symbol sequences start as characters + end-of-word marker
+        seqs = {
+            tuple(list(w) + ["</w>"]): int(c)
+            for w, c in zip(pdf["w"], pdf["cnt"])
+        }
+        out = []
+        for rank in range(_BPE_MERGES):
+            pairs: dict[tuple, int] = {}
+            for seq, c in seqs.items():
+                for a, b in zip(seq, seq[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            (la, rb), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merged = la + rb
+            out.append((rank, la, rb, merged, cnt))
+            nxt = {}
+            for seq, c in seqs.items():
+                s, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == la and seq[i + 1] == rb:
+                        s.append(merged)
+                        i += 2
+                    else:
+                        s.append(seq[i])
+                        i += 1
+                nxt[tuple(s)] = nxt.get(tuple(s), 0) + c
+            seqs = nxt
+        return pd.DataFrame(
+            out, columns=["rank", "left", "right", "merged", "pair_count"]
+        )
+
+    return (
+        words.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: train(pdf),
+            schema="rank int, left string, right string, merged string, "
+            "pair_count long",
+        )
+    )

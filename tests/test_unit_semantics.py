@@ -381,3 +381,42 @@ def test_pq_adc_recall_vs_exact_l2(spark):
         hits += len(approx[q] & set(exact))
         tot += 5
     assert hits / tot >= 0.6, f"PQ recall {hits}/{tot}"
+
+
+def test_bpe_train_merges_match_independent_impl(spark, duck):
+    """The learned merge table must equal an independent BPE trainer run
+    on DuckDB's word counts (same spec, separate code): corpus-scale
+    word count in Spark, merge loop on the vocab — any loss of words in
+    the groupBy, wrong tiebreak, or partial merge application diverges
+    within the first few ranks."""
+    got = sorted(
+        map(tuple, engine.QUERIES["text_bpe_train_merges"](spark, SF_DIR).collect())
+    )
+    wc = duck.execute(
+        "SELECT t.tok, COUNT(*) FROM documents d, "
+        "UNNEST(list_filter(string_split(lower(d.text), ' '), x -> x <> ''))"
+        " AS t(tok) GROUP BY t.tok"
+    ).fetchall()
+    seqs = {tuple(w) + ("</w>",): c for w, c in wc}
+    want = []
+    for rank in range(8):
+        pairs = {}
+        for s, c in seqs.items():
+            for i in range(len(s) - 1):
+                pairs[s[i], s[i + 1]] = pairs.get((s[i], s[i + 1]), 0) + c
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (la, rb), cnt = best
+        want.append((rank, la, rb, la + rb, cnt))
+        new = {}
+        for s, c in seqs.items():
+            r, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == (la, rb):
+                    r.append(la + rb)
+                    i += 2
+                else:
+                    r.append(s[i])
+                    i += 1
+            new[tuple(r)] = new.get(tuple(r), 0) + c
+        seqs = new
+    assert got == sorted(want)
