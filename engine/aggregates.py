@@ -726,3 +726,100 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type", "day").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # counters per row
+_CMS_P = (1 << 31) - 1  # Mersenne prime for the universal family
+_CMS_A = [(2654435761 * (2 * j + 1)) % _CMS_P or 1 for j in range(_CMS_D)]
+_CMS_B = [(40503 * j * j + 987654321 + j) % _CMS_P for j in range(_CMS_D)]
+
+
+def _cms_positions(keys):
+    """(n,) int64 keys -> (n, D) int32 counter positions; pure integer
+    math inside proven bit-widths (a·x + b < 2^62 + 2^31, ANSI-safe
+    pattern shared with the MinHash family in engine/dedup.py)."""
+    import numpy as np
+
+    x = np.abs(keys.astype(np.int64)) % _CMS_P
+    return np.stack(
+        [((_CMS_A[j] * x + _CMS_B[j]) % _CMS_P) % _CMS_W for j in range(_CMS_D)],
+        axis=1,
+    )
+
+
+@query("agg_cms_heavy_hitters", oracle=None)  # rows-only: sketch estimate
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the third mergeable sketch next
+    to HLL (distinct) and bitmap (exact distinct): frequency estimation
+    in FIXED memory (4×512 counters = 16 KB) no matter how many rows or
+    keys stream through.  Heavy keys are PLANTED deterministically
+    (every 10th event folds to one of 5 synthetic ids at +1M, ~2000
+    events each vs ≤ a few dozen for organic ids) so the sketch's
+    point: heavy estimates must rank far above normal keys.
+
+    Scale story: each input partition builds a LOCAL sketch in one
+    Arrow batch pass (np.add.at scatter — no Python per-row loop);
+    sketches MERGE by elementwise sum (groupBy(idx) — associative, like
+    production CMS pipelines merging per-hour sketches); point queries
+    probe D counters via the same universal hashes and take the min.
+    Estimates are biased HIGH only (est ≥ true, overshoot ≤ εN w.h.p.)
+    — both properties pinned against exact counts in
+    tests/test_unit_semantics.py.
+
+    Rows-only: the estimate depends on the hash family, not
+    SQL-reproducible.  Output: (key, est_count, exact_count, overcount)
+    for the 5 planted heavies + 5 organic keys."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    hh = F.when(
+        F.col("user_id") % 10 == 0,
+        F.lit(1_000_000) + (F.col("user_id") / 10).cast("long") % 5,
+    ).otherwise(F.col("user_id"))
+    keyed = ev.select(hh.alias("key"))
+
+    def build(batches):
+        for pdf in batches:
+            cnt = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+            pos = _cms_positions(pdf["key"].to_numpy())
+            for j in range(_CMS_D):
+                np.add.at(cnt[j], pos[:, j], 1)
+            yield pd.DataFrame(
+                {"idx": np.arange(_CMS_D * _CMS_W, dtype=np.int64),
+                 "cnt": cnt.ravel()}
+            )
+
+    merged = (
+        keyed.mapInPandas(build, schema="idx long, cnt long")
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+    # candidates: the 5 planted heavies + 5 organic ids
+    cand = keyed.filter(
+        (F.col("key") >= 1_000_000) | (F.col("key") < 5)
+    ).distinct()
+
+    @F.pandas_udf("array<int>")
+    def cand_pos(keys):
+        pos = _cms_positions(keys.to_numpy())
+        base = np.arange(_CMS_D, dtype=np.int64) * _CMS_W
+        return pd.Series(list((pos + base[None, :]).astype(np.int32)))
+
+    probes = cand.select(
+        "key", F.posexplode(cand_pos("key")).alias("j", "idx")
+    )
+    est = (
+        probes.join(F.broadcast(merged), "idx")
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "key").select(
+        "key",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )

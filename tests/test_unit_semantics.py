@@ -420,3 +420,18 @@ def test_bpe_train_merges_match_independent_impl(spark, duck):
             new[tuple(r)] = new.get(tuple(r), 0) + c
         seqs = new
     assert got == sorted(want)
+
+
+def test_cms_overestimates_and_ranks_heavies(spark):
+    """Count-min guarantees: est ≥ exact always; overshoot ≤ εN with
+    ε = e/w (deterministic hashes, so the measured slack — 0 at sf0.01
+    — is reproducible; the bound is pinned loosely).  Every planted
+    heavy key must outrank every organic candidate."""
+    rows = engine.QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert all(r.overcount >= 0 for r in rows)
+    total = engine.io.load(spark, SF_DIR, "events").count()
+    assert all(r.overcount <= 0.02 * total for r in rows)
+    heavies = [r for r in rows if r.key >= 1_000_000]
+    organic = [r for r in rows if r.key < 1_000_000]
+    assert len(heavies) == 5 and organic
+    assert min(h.est_count for h in heavies) > max(o.est_count for o in organic)
