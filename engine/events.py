@@ -1070,3 +1070,72 @@ def evt_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+@query(
+    "evt_session_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'purchase' THEN 3600000000
+                    WHEN event_type IN ('click', 'view') THEN 900000000
+                    ELSE 1800000000 END AS gap_us
+        FROM events WHERE user_id % 4 = 1
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us, gap_us,
+               CASE WHEN MAX(us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) > us THEN 0 ELSE 1 END AS new_session
+        FROM ev
+    ),
+    sessions AS (
+        SELECT user_id, us, gap_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us + gap_us) AS BIGINT) AS window_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def evt_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — Spark's ``session_window`` with a
+    per-event gap EXPRESSION (purchases hold a session open 60 min,
+    clicks/views 15, the rest 30): the idle timeout that varies by
+    event semantics, which fixed-gap sessionization can't express.
+
+    Oracle subtlety: with heterogeneous gaps an earlier event can hold
+    the session open LONGER than the immediately-previous one, so the
+    boundary test is against the RUNNING MAX of window ends (us+gap)
+    over all preceding events — not lag().  The global running max
+    works because ends are monotone across session boundaries: any
+    earlier session's max end precedes the current session's start.
+    Merge is on interval OVERLAP (strict >), matching the native
+    operator's exclusive window end.
+
+    Scale design: the native operator and the oracle both ride ONE
+    user-partitioned shuffle; session state merges executor-side (same
+    operator the streaming key exercises statefully)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 1)
+    gap = (
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .when(F.col("event_type").isin("click", "view"), "15 minutes")
+        .otherwise("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "n_events",
+        )
+    )
