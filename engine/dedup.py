@@ -917,3 +917,124 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+_EXCERPT_OFFSET = 400_000
+_EXCERPT_TOKENS = 15
+
+
+@query(
+    "dedup_containment_excerpt",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_EXCERPT_OFFSET},
+               array_to_string(
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')[1:{_EXCERPT_TOKENS}], ' ')
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    tok AS (
+        SELECT DISTINCT c.doc_id, t.tok
+        FROM corpus c,
+             UNNEST(list_filter(string_split(lower(c.text), ' '),
+                    x -> x <> '')) AS t(tok)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT doc_id + {_EXCERPT_OFFSET} AS doc_a, doc_id AS doc_b
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, doc_id + 1
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    commons AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN tok ta ON ta.doc_id = p.doc_a
+        JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS INTEGER) AS n_common,
+           CAST(sa.n AS INTEGER) AS n_a,
+           CAST(sb.n AS INTEGER) AS n_b,
+           CAST(FLOOR(10000.0 * c.n_common / LEAST(sa.n, sb.n) + 0.5)
+                AS BIGINT) AS containment_bp,
+           CAST(FLOOR(10000.0 * c.n_common / (sa.n + sb.n - c.n_common) + 0.5)
+                AS BIGINT) AS jaccard_bp
+    FROM commons c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_containment_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT scoring — the asymmetric companion to Jaccard that
+    catches EXCERPTS and quotations: C = |A∩B| / min(|A|,|B|) is ~1
+    when a short doc is lifted from a long one, while Jaccard stays low
+    (the planted 15-token excerpts at doc_id+400000 score containment
+    ≈ 10000 bp against Jaccard ≈ 1500-3000 bp; the organic consecutive
+    pairs score low on both — the contrast the dedup policy keys on).
+    Broder's containment measure; in production the candidate pairs
+    come from the SAME banded-MinHash bucketing the near-dup key uses.
+
+    Scale design: the (doc, token) relation builds once (distinct
+    per-doc tokens, map-side); candidate pairs broadcast into the token
+    stream; everything downstream is bounded by candidate count, never
+    all-pairs."""
+    from engine.text import _tokens
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _EXCERPT_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(_tokens(F.col("text")), 1, _EXCERPT_TOKENS)
+        ).alias("text"),
+    )
+    corpus = d.unionByName(excerpts)
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    planted = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _EXCERPT_OFFSET).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    organic = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    pairs = planted.unionByName(organic)
+    ta = tok.withColumnRenamed("doc_id", "doc_a")
+    tb = tok.select(
+        F.col("doc_id").alias("b_id"), F.col("tok").alias("tok_b")
+    )
+    commons = (
+        ta.join(F.broadcast(pairs), "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    bp = lambda num, den: F.floor(10000.0 * num / den + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        commons.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("int").alias("n_common"),
+            F.col("n_a").cast("int").alias("n_a"),
+            F.col("n_b").cast("int").alias("n_b"),
+            bp(F.col("n_common"), F.least("n_a", "n_b")).alias("containment_bp"),
+            bp(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+            ).alias("jaccard_bp"),
+        )
+    )

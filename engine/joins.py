@@ -625,3 +625,100 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_IVL_BUCKET_DAYS = 7  # covering-bucket width for the interval join
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH ords AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS lo,
+               CAST(o_orderdate AS DATE)
+                   + CAST((o_orderkey % 30) AS INTEGER) AS hi
+        FROM orders
+    ),
+    camps AS (
+        SELECT n_nationkey AS camp_id,
+               DATE '1995-01-01' + CAST((n_nationkey * 97) AS INTEGER) AS c_lo,
+               DATE '1995-01-01' + CAST((n_nationkey * 97
+                    + 10 + (n_nationkey * 13) % 31) AS INTEGER) AS c_hi
+        FROM nation
+    )
+    SELECT c.camp_id AS camp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.cents) AS BIGINT) AS sum_cents
+    FROM camps c JOIN ords o
+      ON o.lo <= c.c_hi AND o.hi >= c.c_lo
+    GROUP BY c.camp_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — the non-equi join Spark has no native
+    operator for (validity windows × campaign windows, genomics ranges,
+    config epochs).  The naive plan is a nested loop over every pair;
+    the scale-safe plan decomposes each interval into its COVERING
+    WEEK-BUCKETS (bounded fanout: interval length is bounded, ≤30 d
+    order validity → ≤6 buckets), equi-joins on the bucket, re-checks
+    the exact overlap residual, and de-dupes pairs that met in several
+    buckets BEFORE aggregating — turning O(N·M) into a hash join whose
+    cost tracks true overlap density.  Same blocking family as
+    join_range_band (time buckets) and the LSH bands (hash buckets).
+
+    The campaign side here is tiny and broadcasts, but the bucket
+    decomposition is what survives when BOTH sides are large — the
+    plan-pinned point is that no nested-loop join appears.
+
+    Dialect pin: DuckDB DATE + INTEGER adds days; Spark uses
+    date_add.  Campaign windows are derived deterministically from the
+    nation table (25 campaigns, staggered starts, 10-40 d lengths)."""
+    o = load(spark, sf_dir, "orders")
+    ords = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("lo"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("hi"),
+    )
+    n = load(spark, sf_dir, "nation")
+    camps = n.select(
+        F.col("n_nationkey").alias("camp_id"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("n_nationkey") * 97).cast("int"),
+        ).alias("c_lo"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("n_nationkey") * 97 + 10 + (F.col("n_nationkey") * 13) % 31)
+            .cast("int"),
+        ).alias("c_hi"),
+    )
+    day0 = F.lit("1992-01-01").cast("date")
+    wk = lambda c: (F.datediff(c, day0) / _IVL_BUCKET_DAYS).cast("long")  # noqa: E731
+    o_b = ords.select(
+        "*",
+        F.explode(F.sequence(wk(F.col("lo")), wk(F.col("hi")))).alias("bucket"),
+    )
+    c_b = camps.select(
+        "*",
+        F.explode(F.sequence(wk(F.col("c_lo")), wk(F.col("c_hi")))).alias(
+            "bucket"
+        ),
+    )
+    pairs = (
+        o_b.join(F.broadcast(c_b), "bucket")
+        .filter((F.col("lo") <= F.col("c_hi")) & (F.col("hi") >= F.col("c_lo")))
+        .select("camp_id", "o_orderkey", "cents")
+        .distinct()
+    )
+    return pairs.groupBy("camp_id").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -371,3 +371,11 @@ def test_lateral_topk_decorrelates_to_window(spark):
     plan = _plan(spark, "join_lateral_topk")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_no_nested_loop(spark):
+    # bucket-decomposed interval join: equi on the week bucket, exact
+    # overlap as residual — never a nested loop / cartesian pair-walk
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
