@@ -573,3 +573,96 @@ def stream_static_enrich_batch_twin(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+@query("stream_stream_left_outer", oracle=None)  # rows-only: streaming mode
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the semantics inner joins can't
+    show: a click with no purchase within 30 minutes must STILL emit
+    (with nulls) once the watermark proves no match can arrive.  Outer
+    results are watermark-DRIVEN: the row is held in state until both
+    watermarks pass its join window, then released with null right side.
+
+    The replay appends a FLUSH phase (far-future sentinel events,
+    excluded from both join sides by event_type) whose only job is to
+    advance the watermark past all real data — without it the last
+    window's unmatched clicks sit in state forever and the drain is
+    nondeterministic.  This is the standard production pattern for
+    draining an outer join at stream end.
+
+    Equality: matched pairs must equal the inner key's output; the
+    unmatched set must equal the batch anti-join
+    (tests/test_streaming.py asserts both against inline twins)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    us = F.unix_micros(F.col("ts"))
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        third = (hi - lo) // 3 + 1
+        stamped: set[str] = set()
+        for i in range(3):
+            ev.filter(
+                (us >= lo + i * third) & (us < lo + (i + 1) * third)
+            ).coalesce(1).write.mode("append").parquet(src)
+            _stamp_phase(src, i, stamped)
+        # flush phase: one sentinel per JOIN SIDE, 10 days past the
+        # horizon, with the side's exact event_type so it SURVIVES the
+        # side filter and reaches the watermark operator (a filtered-out
+        # row advances nothing) — and an unmatchable negative user_id
+        # pair (-1 vs -2) so it can never join.  The output projection
+        # drops user_id < 0.  Without this phase the last window's
+        # unmatched clicks sit in state forever.
+        flush_us = hi + 10 * 86400 * 1_000_000
+        spark.createDataFrame(
+            [(9_000_001, -1, "click"), (9_000_002, -2, "purchase")],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.lit(flush_us)).alias("ts"),
+            "user_id",
+            "event_type",
+        ).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 3, stamped)
+
+    src = _staged_src("ss_left_outer", sf_dir, build)
+
+    def side(prefix: str, etype: str) -> DataFrame:
+        # sentinels pass this filter by construction (exact event_type)
+        return (
+            _events_stream(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("l", "click").join(
+        side("r", "purchase"),
+        F.expr(
+            "l_user = r_user AND r_ts >= l_ts "
+            "AND r_ts <= l_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    qname = _run_to_memory(joined, "append", "ss_left_outer")
+    return spark.table(qname).filter(F.col("l_user") >= 0).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        F.when(
+            F.col("r_id").isNotNull(),
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000,
+        )
+        .cast("long")
+        .alias("lag_s"),
+        F.when(F.col("r_id").isNull(), 1).otherwise(0).cast("int").alias(
+            "unmatched"
+        ),
+    )

@@ -155,3 +155,47 @@ def test_stream_static_enrich_equals_batch(spark):
     cols = ["c_mktsegment", "n_events", "sum_cents"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
+
+
+def test_stream_stream_left_outer_matches_and_drains(spark):
+    """Matched pairs must equal the batch inner join; unmatched clicks
+    (null right side, emitted on watermark expiry after the flush
+    phase) must equal the batch anti-join — proving outer state drains
+    deterministically and nothing real is lost or fabricated."""
+    out = engine.QUERIES["stream_stream_left_outer"](spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("user_id"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch_inner = l.join(r, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
+        .cast("long")
+        .alias("lag_s"),
+    )
+    matched = out.filter("unmatched = 0").select(
+        "user_id", "click_id", "purchase_id", "lag_s"
+    )
+    cols = ["user_id", "click_id", "purchase_id", "lag_s"]
+    assert _rows(matched, cols) == _rows(batch_inner, cols)
+
+    batch_unmatched = l.join(r, cond, "left_anti").select("click_id")
+    got_unmatched = out.filter("unmatched = 1").select("click_id")
+    assert _rows(got_unmatched, ["click_id"]) == _rows(
+        batch_unmatched, ["click_id"]
+    )
+    assert out.filter("unmatched = 1").count() > 0
