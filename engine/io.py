@@ -702,3 +702,68 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("first_row"),
         F.max("row_id").alias("last_row"),
     )
+
+
+@query(
+    "source_csv_malformed_permissive",
+    oracle="""
+    WITH rows AS (
+        SELECT i,
+               CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END AS bad
+        FROM range(2000) t(i)
+    )
+    SELECT CAST(bad AS INTEGER) AS bad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN bad = 0 THEN i * 3 ELSE 0 END) AS BIGINT)
+               AS sum_amount
+    FROM rows GROUP BY bad
+    """,
+)
+def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness — the ETL surface every ingest needs:
+    a CSV where every 7th-ish line is corrupt (wrong arity / non-numeric
+    where a BIGINT is declared), read in PERMISSIVE mode with a
+    ``_corrupt_record`` capture column: good rows parse, bad rows land
+    whole in the capture column with NULL typed fields — no job failure,
+    no silent drop (FAILFAST would kill the 100 TB job on row one;
+    DROPMALFORMED silently loses data — permissive+capture is the only
+    audit-safe mode).  The staged file is deterministic (id, id*3 rows,
+    planted corruption on id % 7 = 3), so the oracle reconstructs the
+    expected good/bad split from range arithmetic — independent of any
+    CSV reader dialect.
+
+    Scale design: CSV parsing is per-row scan work; the capture column
+    costs nothing on good rows; the audit agg is map-side-combinable."""
+    import os as _os
+
+    from engine.core import staged_build_once
+
+    def build(dst: str) -> None:
+        lines = ["id,amount"]
+        for i in range(2000):
+            if i % 7 == 3:
+                # wrong arity + non-numeric: unparseable under the schema
+                lines.append(f"{i},oops,extra")
+            else:
+                lines.append(f"{i},{i * 3}")
+        with open(_os.path.join(dst, "part-00000.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    src = staged_build_once("spark_graft_io", "csv_malformed", sf_dir, build)
+    configure(spark)
+    df = spark.read.csv(
+        src,
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+        schema="id BIGINT, amount BIGINT, _corrupt_record STRING",
+    )
+    bad = F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+    return (
+        df.select(bad.cast("int").alias("bad"), "amount")
+        .groupBy("bad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("amount"), F.lit(0))).alias("sum_amount"),
+        )
+    )
