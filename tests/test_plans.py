@@ -140,13 +140,22 @@ def test_no_driver_side_collect_in_engine_source():
         "join_multiway_star",
         "win_topk_per_group",
         "text_wordcount",
+        "text_pii_redact",
+        "agg_bitmap_distinct",
+        "evt_session_dynamic_gap",
+        "join_interval_overlap",
+        "text_url_domain_mix",
     ],
 )
 def test_hot_paths_whole_stage_codegen(spark, key):
     # The hot relational paths must stay inside WholeStageCodegen spans —
-    # printed as `*(n)` stage markers in the finalized AQE plan.
+    # printed as `*(n)` stage markers in the finalized AQE plan.  A plan
+    # with no exchange at all (pure map, e.g. text_pii_redact) never
+    # creates AQE query stages, so isFinalPlan only applies when AQE ran.
     plan = _plan(spark, key, executed=True)
-    assert "isFinalPlan=true" in plan and "*(" in plan
+    assert "*(" in plan
+    if "Exchange" in plan:
+        assert "isFinalPlan=true" in plan
 
 
 def test_tpch_q3_takeordered_and_broadcasts(spark):
