@@ -823,3 +823,38 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's native ``listagg`` with
+    WITHIN GROUP ordering ↔ DuckDB ``string_agg(... ORDER BY)``: the
+    report-formatting aggregate that is nondeterministic garbage without
+    the explicit order (accumulation order is partition-arrival order).
+
+    Scale design: delimiter-joined strings grow with group size, so this
+    belongs on BOUNDED groups (here nations per region); unbounded
+    groups should use agg_collect_sorted's array form + explicit
+    truncation instead.  The WITHIN GROUP sort is per-group, inside the
+    aggregation — no extra shuffle."""
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               COUNT(*) AS n_nations,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        """
+    )
