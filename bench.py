@@ -67,6 +67,7 @@ def main() -> None:
         "dedup_jaccard_verify",
         "dedup_connected_components",
         "pipeline_corpus_clean",
+        "pipeline_embedding_dedup",
         "sim_pq_adc_topk",
     }
     only = os.environ.get("SPARK_GRAFT_KEYS")

@@ -851,3 +851,120 @@ def pack_bin_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "doc_id", "n_tok", "bin_id", "bin_fill"
     )
+
+
+_SEM_COPY_OFFSET = 10_000
+_SEM_TABLES = 2
+_SEM_BITS = 8
+_SEM_VERIFY = 0.999
+
+
+@query("pipeline_embedding_dedup", oracle=None)  # rows-only: LSH + iterative CC
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end over the embedding table — the
+    vector-side twin of pipeline_corpus_clean (SemDeDup-style):
+
+        plant near-identical copies → LSH bucket candidates →
+        exact-cosine verify → connected components → keep-min rep
+
+    Copies perturb ONE component by 2% (cosine ≈ 0.9998 to the
+    original), so the ≥ 0.999 verify gate separates planted semantic
+    duplicates from the corpus' organic structure (max organic cosine
+    ≈ 0.4).  Candidates come from 2 tables × 8 random-hyperplane sign
+    bits (per-bit agreement ≈ 0.994 at this cosine → ≈ 0.998 recall);
+    verification and clustering run only on bucket-collided pairs —
+    never all-pairs, the same discipline as every dedup key here.
+
+    Scale design: signatures are one Arrow matmul per batch; the bucket
+    self-join is bucket-local; CC reuses the star-contraction kernel
+    (engine.dedup._cc_propagate) on the verified edge list.  Output
+    labels EVERY vector with its cluster and whether it is the kept
+    representative — the audit trail, like the text pipeline."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.dedup import _cc_propagate
+    from engine.similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, d: F.when(
+            d == (F.col("vec_id") % 64).cast("int"), x * F.lit(1.02)
+        )
+        .otherwise(x)
+        .cast("float"),
+    )
+    corpus = e.unionByName(
+        e.select(
+            (F.col("vec_id") + _SEM_COPY_OFFSET).alias("vec_id"),
+            perturbed.alias("embedding"),
+        )
+    )
+
+    W = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"sem:{t}:{p}:{d}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for d in range(64)
+            ]
+            for t in range(_SEM_TABLES)
+            for p in range(_SEM_BITS)
+        ]
+    )
+
+    @F.pandas_udf("array<int>")
+    def _sigs(emb):
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ W.T >= 0).astype(np.int64)
+        sigs = (
+            bits.reshape(len(m), _SEM_TABLES, _SEM_BITS)
+            * (1 << np.arange(_SEM_BITS))
+        ).sum(axis=2)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    entries = corpus.select(
+        "vec_id", "embedding", F.posexplode(_sigs("embedding")).alias("t", "b")
+    )
+    a = entries.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "t", "b"
+    )
+    bb = entries.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "t", "b"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    verified = (
+        a.join(bb, ["t", "b"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", "ea", "eb")
+        .distinct()
+        .filter(cos >= _SEM_VERIFY)
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+        .persist()
+    )
+    both = verified.unionByName(
+        verified.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = corpus.select("vec_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("label")
+    )
+    from engine.core import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        labels = _cc_propagate(both, labels)
+    size = F.count("*").over(Window.partitionBy("label"))
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("component_id"),
+        size.alias("comp_size"),
+        F.when(F.col("doc_id") == F.col("label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )

@@ -435,3 +435,20 @@ def test_cms_overestimates_and_ranks_heavies(spark):
     organic = [r for r in rows if r.key < 1_000_000]
     assert len(heavies) == 5 and organic
     assert min(h.est_count for h in heavies) > max(o.est_count for o in organic)
+
+
+def test_pipeline_embedding_dedup_clusters_planted_copies(spark):
+    """Every planted perturbed copy (vec_id+10000, cosine ≈ 0.9998 to
+    its original) must land in its original's component; the ≥ 0.999
+    verify gate must keep the weakly-clustered organic vectors apart
+    (max organic cosine ≈ 0.4), so every component is exactly the
+    {original, copy} pair and the kept set is exactly the originals."""
+    rows = engine.QUERIES["pipeline_embedding_dedup"](spark, SF_DIR).collect()
+    comp = {r.vec_id: r.component_id for r in rows}
+    originals = [v for v in comp if v < 10_000]
+    assert len(rows) == 2 * len(originals)
+    for v in originals:
+        assert comp[v + 10_000] == comp[v] == v
+    for r in rows:
+        assert r.comp_size == 2
+        assert r.kept == (1 if r.vec_id < 10_000 else 0)
