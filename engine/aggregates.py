@@ -858,3 +858,87 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "agg_exact_moments",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS DOUBLE) AS s1,
+               CAST(SUM(cents * cents) AS DOUBLE) AS s2,
+               CAST(SUM(cents * cents * cents) AS DOUBLE) AS s3,
+               CAST(SUM(cents * cents * cents * cents) AS DOUBLE) AS s4
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR((s1 / n) * 10000 + 0.5) AS BIGINT) AS mean_e4,
+           CAST(FLOOR((s2 / n - (s1 / n) * (s1 / n)) * 10000 + 0.5)
+                AS BIGINT) AS var_e4,
+           CAST(FLOOR(((s3 / n - 3 * (s1 / n) * (s2 / n)
+                        + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                       / POW(s2 / n - (s1 / n) * (s1 / n), 1.5))
+                      * 10000 + 0.5) AS BIGINT) AS skew_e4,
+           CAST(FLOOR(((s4 / n - 4 * (s1 / n) * (s3 / n)
+                        + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                       / ((s2 / n - (s1 / n) * (s1 / n))
+                          * (s2 / n - (s1 / n) * (s1 / n))) - 3.0)
+                      * 10000 + 0.5) AS BIGINT) AS excess_kurt_e4
+    FROM s
+    """,
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis from EXACT integer power sums — the
+    4th-order extension of agg_corr_exact's sufficient-statistics
+    pattern: S1..S4 accumulate as exact integers (decimal(38,0) on
+    Spark — cents^4 ≈ 10^16 per row overflows int64 over 10^5 rows;
+    DuckDB's HUGEINT does the same job), and the float math happens
+    ONCE per group on the exact sums, in an identical operation order
+    on both engines, then e4-pins.  Spark's native skewness()/
+    kurtosis() accumulate doubles in partition-arrival order — a hash
+    lottery this formulation removes.
+
+    Scale story: power sums are map-side-combinable and MERGEABLE
+    (per-day S1..S4 roll up by addition, like every sketch here),
+    so moments over any segment union come from stored sums without
+    rescanning."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dec = cents.cast("decimal(38,0)")
+    s = ev.select("event_type", dec.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).cast("double").alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    skew = (F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m) / F.pow(
+        m2, 1.5
+    )
+    kurt = (
+        F.col("s4") / n
+        - 4 * m * (F.col("s3") / n)
+        + 6 * m * m * (F.col("s2") / n)
+        - 3 * m * m * m * m
+    ) / (m2 * m2) - 3.0
+    e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        "event_type",
+        "n",
+        e4(m).alias("mean_e4"),
+        e4(m2).alias("var_e4"),
+        e4(skew).alias("skew_e4"),
+        e4(kurt).alias("excess_kurt_e4"),
+    )
