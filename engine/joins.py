@@ -722,3 +722,67 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+_BLOOM_M = 16_384  # bit-space for the two-hash bloom positions
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit BLOOM-style pre-filter before a shuffle join — the
+    technique that makes selective fact⋈dim joins survive 100 TB when
+    the dim is too large to broadcast whole: the dim's join keys fold
+    to TWO hash positions in a 16k slot space; the positions table
+    (≤ 2·|dim| ints, independent of key width) broadcasts; the fact
+    keeps only rows whose BOTH positions hit (fpr ≈ (2n/m)² ≈ 1e-4
+    here) — pruned BEFORE the sort-merge shuffle, which is the point:
+    the shuffle moves only probable matches, and the exact join then
+    removes the rare false positives.  No false negatives by
+    construction, so the result is IDENTICAL to the plain join — the
+    oracle is exactly that plain join.
+
+    The final join is hinted sort-merge deliberately: with a broadcast
+    dim the prefilter would be redundant (Spark's own runtime bloom
+    covers that case); the demonstrated shape is the one where both
+    sides shuffle.  Plan test pins: two broadcast semi-joins, then one
+    SortMergeJoin."""
+    p = load(spark, sf_dir, "part")
+    dim = p.filter(F.col("p_size") == 1).select("p_partkey")
+    h = lambda col, seed: F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_M))  # noqa: E731
+    pos = (
+        dim.select(
+            F.explode(
+                F.array(h(F.col("p_partkey"), 1), h(F.col("p_partkey"), 2))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    f1 = fact.join(
+        F.broadcast(pos), h(F.col("l_partkey"), 1) == F.col("pos"), "left_semi"
+    )
+    f2 = f1.join(
+        F.broadcast(pos), h(F.col("l_partkey"), 2) == F.col("pos"), "left_semi"
+    )
+    joined = f2.hint("merge").join(dim, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -388,3 +388,11 @@ def test_interval_overlap_no_nested_loop(spark):
     plan = _plan(spark, "join_interval_overlap")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_semi_then_merge(spark):
+    # two broadcast semi-joins (the positions probe) must precede one
+    # sort-merge join — the prefilter prunes BEFORE the shuffle
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
+    assert "SortMergeJoin" in plan
