@@ -1139,3 +1139,97 @@ def evt_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "evt_attribution_last_touch",
+    oracle="""
+    WITH touches AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+        SELECT c.conv_id, c.cents,
+               (SELECT t.event_type FROM touches t
+                WHERE t.user_id = c.user_id
+                  AND (t.us < c.c_us
+                       OR (t.us = c.c_us AND t.event_id < c.conv_id))
+                  AND t.us > c.c_us - 86400000000
+                ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS channel
+        FROM conv c
+    )
+    SELECT COALESCE(channel, '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM attributed
+    GROUP BY COALESCE(channel, '(none)')
+    """,
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics staple: each
+    purchase credits the LAST click/view touch within a 24 h lookback;
+    purchases with no prior touch report as '(none)'.  This is the
+    grouped-as-of pattern (join_asof generalized with a channel
+    dimension and a bounded lookback) — the oracle states it as a
+    correlated LIMIT 1 subquery (with the same-microsecond tie broken
+    lexicographically on (us, event_id), exactly the window's order —
+    `us <=` alone would be a latent corpus-reroll lottery), the Spark
+    plan as a union + window:
+    interleave touches and conversions per user, last_value(touch)
+    ignore-nulls over the ordered stream, bounded by the lookback check.
+
+    Scale design: ONE user-partitioned window over the interleaved
+    stream (no per-conversion probe, no range join blowup); the
+    lookback filter is a residual on the carried touch timestamp.
+    Unique (us, event_id) ordering removes ties."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        us.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("t_type"),
+        F.lit(None).cast("long").alias("conv_id"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("string").alias("t_type"),
+        F.col("event_id").alias("conv_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    stream = touches.unionByName(convs)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = stream.select(
+        "conv_id",
+        "cents",
+        "us",
+        F.last("t_type", ignorenulls=True).over(w).alias("last_channel"),
+        F.last(
+            F.when(F.col("t_type").isNotNull(), F.col("us")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_touch_us"),
+    ).filter(F.col("conv_id").isNotNull())
+    channel = F.when(
+        F.col("last_touch_us").isNotNull()
+        & (F.col("last_touch_us") > F.col("us") - 86_400_000_000),
+        F.col("last_channel"),
+    ).otherwise("(none)")
+    return carried.select(channel.alias("channel"), "cents").groupBy(
+        "channel"
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("cents").alias("attributed_cents"),
+    )

@@ -1253,3 +1253,84 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count long",
         )
     )
+
+
+@query(
+    "text_canonical_url_dedup",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                             || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 1 THEN 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                             || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                             || '?utm_source=feed&ref=tw'
+                 WHEN 2 THEN 'https://SITE' || CAST(doc_id // 4 AS VARCHAR)
+                             || '.Example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                             || '/'
+                 ELSE 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                      || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '#section'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '\\?(utm_[a-z]+=[a-z0-9]+&?|ref=[a-z0-9]+&?)+$', ''),
+                   '/$', '') AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def text_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier hygiene step:
+    case-fold the URL, strip fragments, strip tracking-only query
+    strings (utm_*/ref), strip the trailing slash, then collapse to one
+    document per canonical URL.  Four planted variants per page (clean /
+    tracking params / cased host + trailing slash / fragment) must fold
+    to ONE canonical entry with n_variants = 4.
+
+    Scale design: canonicalization is per-row codegen'd regex; the
+    dedup shuffles the canonical STRING key once (at crawl scale you'd
+    shuffle md5(canonical) — dedup_exact's hash-first discipline)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 4).cast("long").cast("string")
+    base = F.concat(
+        F.lit("https://site"), g, F.lit(".example.com/p/"), g
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("?utm_source=feed&ref=tw")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://SITE"), g, F.lit(".Example.com/p/"), g, F.lit("/")
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("#section")))
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "#.*$", ""),
+            "\\?(utm_[a-z]+=[a-z0-9]+&?|ref=[a-z0-9]+&?)+$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+    )
