@@ -473,3 +473,42 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 3 == 0)
         .orderBy("segment", "cum_share_bp", "c_custkey")
     )
+
+
+_TRAILING_HOUR_SQL = """
+    SELECT * FROM (
+        SELECT event_id, event_type, ts,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS trailing_1h_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ) WHERE event_id % 5 = 0
+"""
+
+
+@query(
+    "win_range_interval_frame",
+    oracle=_TRAILING_HOUR_SQL.replace("INTERVAL 1 HOUR", "INTERVAL '1' HOUR"),
+)
+def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL range frame — the trailing-window aggregate ordered
+    by EVENT TIME, not row position: each event sums the value mass of
+    the preceding hour of ITS OWN type.  Distinct from win_range_frame
+    (numeric range) and win_moving_avg (row frame over a daily rollup):
+    the frame boundary is a timestamp subtraction, so ties and uneven
+    event spacing are handled by VALUE, making the result independent
+    of any row ordering — no tiebreak needed at all.
+
+    The IDENTICAL window-SQL text runs on both engines (DuckDB needs
+    the quoted INTERVAL '1' HOUR form; Spark accepts the bare literal).
+
+    Scale design: one event_type-partitioned shuffle; range frames
+    evaluate with a sliding two-pointer over the sorted partition —
+    linear, no per-row rescan; the residue filter bounds only the
+    verified output."""
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TRAILING_HOUR_SQL)
