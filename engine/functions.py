@@ -528,3 +528,44 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.vals[1]", "long").alias("uid"),
         F.size(F.variant_get(v, "$.vals", "array<long>")).cast("int").alias("n_vals"),
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    WITH mixed AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS name
+        FROM part
+    )
+    SELECT lower(name) AS name_ci,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(name)
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: group case-insensitively via the UTF8_LCASE
+    collation instead of wrapping every reference in lower() — the
+    declarative form a warehouse migration needs (ORDER BY / GROUP BY /
+    joins inherit the collation from the column type).  Mixed casing is
+    planted (alternate rows uppercased) so the collation genuinely
+    merges groups.  The emitted group key is explicitly lower()ed:
+    under a case-insensitive collation the retained representative
+    casing is engine-internal, and only the fold is deterministic.
+
+    Scale design: collation-aware grouping hashes the collation key
+    directly (no double pass over lower()ed copies); same one-shuffle
+    agg as any groupBy."""
+    p = load(spark, sf_dir, "part")
+    name = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_name")
+    ).otherwise(F.col("p_name"))
+    return (
+        p.select(F.collate(name, "UTF8_LCASE").alias("name_ci"))
+        .groupBy("name_ci")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lower(F.col("name_ci")).cast("string").alias("name_ci"), "n"
+        )
+    )

@@ -666,3 +666,4 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unmatched"
         ),
     )
+
