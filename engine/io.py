@@ -767,3 +767,72 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.coalesce(F.col("amount"), F.lit(0))).alias("sum_amount"),
         )
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    final AS (
+        -- partitions other than 1997 keep v1; 1997 holds the v2 rewrite
+        -- (same rows, cents doubled)
+        SELECT o_orderkey, cents, yr FROM base WHERE yr <> 1997
+        UNION ALL
+        SELECT o_orderkey, cents * 2, yr FROM base WHERE yr = 1997
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY yr
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the warehouse backfill primitive:
+    INSERT OVERWRITE replaces ONLY the partitions present in the
+    incoming data (here the 1997 partition gets a corrected rewrite
+    with doubled cents) while every other partition's files stay
+    untouched.  STATIC mode — the default — would have dropped the
+    whole table first; the conf is scoped and restored.
+
+    Scale story: a daily pipeline rewrites yesterday's partition
+    without touching years of history — no read-modify-write of the
+    full table, no window where other partitions are missing.  The
+    oracle reconstructs the expected post-backfill table arithmetically.
+    """
+    configure(spark)
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+    )
+    path = _scratch_dir("dyn_partition_overwrite")
+    base.write.mode("overwrite").partitionBy("yr").parquet(path)
+    fix = base.filter(F.col("yr") == 1997).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    _MODE = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(_MODE, None)
+    spark.conf.set(_MODE, "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("yr").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(_MODE)
+        else:
+            spark.conf.set(_MODE, prev)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("yr").cast("int").alias("yr")).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
