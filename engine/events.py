@@ -1233,3 +1233,84 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_conversions"),
         F.sum("cents").alias("attributed_cents"),
     )
+
+
+@query(
+    "evt_growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, day,
+               LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        FROM ud
+    ),
+    classified AS (
+        SELECT day,
+               CASE WHEN prev_day IS NULL THEN 'new'
+                    WHEN day - prev_day = 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM seq
+    ),
+    churn AS (
+        SELECT day + 1 AS day, 'churned' AS status
+        FROM seq s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ud u
+            WHERE u.user_id = s.user_id AND u.day = s.day + 1
+        )
+          AND day + 1 <= (SELECT MAX(day) FROM ud)
+    )
+    SELECT day, status, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT * FROM classified UNION ALL SELECT * FROM churn)
+    GROUP BY day, status
+    """,
+)
+def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team
+    reports: each active (user, day) is NEW (first ever day), RETAINED
+    (also active the previous day), or RESURRECTED (returning after a
+    gap); each inactive day following an active one is a CHURNED event
+    attributed to the day the user went missing (bounded by the corpus
+    horizon so the last day doesn't churn everyone).
+
+    Scale design: the distinct (user, day) grid is one shuffle; the
+    classification is a single lag window over it; churn is the lead
+    side of the SAME window (no second scan, no NOT-EXISTS probe — the
+    oracle's anti-join form is the declarative equivalent).  Output is
+    (days × 4) rows regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    status = (
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff("day", F.col("prev_day")) == 1, "retained")
+        .otherwise("resurrected")
+    )
+    classified = seq.select("day", status.alias("status"))
+    horizon = ud.agg(F.max("day").alias("max_day"))
+    churn = (
+        seq.filter(
+            F.col("next_day").isNull()
+            | (F.datediff("next_day", F.col("day")) > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .join(F.broadcast(horizon))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", F.lit("churned").alias("status"))
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy("day", "status")
+        .agg(F.count("*").alias("n_users"))
+    )
