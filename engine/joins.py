@@ -786,3 +786,96 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+_NEAREST_TOL_US = 30 * 60 * 1_000_000  # ±30 min tolerance
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click' AND user_id % 3 = 0
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    scored AS (
+        SELECT c.user_id, c.click_id, c.c_us, p.purchase_id,
+               ABS(p.p_us - c.c_us) AS dist_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY ABS(p.p_us - c.c_us), p.p_us, p.purchase_id
+               ) AS rn
+        FROM clicks c JOIN purchases p
+          ON p.user_id = c.user_id
+         AND ABS(p.p_us - c.c_us) <= {_NEAREST_TOL_US}
+    )
+    SELECT user_id, click_id,
+           CAST(purchase_id AS BIGINT) AS nearest_purchase_id,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM scored WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance — the third as-of
+    flavor (join_asof = backward, join_range_band = forward window):
+    each click pairs with the temporally CLOSEST purchase in either
+    direction within ±30 min, ties broken toward the earlier purchase
+    then its id.  pandas merge_asof(direction='nearest') semantics,
+    stated relationally.
+
+    Scale design: candidate pairs come from the same bounded
+    time-bucket blocking as join_range_band (a ±tol window spans ≤ 3
+    tol-width buckets, so each click explodes to exactly 3 composite
+    keys — constant fanout); the per-click argmin is one bounded
+    row_number window over the candidates.  No per-user cross product,
+    no sort-merge over the full streams."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = lambda c: F.floor(c / _NEAREST_TOL_US)  # noqa: E731
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 3 == 0))
+        .select("user_id", F.col("event_id").alias("click_id"), us.alias("c_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    b(F.col("c_us")) - 1, b(F.col("c_us")), b(F.col("c_us")) + 1
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        b(us).alias("bucket"),
+    )
+    dist = F.abs(F.col("p_us") - F.col("c_us"))
+    cand = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user)
+            & (clicks.bucket == purchases.bucket),
+        )
+        .filter(dist <= _NEAREST_TOL_US)
+        .select("user_id", "click_id", "c_us", "purchase_id", "p_us",
+                dist.alias("dist_us"))
+        .distinct()  # a pair can meet in up to 3 buckets
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.asc("dist_us"), F.asc("p_us"), F.asc("purchase_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            F.col("purchase_id").alias("nearest_purchase_id"),
+            "dist_us",
+        )
+    )
