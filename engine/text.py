@@ -1334,3 +1334,85 @@ def text_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("kept_doc"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents d,
+             UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+        GROUP BY t.tok
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rank, c
+        FROM cnt
+    ),
+    pinned AS (
+        SELECT CAST(FLOOR(LN(rank) * 1000000 + 0.5) AS BIGINT) AS x_e6,
+               CAST(FLOOR(LN(c) * 1000000 + 0.5) AS BIGINT) AS y_e6
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x_e6) AS DOUBLE) AS sx,
+               CAST(SUM(y_e6) AS DOUBLE) AS sy,
+               CAST(SUM(x_e6 * y_e6) AS DOUBLE) AS sxy,
+               CAST(SUM(x_e6 * x_e6) AS DOUBLE) AS sxx
+        FROM pinned
+    )
+    SELECT n,
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * 10000 + 0.5) AS BIGINT) AS zipf_slope_e4,
+           CAST(FLOOR((sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       * (sx / n)) / 1000000 * 10000 + 0.5) AS BIGINT)
+               AS intercept_e4
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit — the corpus-health diagnostic: regress ln(freq) on
+    ln(rank) over the token frequency table; natural text sits near
+    slope −1, and a corpus whose slope drifts (template spam flattens
+    it, truncation steepens it) fails curation QA.
+
+    Determinism discipline: each ln() term is e6-pinned to an INTEGER
+    before any summation, so the regression's sufficient statistics
+    (Σx, Σy, Σxy, Σx²) are EXACT longs/decimals — DuckDB's HUGEINT and
+    Spark's decimal(38,0) sums agree bit-for-bit — and the only float
+    math is the final slope/intercept expression, written in identical
+    operation order on both engines (the unigram-logprob pattern at
+    regression order).  x_e6·y_e6 ≈ 10^14 per row × vocab rows needs
+    the wide accumulator.
+
+    Scale design: the frequency table is vocab-sized (Heaps' law ≪
+    corpus); the rank window runs over that aggregate, not the corpus;
+    the regression is one map-side-combinable pass."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    e6 = lambda col: F.floor(F.log(col.cast("double")) * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    pinned = cnt.select(F.row_number().over(w).alias("rank"), "c").select(
+        e6(F.col("rank")).alias("x_e6"), e6(F.col("c")).alias("y_e6")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pinned.agg(
+        F.count("*").alias("n"),
+        F.sum("x_e6").cast("double").alias("sx"),
+        F.sum("y_e6").cast("double").alias("sy"),
+        F.sum(dec(F.col("x_e6")) * dec(F.col("y_e6"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x_e6")) * dec(F.col("x_e6"))).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        "n",
+        e4(slope).alias("zipf_slope_e4"),
+        e4((sy / n - slope * (sx / n)) / 1_000_000).alias("intercept_e4"),
+    )

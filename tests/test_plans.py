@@ -106,6 +106,9 @@ def test_no_unpartitioned_window_over_unbounded_input():
     allowed = {
         ("windows.py", "win_moving_avg"),
         ("joins.py", "join_existence_subquery"),
+        # rank over the token FREQUENCY table — vocab-sized by Heaps'
+        # law (≪ corpus; the corpus-scale work is the upstream count)
+        ("text.py", "text_zipf_fit"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
