@@ -864,8 +864,13 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_moments",
     oracle="""
     WITH c AS (
+        -- HUGEINT, not BIGINT: the per-row cents^4 product is computed
+        -- BEFORE the SUM, and max(cents)=56021 at sf0.1 gives
+        -- cents^4 ~ 9.85e18 > int64 max — BIGINT would make DuckDB
+        -- throw on any corpus with max(value) > ~549.  Spark side is
+        -- already decimal(38,0); HUGEINT is the DuckDB twin.
         SELECT event_type,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS cents
         FROM events
     ),
     s AS (

@@ -652,13 +652,13 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python DataSource API — the extension point a deployment
     uses to wrap an external system (a REST feed, a proprietary store, a
     message queue) as a first-class partitioned source.  The source here
-    is a deterministic generator (8 partitions × 1000 rows, amount =
+    is a deterministic generator (4 partitions × 2000 rows, amount =
     row*37 mod 10000) so the connector PLUMBING — schema declaration,
     partition planning, per-partition iteration, registration — is real
     and hash-verified while the payload stays reproducible.
 
     Scale design: ``partitions()`` is the parallelism contract — each
-    InputPartition reads independently on an executor (here 8, in
+    InputPartition reads independently on an executor (here 4, in
     production one per shard/topic-partition/page-range); rows stream
     through Arrow without materializing the whole partition.  The agg on
     top is map-side-combinable as usual.

@@ -509,10 +509,20 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Unbounded source: stop once the deterministic prefix (3
         # batches = values 0..2999) has been processed.
         deadline = time.time() + 120
-        while time.time() < deadline:
+        while True:
             p = q.lastProgress
             if p is not None and p["batchId"] >= 3:
                 break
+            if time.time() >= deadline:
+                # Loud failure (same convention as _cc_propagate): a
+                # silent partial complete-mode sink would surface as a
+                # confusing driver hash mismatch instead of an error.
+                q.stop()
+                raise RuntimeError(
+                    "stream_rate_source: batchId >= 3 not reached within "
+                    f"120s (lastProgress={p!r}); refusing to return a "
+                    "partial complete-mode aggregate"
+                )
             time.sleep(0.2)
         q.stop()
         q.awaitTermination()
