@@ -68,6 +68,36 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set(key, prev)
 
 
+_MODEL_ARTIFACT_MAX_ROWS = 4096
+
+
+def collect_model_artifact(df: DataFrame, max_rows: int = _MODEL_ARTIFACT_MAX_ROWS):
+    """Bounded driver-side materialization of a TRAINED MODEL ARTIFACT —
+    the one sanctioned exemption from the engine-wide no-collect rule
+    (tests/test_plans.py::test_no_driver_side_collect_in_engine_source
+    allow-lists exactly this call site).
+
+    Rationale: a trained codebook / centroid table is bounded BY
+    CONSTRUCTION (K·M rows, independent of data volume), and the
+    scale-correct way to hand it to an Arrow UDF is closure capture —
+    cloudpickle ships it once per task.  The previous shape
+    (``crossJoin(broadcast(packed_row))`` + a codebook column) was
+    JVM-cheap but duplicated the ~16 KB artifact into EVERY ROW of
+    every Arrow batch crossing into Python: ~32 MB redundant transfer
+    at 2k vectors, unbounded at 10⁹.  A bounded collect is the lesser
+    transfer by orders of magnitude.
+
+    Guard: raises if ``df`` exceeds ``max_rows`` — this helper must
+    never be pointed at a data-sized frame."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise RuntimeError(
+            f"collect_model_artifact: frame exceeds {max_rows} rows — "
+            "this helper is for bounded trained artifacts only"
+        )
+    return rows
+
+
 def staged_build_once(base: str, name: str, sf_dir: str, build) -> str:
     """Build-once cache for deterministic staged directories (streaming
     replay sources, derived partitioned tables).

@@ -388,11 +388,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN scale path next to `sim_ann_lsh_topk`, and the engine's
     demonstration of ITERATIVE algorithms on DataFrames (bounded Lloyd
     iterations orchestrated from the driver; all data stays executor-side,
-    centroids travel only as broadcast plans).
+    centroids travel as a bounded trained artifact captured in the
+    assign-UDF closure — see engine.core.collect_model_artifact).
 
     1. init: centroids = the K lowest-vec_id vectors (deterministic);
-    2. 2× Lloyd: assign each vector to its nearest centroid (broadcast
-       K=16 centroids, JVM fold per pair), recompute centroids as
+    2. 2× Lloyd: assign each vector to its nearest centroid (K=16
+       centroid matrix in the Arrow-UDF closure, one matmul per
+       batch), recompute centroids as
        elementwise means via posexplode → (cid, pos) avg → ordered
        reassembly;
     3. index: the final assignment IS the inverted file;
@@ -404,36 +406,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    @F.pandas_udf("array<bigint>")
-    def _top_cids(emb, cs):  # (embeddings, packed centroids) -> top cids
-        # cs is the SAME 1-row packed centroid array repeated per row
-        # (broadcast crossJoin) — parse once per batch.  Vectorized
-        # argmin over all K centroids in one matmul: the first cut
-        # crossJoined every vector with every centroid and folded the
-        # cosine with Catalyst HOFs per pair (~interpreted 4k boxed ops
-        # per pair) plus a row_number shuffle — measured 3.8 s at sf0.1
-        # for 32k pairs; the batch form is map-only, no shuffle.
-        first = cs.iloc[0]
-        cids = np.array([c["cid"] for c in first], dtype=np.int64)
-        C = np.stack([np.asarray(c["c_emb"], dtype=np.float64) for c in first])
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        # Same pinning as the old sim_key: floor(sim*1e6+0.5), tiebreak
-        # smaller cid first — identical argmin semantics, batch-wide.
-        keys = np.floor(mn @ Cn.T * 1_000_000 + 0.5).astype(np.int64)
-        order = np.lexsort((np.broadcast_to(cids, keys.shape), -keys), axis=1)
-        top = cids[order[:, :_IVF_PROBES]]
-        return pd.Series(list(top))
+    from engine.core import collect_model_artifact
 
     def nearest(df: DataFrame, cents: DataFrame, out: str) -> DataFrame:
-        # df ⋈ broadcast(1-row packed centroids) → per-row vectorized
-        # argmin by (pinned sim desc, cid asc); map-only, no shuffle.
-        packed = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c_emb"))).alias("cs")
-        )
-        top = df.crossJoin(F.broadcast(packed)).select(
-            "vec_id", "embedding", _top_cids("embedding", "cs").alias("tc")
+        # Centroids are a TRAINED MODEL ARTIFACT (K=16 rows, bounded by
+        # construction) — bounded collect + closure capture: cloudpickle
+        # ships the ~8 KB numpy block once per TASK.  The previous shape
+        # (crossJoin(broadcast(packed-1-row)) with the centroid table as
+        # a per-row column) was JVM-cheap but duplicated the artifact
+        # into every Arrow ROW crossing into Python.  Vectorized argmin
+        # over all K centroids in one matmul per batch: map-only, no
+        # shuffle, and now no join at all.  (The very first cut
+        # crossJoined every vector with every centroid and folded the
+        # cosine with Catalyst HOFs per pair — measured 3.8 s at sf0.1.)
+        rows = sorted(collect_model_artifact(cents), key=lambda r: r["cid"])
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        C = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        @F.pandas_udf("array<bigint>")
+        def _top_cids(emb):
+            m = np.stack(emb.to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # Same pinning as the old sim_key: floor(sim*1e6+0.5),
+            # tiebreak smaller cid first — identical argmin semantics.
+            keys = np.floor(mn @ Cn.T * 1_000_000 + 0.5).astype(np.int64)
+            order = np.lexsort(
+                (np.broadcast_to(cids, keys.shape), -keys), axis=1
+            )
+            top = cids[order[:, :_IVF_PROBES]]
+            return pd.Series(list(top))
+
+        top = df.select(
+            "vec_id", "embedding", _top_cids("embedding").alias("tc")
         )
         if out == "cid":
             return top.select(
@@ -529,7 +534,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, and on a vanishing fraction at real scale (R stays constant
     while N grows).  Measured recall@5 after re-rank: 96% at sf0.01.
 
-    Plan shape: encode is map-only with a broadcast codebook; per-query
+    Plan shape: encode is map-only with the codebook (a bounded trained
+    artifact) captured in the Arrow-UDF closure; per-query
     distance tables broadcast; ADC distance = JVM fold over 8 array
     lookups in exact e6-pinned longs; shortlist and final top-5 via
     bounded row_numbers; only the shortlist join touches raw vectors.
@@ -540,35 +546,46 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def _parse_cb(first) -> "np.ndarray":
-        # packed codebook structs sorted by (m, k) -> (M, K, SUB)
-        C = np.stack([np.asarray(c["sv"], dtype=np.float64) for c in first])
+    from engine.core import collect_model_artifact
+
+    def _cb_array(cb_df: DataFrame) -> "np.ndarray":
+        # The codebook is a TRAINED MODEL ARTIFACT — M·K = 256 rows by
+        # construction.  Bounded collect + closure capture (cloudpickle
+        # ships the ~16 KB array once per task); the previous
+        # crossJoin(broadcast(packed)) shape duplicated it into every
+        # Arrow row crossing into Python.
+        rows = sorted(
+            collect_model_artifact(cb_df), key=lambda r: (r["m"], r["k"])
+        )
+        C = np.stack([np.asarray(r["sv"], dtype=np.float64) for r in rows])
         return C.reshape(_PQ_M, _PQ_K, _PQ_SUB)
 
-    @F.pandas_udf("array<int>")
-    def _encode(emb, cb):
-        C = _parse_cb(cb.iloc[0])  # (M, K, SUB)
-        X = np.stack(emb.to_numpy()).astype(np.float64)
-        Xs = X.reshape(len(X), _PQ_M, _PQ_SUB)
-        d = ((Xs[:, :, None, :] - C[None]) ** 2).sum(axis=3)  # (n, M, K)
-        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+    def _encode_udf(C: "np.ndarray"):
+        @F.pandas_udf("array<int>")
+        def _encode(emb):
+            X = np.stack(emb.to_numpy()).astype(np.float64)
+            Xs = X.reshape(len(X), _PQ_M, _PQ_SUB)
+            d = ((Xs[:, :, None, :] - C[None]) ** 2).sum(axis=3)  # (n,M,K)
+            return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
 
-    @F.pandas_udf("array<bigint>")
-    def _adc_table(emb, cb):
-        C = _parse_cb(cb.iloc[0])
-        X = np.stack(emb.to_numpy()).astype(np.float64)
-        Xs = X.reshape(len(X), _PQ_M, _PQ_SUB)
-        d = ((Xs[:, :, None, :] - C[None]) ** 2).sum(axis=3)
-        # e6-pinned integer distances: the JVM-side sum of longs is
-        # exact, so ranking is engine- and order-independent.
-        t = np.floor(d * 1_000_000 + 0.5).astype(np.int64).reshape(len(X), -1)
-        return pd.Series(list(t))
+        return _encode
 
-    def _pack(cb_df: DataFrame):
-        # (m, k, sv) rows -> one broadcastable row of (m,k)-sorted structs
-        return cb_df.agg(
-            F.array_sort(F.collect_list(F.struct("m", "k", "sv"))).alias("cb")
-        )
+    def _adc_udf(C: "np.ndarray"):
+        @F.pandas_udf("array<bigint>")
+        def _adc_table(emb):
+            X = np.stack(emb.to_numpy()).astype(np.float64)
+            Xs = X.reshape(len(X), _PQ_M, _PQ_SUB)
+            d = ((Xs[:, :, None, :] - C[None]) ** 2).sum(axis=3)
+            # e6-pinned integer distances: the JVM-side sum of longs is
+            # exact, so ranking is engine- and order-independent.
+            t = (
+                np.floor(d * 1_000_000 + 0.5)
+                .astype(np.int64)
+                .reshape(len(X), -1)
+            )
+            return pd.Series(list(t))
+
+        return _adc_table
 
     # init: codeword (m, k) = subspace m of vector k  (k < _PQ_K)
     sub_of = lambda df: df.select(  # noqa: E731
@@ -598,8 +615,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — materialize once, reuse across Lloyd passes (bench clears it)
         sub_all = sub_of(e).persist()
         for _ in range(_PQ_LLOYD):
-            coded = e.crossJoin(F.broadcast(_pack(cb))).select(
-                "vec_id", _encode("embedding", "cb").alias("codes")
+            coded = e.select(
+                "vec_id", _encode_udf(_cb_array(cb))("embedding").alias("codes")
             )
             means = (
                 sub_all
@@ -627,18 +644,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
 
-    packed = _pack(cb)
-    coded = e.crossJoin(F.broadcast(packed)).select(
+    Cfin = _cb_array(cb)
+    coded = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        _encode("embedding", "cb").alias("codes"),
+        _encode_udf(Cfin)("embedding").alias("codes"),
     )
-    queries = (
-        e.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(packed))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            _adc_table("embedding", "cb").alias("tbl"),
-        )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        _adc_udf(Cfin)("embedding").alias("tbl"),
     )
     # approx distance = Σ_m tbl[m*K + code_m]  (8 lookups, exact longs)
     dist = F.aggregate(
