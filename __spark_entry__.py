@@ -92,8 +92,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cost = _bench_times()
     order = {k: i for i, k in enumerate(engine.QUERIES)}
     unreached = [k for k in engine.QUERIES if k not in verified]
+    # Keys with no committed bench time are NEW this round — sort them
+    # after the existing oracle-tier backlog (cost default inf) so a
+    # fresh addition never displaces a key that has been waiting for
+    # the driver's ~50-key verification window since an earlier round.
     unreached.sort(
-        key=lambda k: (k in engine.ROWS_ONLY, cost.get(k, 1.0), order[k])
+        key=lambda k: (
+            k in engine.ROWS_ONLY,
+            cost.get(k, float("inf")),
+            order[k],
+        )
     )
     reached = sorted(
         (k for k in engine.QUERIES if k in verified),
