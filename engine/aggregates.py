@@ -947,3 +947,115 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         e4(skew).alias("skew_e4"),
         e4(kurt).alias("excess_kurt_e4"),
     )
+
+
+@query(
+    "agg_frequent_items",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS total FROM events),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.cnt,
+           CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_e6
+    FROM cnt c, tot t
+    WHERE c.cnt * 1000 > t.total
+    """,
+)
+def agg_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent items at a support threshold (count > 0.1% of the
+    stream) — the hash-verified exact sibling of the CMS sketch key
+    (``agg_cms_heavy_hitters``): same question, answered by full
+    aggregation instead of fixed-memory estimation, so the two keys
+    bracket the accuracy/memory trade a pipeline chooses between.
+
+    Exactness discipline: the support predicate and the share are pure
+    integer arithmetic (``cnt*1000 > total``; ``cnt*1000000 DIV
+    total``) — no float division whose rounding could flip a borderline
+    item between engines (DuckDB BIGINT/BIGINT `/` returns DOUBLE —
+    use `//`; Spark `div` is the integer twin).
+
+    Scale: one map-side-combinable count per key + a 1-row total
+    broadcast; the support filter drops the long tail before anything
+    else touches it.  At 100 TB this is the candidate generator that
+    the CMS key pre-screens for in one pass."""
+    ev = load(spark, sf_dir, "events")
+    tot = ev.agg(F.count("*").alias("total"))
+    cnt = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 1000 > F.col("total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("long").alias("share_e6"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_stats",
+    oracle="""
+    WITH c AS (
+        -- HUGEINT before multiplying: w*x^2 ~ 50 * (1e7)^2 = 5e15 per
+        -- row is BIGINT-safe, but the SUM over 6e5 rows (~3e21) is not;
+        -- mirror of the Spark side's decimal(38,0) sufficient stats.
+        SELECT l_returnflag,
+               CAST(CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS HUGEINT) AS w,
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS HUGEINT) AS x
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(SUM(w) AS DOUBLE) AS sw,
+               CAST(SUM(w * x) AS DOUBLE) AS s1,
+               CAST(SUM(w * x * x) AS DOUBLE) AS s2
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(sw AS BIGINT) AS sum_w,
+           CAST(FLOOR((s1 / sw) * 10000 + 0.5) AS BIGINT) AS wmean_e4,
+           CAST(FLOOR((s2 / sw - (s1 / sw) * (s1 / sw)) * 10000 + 0.5)
+                AS BIGINT) AS wvar_e4
+    FROM s
+    """,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean / variance from EXACT integer sufficient statistics
+    (Σw, Σw·x, Σw·x²) — the frequency-weighted member of the
+    exact-moments family (``agg_corr_exact`` / ``agg_exact_moments``):
+    weights are line quantities, values are price cents, sums accumulate
+    as decimal(38,0) on Spark (w·x² ≈ 5e15 per row overflows int64 over
+    6e5 rows) and HUGEINT in DuckDB, and the float math happens ONCE per
+    group on the exact sums in identical operation order, then e4-pins.
+
+    The weighted form is what a training pipeline computes over
+    token-count-weighted document statistics: per-domain weighted
+    quality means where long documents count proportionally.
+
+    Scale: sufficient statistics are map-side-combinable and MERGEABLE
+    (per-segment sums add), so weighted stats over any union of
+    partitions come from stored sums without rescanning."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    w = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").cast(dec)
+    x = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast(dec)
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(w).cast("double").alias("sw"),
+        F.sum(w * x).cast("double").alias("s1"),
+        F.sum(w * x * x).cast("double").alias("s2"),
+    )
+    e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    wm = F.col("s1") / F.col("sw")
+    return s.select(
+        "l_returnflag",
+        F.col("sw").cast("long").alias("sum_w"),
+        e4(wm).alias("wmean_e4"),
+        e4(F.col("s2") / F.col("sw") - wm * wm).alias("wvar_e4"),
+    )

@@ -1314,3 +1314,74 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "status")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "evt_lateness_audit",
+    oracle="""
+    WITH seen AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < high_water THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN us < high_water
+                                  THEN (high_water - us) // 1000000 END), 0)
+                AS BIGINT) AS max_lateness_s
+    FROM seen
+    GROUP BY event_type
+    """,
+)
+def evt_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the BATCH diagnostic that sizes a
+    streaming watermark: treating event_id as arrival order, how many
+    events arrive with a timestamp BEHIND their user's high-water mark,
+    and how far behind?  ``max_lateness_s`` is exactly the number a
+    deployment reads before choosing ``withWatermark`` lag (the
+    streaming keys here use 1 hour; this key justifies such a choice
+    from data).
+
+    Semantics: high-water = running max of event time over arrival
+    order per user, EXCLUDING the current row (rows between unbounded
+    preceding and 1 preceding) — a row equal to the max is on time,
+    strictly behind is late.  All arithmetic is exact integer
+    microseconds (``unix_micros`` / ``epoch_us``), lateness floored to
+    whole seconds with integer division on both engines.
+
+    Scale: one shuffle on user_id (state bounded per user), then a
+    map-side-combinable 3-column aggregate; no second shuffle beyond
+    the tiny per-type reduce."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.max(us).over(w).alias("high_water"),
+    )
+    late = F.col("us") < F.col("high_water")
+    return seen.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    late,
+                    F.expr("(high_water - us) div 1000000"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_lateness_s"),
+    )

@@ -879,3 +879,61 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_us",
         )
     )
+
+
+@query(
+    "join_correlated_scalar",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o
+    WHERE cents * (SELECT COUNT(*) FROM o o2
+                   WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(o2.cents) FROM o o2
+             WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def join_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED SCALAR SUBQUERY in a predicate — the remaining
+    subquery class next to EXISTS (``join_existence_subquery``): orders
+    priced strictly above their own customer's average order value.
+    Catalyst de-correlates both scalar subqueries into an aggregate on
+    o_custkey joined back to the outer — the rewrite this key pins.
+
+    Exactness: the avg comparison is multiplied out (``cents * n >
+    sum_cents``, exact BIGINT ops — cents ≤ 6e7, n ≤ a few dozen, the
+    product ≤ ~2e9) instead of ``cents > sum/n`` whose float division
+    could flip borderline rows between engines.
+
+    Scale: the de-correlated form is one groupBy(custkey) aggregate +
+    one shuffle join on custkey — same cost class as a manual
+    aggregate-join; the subquery syntax buys the optimizer freedom, not
+    a nested loop."""
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH o AS (
+            SELECT o_orderpriority, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_above,
+               SUM(cents) AS sum_cents
+        FROM o
+        WHERE cents * (SELECT COUNT(*) FROM o o2
+                       WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(o2.cents) FROM o o2
+                 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        """
+    )

@@ -470,3 +470,55 @@ def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "rn")
     )
+
+
+@query(
+    "sample_importance_weighted",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               LEAST(n_chars, 1000) AS weight,
+               ((doc_id * 506952114 + 40503) % 2147483647) % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM h
+    WHERE bucket < weight
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-WEIGHTED deterministic sampling — each document kept
+    with probability proportional to its weight (here length, capped at
+    the modulus; in production a quality score): the corpus-mixing
+    primitive that upsamples high-quality domains WITHOUT materializing
+    per-row random numbers.  Keep iff ``uhash(doc_id) mod M < weight``
+    — restart-stable, partition-layout-independent, exactly
+    reproducible by the oracle, and the inclusion probability is
+    weight/M by the universal-hash uniformity argument (same family as
+    the MinHash seeds, engine/dedup.py: a·x+b mod P with P = 2³¹−1;
+    doc_id·a ≤ ~2.5e12 ≪ 2⁶³, ANSI-safe).
+
+    Unlike ``sample_stratified_mix`` (per-stratum fixed rates), the
+    rate here varies CONTINUOUSLY per row with the weight column — the
+    two keys are the discrete and continuous halves of the sampling
+    surface.
+
+    Scale: pure per-row arithmetic, no shuffle, no RNG state; the
+    filter pushes to the scan.  Reweighting a 100 TB corpus is a single
+    map pass, and the same hash re-draws consistently when weights
+    change (doc keeps its uniform draw forever)."""
+    d = load(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(1000))
+    bucket = ((F.col("doc_id") * 506952114 + 40503) % 2147483647) % 1000
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            weight.cast("long").alias("weight"),
+            bucket.cast("long").alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("weight"))
+    )

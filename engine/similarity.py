@@ -711,3 +711,96 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rn", F.row_number().over(w2)).filter(
         F.col("rn") <= _PQ_TOPK
     )
+
+
+@query(
+    "sim_knn_topk_blocked",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+    cand AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS ne2
+        FROM q, embeddings e, {_DIMS} s
+        WHERE e.vec_id <> q.q_id
+        GROUP BY q.q_id, e.vec_id
+    ),
+    scored AS (
+        SELECT q_id, neighbor_id,
+               FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM cand
+    )
+    SELECT q_id, neighbor_id, cosine, rn
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_knn_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k via BLOCKED matrix multiplication — the production
+    exact-search physical plan, pinned to the SAME oracle (and the same
+    result, row for row) as the expression-folded ``sim_knn_topk``: one
+    semantic contract, two physical strategies, hash-proving the
+    equivalence.
+
+    Shape: queries (bounded by construction, 5 rows) ride the UDF
+    closure; each Arrow batch of the collection computes an (n×K) score
+    block with ONE numpy matmul and emits only its LOCAL top-k per
+    query (≤ K·k rows per batch) — the global window then merges
+    candidates, so the shuffle carries per-block winners, never scores.
+    At 10⁹ vectors the crossJoin form shuffles nothing either (it is
+    map-side too) but folds 64-element HOF expressions per pair in
+    codegen; the blocked form amortizes to dense BLAS, the standard
+    ~10-50× win for exact scoring.
+
+    Determinism: cosine is pinned floor(c·1e4+0.5)/1e4 IN the batch
+    before local top-k (numpy matmul accumulates in a different order
+    than the JVM fold — pinning absorbs the last-ulp drift exactly as
+    it does between Spark and DuckDB), ties break on neighbor_id, and
+    the local-k cut keeps every global candidate because k_local =
+    k_global."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        collect_model_artifact(e.filter(F.col("vec_id") < 5)),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    K = 5
+
+    def block_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = np.floor(Xn @ Qn.T * 10000 + 0.5) / 10000  # (n, K) pinned
+            out = {"q_id": [], "neighbor_id": [], "cosine": []}
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                cj, ij = cos[mask, j], ids[mask]
+                order = np.lexsort((ij, -cj))[:K]
+                out["q_id"].extend([q_ids[j]] * len(order))
+                out["neighbor_id"].extend(ij[order])
+                out["cosine"].extend(cj[order])
+            yield pd.DataFrame(out)
+
+    local = e.mapInPandas(
+        block_topk, "q_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return local.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K
+    )

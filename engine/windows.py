@@ -512,3 +512,44 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TRAILING_HOUR_SQL)
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT)
+               AS pct_rank_e6,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT)
+               AS cume_dist_e6
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST — the relative-position pair that
+    completes the ranking family (``win_ranking`` covers row_number /
+    rank / dense_rank): where does each customer's balance sit within
+    its market segment, as a [0,1] fraction.
+
+    Determinism: both functions are RANK-based, so ties on c_acctbal
+    get identical values in both engines regardless of physical row
+    order — no unique-key tiebreak needed in the ORDER BY (unlike
+    row_number).  The outputs are single IEEE divisions of exact
+    integers ((rank-1)/(n-1), peaked_count/n) — identical bit patterns
+    cross-engine — then e6-pinned per the float discipline.
+
+    Scale: one shuffle on the partition key; within-partition sort per
+    segment.  Same plan class as every ranking window — at 100 TB the
+    partition key (segment/domain) bounds state, and skewed segments
+    range-partition internally (Spark sorts spill-safely)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    e6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        e6(F.percent_rank().over(w)).alias("pct_rank_e6"),
+        e6(F.cume_dist().over(w)).alias("cume_dist_e6"),
+    )
