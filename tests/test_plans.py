@@ -415,3 +415,32 @@ def test_bloom_prefilter_semi_then_merge(spark):
     plan = _plan(spark, "join_bloom_prefilter")
     assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_importance_sample_map_only(spark):
+    # Importance-weighted sampling must be a pure map pass: per-row hash
+    # arithmetic + filter, zero exchanges, zero joins.
+    plan = _plan(spark, "sample_importance_weighted", executed=True)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_blocked_knn_single_merge_exchange(spark):
+    # Blocked exact kNN: one Arrow mapInPandas pass emitting per-block
+    # winners, then exactly ONE exchange for the global top-k window —
+    # no join, no cartesian pair-walk (the crossJoin twin demonstrates
+    # that shape; this key pins the blocked alternative).
+    plan = _plan(spark, "sim_knn_topk_blocked", executed=True)
+    assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_correlated_scalar_decorrelates(spark):
+    # Catalyst must rewrite both correlated scalar subqueries into
+    # aggregate + equi-join on the correlation key — never a per-row
+    # nested-loop re-execution of the subquery.
+    plan = _plan(spark, "join_correlated_scalar", executed=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
