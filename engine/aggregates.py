@@ -797,10 +797,14 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
 
-    # candidates: the 5 planted heavies + 5 organic ids
-    cand = keyed.filter(
-        (F.col("key") >= 1_000_000) | (F.col("key") < 5)
-    ).distinct()
+    # Exact per-key counts (the verification column) double as the
+    # candidate source: deriving the 10 probe keys from this aggregate
+    # reuses its shuffle instead of paying a second full-scan distinct
+    # over the same column (one whole stage saved; at 100 TB the
+    # candidate generator would be the sketch itself or a prior round's
+    # frequent-items output, never a rescan).
+    exact = keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
+    cand = exact.filter((F.col("key") >= 1_000_000) | (F.col("key") < 5))
 
     @F.pandas_udf("array<int>")
     def cand_pos(keys):
@@ -809,19 +813,20 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list((pos + base[None, :]).astype(np.int32)))
 
     probes = cand.select(
-        "key", F.posexplode(cand_pos("key")).alias("j", "idx")
-    )
-    est = (
-        probes.join(F.broadcast(merged), "idx")
-        .groupBy("key")
-        .agg(F.min("cnt").alias("est_count"))
-    )
-    exact = keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
-    return est.join(exact, "key").select(
         "key",
-        "est_count",
         "exact_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        F.posexplode(cand_pos("key")).alias("j", "idx"),
+    )
+    return (
+        probes.join(F.broadcast(merged), "idx")
+        .groupBy("key", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select(
+            "key",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
     )
 
 
