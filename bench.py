@@ -123,7 +123,11 @@ def main() -> None:
     # this-run map always lands in bench_last.json for regression reads.
     fresh = set(filter(None, os.environ.get(
         "SPARK_GRAFT_FRESH_KEYS", "").split(",")))
-    merged = {
+    # Filtered A/B runs (SPARK_GRAFT_KEYS) report RAW times: min-merging
+    # an A/B run against the anchor would mask the very regression being
+    # measured (the printed value would just echo the old anchor).  Only
+    # full runs maintain the min-merged anchor map.
+    merged = dict(times) if only else {
         k: (v if k in fresh or k not in prior else min(v, prior[k]))
         for k, v in times.items()
     }

@@ -756,11 +756,14 @@ def sim_knn_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; the blocked form amortizes to dense BLAS, the standard
     ~10-50× win for exact scoring.
 
-    Determinism: cosine is pinned floor(c·1e4+0.5)/1e4 IN the batch
-    before local top-k (numpy matmul accumulates in a different order
-    than the JVM fold — pinning absorbs the last-ulp drift exactly as
-    it does between Spark and DuckDB), ties break on neighbor_id, and
-    the local-k cut keeps every global candidate because k_local =
+    Determinism: the cosine is computed in the ORACLE'S OPERATION FORM
+    — raw dot product, then one divide by sqrt(nq2)·sqrt(ne2) (never
+    pre-normalized vectors, whose per-element divisions would be a
+    structurally different float computation) — so the only cross-engine
+    drift source left is summation order, the same last-ulp class the
+    already-green crossJoin twin carries; floor(c·1e4+0.5)/1e4 pins IN
+    the batch before local top-k, ties break on neighbor_id, and the
+    local-k cut keeps every global candidate because k_local =
     k_global."""
     import numpy as np
     import pandas as pd
@@ -774,7 +777,7 @@ def sim_knn_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.sqrt((Q * Q).sum(axis=1))  # sqrt(nq2), oracle form
     K = 5
 
     def block_topk(batches):
@@ -783,8 +786,9 @@ def sim_knn_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cos = np.floor(Xn @ Qn.T * 10000 + 0.5) / 10000  # (n, K) pinned
+            en = np.sqrt((X * X).sum(axis=1))  # sqrt(ne2)
+            cos = X @ Q.T / (en[:, None] * qn[None, :])
+            cos = np.floor(cos * 10000 + 0.5) / 10000  # (n, K) pinned
             out = {"q_id": [], "neighbor_id": [], "cosine": []}
             for j in range(len(q_ids)):
                 mask = ids != q_ids[j]

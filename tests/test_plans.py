@@ -142,9 +142,16 @@ def test_no_driver_side_collect_in_engine_source():
         for needle in (".collect()", ".toPandas()", ".rdd", "sparkContext.parallelize"):
             n = src.count(needle)
             if p.name == "core.py" and needle == ".collect()":
-                assert n == 1 and "def collect_model_artifact" in src, (
-                    "core.py may contain exactly the one exempted "
-                    "collect inside collect_model_artifact"
+                # The single token must sit INSIDE collect_model_artifact's
+                # body (between its def and the next top-level def), not
+                # merely coexist with it somewhere in core.py.
+                start = src.index("def collect_model_artifact")
+                rest = src[start:]
+                end = rest.index("\ndef ", 1) if "\ndef " in rest[1:] else len(rest)
+                body = rest[:end]
+                assert n == 1 and body.count(needle) == 1, (
+                    "core.py may contain exactly one collect, inside "
+                    "collect_model_artifact's body"
                 )
                 continue
             if n:
