@@ -56,6 +56,18 @@ def main() -> None:
     engine.QUERIES["agg_groupby_pricing"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ...and Python-worker/Arrow spin-up (~2-3 s), which otherwise lands
+    # on whichever UDF key runs first in the alphabetical loop
+    # (agg_cms_heavy_hitters carried it; its warm cost is ~1 s).
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # Only these keys persist() relations (MinHash shingle diamond, CC
     # edge list).  Evict right after each so leaked blocks don't occupy
