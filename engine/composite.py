@@ -968,3 +968,83 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+@query(
+    "pack_length_buckets",
+    oracle="""
+    WITH bucketed AS (
+        SELECT doc_id, n_chars,
+               ((n_chars - 1) // 128 + 1) * 128 AS bucket
+        FROM documents
+    ),
+    batched AS (
+        SELECT bucket, n_chars,
+               (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                   // 8 AS batch_id
+        FROM bucketed
+    ),
+    per_batch AS (
+        SELECT bucket, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_chars) AS BIGINT) AS max_len,
+               CAST(SUM(n_chars) AS BIGINT) AS payload
+        FROM batched GROUP BY bucket, batch_id
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_docs * max_len - payload) AS BIGINT) AS pad_waste,
+           CAST(SUM(n_docs * max_len - payload) * 1000000
+                // SUM(n_docs * max_len) AS BIGINT) AS waste_e6
+    FROM per_batch
+    GROUP BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING with pad-waste accounting — the dynamic
+    batching step of a training pipeline: group documents into
+    width-128 length buckets, fill fixed-size batches (8 docs) in
+    deterministic doc_id order within each bucket, and measure the
+    padding wasted when every batch pads to its longest member.  The
+    waste share is WHY length bucketing exists (random batching pads
+    every batch to the global tail); this key quantifies it per bucket.
+
+    Third member of the packing family: ``pack_concat_chunks``
+    (concatenate-and-split, zero waste, breaks doc boundaries) and
+    ``pack_bin_firstfit`` (variable docs per token budget) trade
+    differently — length bucketing keeps one-doc-one-row AND bounds
+    waste by the bucket width.
+
+    Exactness: bucket bounds are pure integer arithmetic (width-128
+    ceil — POWER/LOG2 bucketing would put exact powers of two on a
+    float boundary that engines may round apart); the waste share is
+    integer-scaled division (`div` / `//`).
+
+    Scale: one shuffle on the bucket key; within-bucket row_number is
+    the same plan class as every ranked window (bucket count bounds
+    parallelism — at 100 TB the partition key becomes (bucket,
+    doc_id-range block) so no bucket serializes)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = ((F.col("n_chars") - 1) / 128).cast("long") * 128 + 128
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = d.select(
+        "doc_id", "n_chars", bucket.alias("bucket")
+    ).withColumn("batch_id", ((F.row_number().over(w) - 1) / 8).cast("long"))
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_chars").alias("max_len"),
+        F.sum("n_chars").alias("payload"),
+    )
+    waste = F.col("n_docs") * F.col("max_len") - F.col("payload")
+    return per_batch.groupBy("bucket").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(waste).alias("pad_waste"),
+        F.expr(
+            "sum(n_docs * max_len - payload) * 1000000"
+            " div sum(n_docs * max_len)"
+        )
+        .cast("long")
+        .alias("waste_e6"),
+    )

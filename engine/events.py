@@ -1385,3 +1385,53 @@ def evt_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_lateness_s"),
     )
+
+
+@query(
+    "evt_cumulative_reach",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def evt_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE REACH — running count of distinct users ever seen, by
+    day: the audience-growth curve every product dashboard opens with,
+    and the exact-distinct companion to the growth-accounting
+    decomposition (``evt_growth_accounting`` classifies day-over-day
+    state transitions; this key gives the monotone total).
+
+    Plan: distinct-user reach needs each user counted once at FIRST
+    appearance — min(day) per user (one shuffle on user_id), a daily
+    count (bounded: one row per calendar day), then a running sum over
+    the day sequence.  The final window is unpartitioned BUT its input
+    is the daily rollup — one row per day by construction (same bounded
+    class as win_moving_avg's allow-list entry) — never the event
+    stream.  Counting DISTINCT users per cumulative prefix directly
+    would be quadratic; first-seen conversion makes reach a plain
+    running sum of an additive measure.
+
+    Scale: two map-side-combinable aggregations + an O(days) window;
+    merges across segments by summing first-seen counts."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

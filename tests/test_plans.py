@@ -109,6 +109,8 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # rank over the token FREQUENCY table — vocab-sized by Heaps'
         # law (≪ corpus; the corpus-scale work is the upstream count)
         ("text.py", "text_zipf_fit"),
+        # running sum over the DAILY rollup — one row per calendar day
+        ("events.py", "evt_cumulative_reach"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
