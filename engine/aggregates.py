@@ -1064,3 +1064,38 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e4(wm).alias("wmean_e4"),
         e4(F.col("s2") / F.col("sw") - wm * wm).alias("wvar_e4"),
     )
+
+
+@query(
+    "agg_bool_predicates",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(bool_and(c_acctbal > 0) AS INTEGER) AS all_positive,
+           CAST(bool_or(c_acctbal < -900) AS INTEGER) AS any_deep_negative,
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_high_balance,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — bool_and / bool_or / count_if: the
+    data-quality assertion surface ("EVERY row in this segment has a
+    positive balance", "ANY row breaches the floor", "how many
+    exceed the threshold") that a pipeline's validation stage runs per
+    partition before promoting data.  Outputs cast to INT per the
+    driver-safe scalar discipline (no boolean columns — the r2 driver
+    run died on the first boolean-output key).
+
+    Scale: all three are map-side-combinable (AND/OR/ADD are
+    associative-commutative monoids — the same mergeability argument
+    as every sketch here); one shuffle on the group key."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("bool_and(c_acctbal > 0)").cast("int").alias("all_positive"),
+        F.expr("bool_or(c_acctbal < -900)").cast("int").alias(
+            "any_deep_negative"
+        ),
+        F.expr("count_if(c_acctbal > 5000)").alias("n_high_balance"),
+        F.count("*").alias("n"),
+    )

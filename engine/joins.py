@@ -937,3 +937,71 @@ def join_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "join_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+            AS not_in_with_nulls,
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT k FROM probe
+                                      WHERE k IS NOT NULL)) AS BIGINT)
+            AS not_in_null_filtered,
+        CAST((SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                WHERE p.k = o.o_custkey)) AS BIGINT)
+            AS not_exists_null_safe
+    """,
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    trap, pinned numerically: when the subquery column contains even one
+    NULL, ``x NOT IN (...)`` can never be TRUE (x <> NULL is UNKNOWN),
+    so the count collapses to 0; filtering the NULLs restores the
+    expected anti-join count, and NOT EXISTS gives the same count
+    because its predicate never compares against the NULL row.  All
+    three counts in one row — an engine that "fixes" NOT IN to mean
+    anti-join (a real bug class in homegrown planners) hash-mismatches
+    immediately.
+
+    Both engines implement ANSI three-valued logic; Spark plans the two
+    NOT IN branches as ``BroadcastHashJoin [...] LeftAnti, BuildRight,
+    true`` — the trailing flag is ``isNullAwareAntiJoin``, the
+    null-aware LeftAnti variant (verified in this plan; the NOT EXISTS
+    branch gets the same operator with the flag ``false``).
+
+    Scale: each branch is an anti-join against a broadcast-sized probe;
+    null-aware anti join is only supported with a broadcastable build
+    side (single-column, BuildRight) — the extra null bookkeeping is
+    the semantic cost of NOT IN and the reason production SQL style
+    guides mandate NOT EXISTS."""
+    from engine.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe))
+                AS not_in_with_nulls,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe
+                                     WHERE k IS NOT NULL))
+                AS not_in_null_filtered,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM probe p
+                               WHERE p.k = o.o_custkey))
+                AS not_exists_null_safe
+        """
+    )
