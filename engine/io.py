@@ -836,3 +836,65 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "scan_files_metadata",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderkey % 4
+    """,
+)
+def scan_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_metadata`` hidden file-source column — Spark's built-in
+    lineage surface (file path / name / size / modification time per
+    row) that a data-engineering pipeline reads to attribute rows to
+    their source files (debugging a bad shard, incremental-load
+    bookkeeping, audit trails).
+
+    The staged input is four DETERMINISTIC shard files
+    (``shard_k{0..3}.parquet``, orders split by o_orderkey % 4, each
+    written as a single renamed part file), so the file→content mapping
+    is exact and the oracle reconstructs the per-file aggregates
+    arithmetically from the base table — no filesystem access in the
+    oracle.  The key extracts the shard id from
+    ``_metadata.file_name`` with a regexp and proves file-level
+    attribution hash-exactly.
+
+    Scale: ``_metadata`` is populated by the scan operator itself (no
+    join against a listing); grouping by a value parsed from it is a
+    plain map-side-combinable aggregate."""
+    configure(spark)
+    import glob as _glob
+    import os
+    import shutil
+
+    def build(dst: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        for i in range(4):
+            tmp = os.path.join(dst, f"_tmp_{i}")
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(dst, f"shard_k{i}.parquet"))
+            shutil.rmtree(tmp)
+
+    src = _staged_sink("files_metadata", sf_dir, build)
+    df = spark.read.parquet(src)
+    shard = F.regexp_extract(
+        F.col("_metadata.file_name"), r"shard_k(\d+)\.parquet", 1
+    ).cast("long")
+    return df.select(
+        shard.alias("shard"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -1416,3 +1416,64 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e4(slope).alias("zipf_slope_e4"),
         e4((sy / n - slope * (sx / n)) / 1_000_000).alias("intercept_e4"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_TRI_SQL},
+    per_doc AS (
+        SELECT DISTINCT doc_id, tri FROM tri
+    ),
+    first_seen AS (
+        SELECT tri, MIN(doc_id) AS first_doc FROM per_doc GROUP BY tri
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM per_doc p JOIN first_seen f ON f.tri = p.tri
+    GROUP BY p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT NOVELTY CURVE — for each doc (in doc_id = ingestion
+    order), the share of its distinct trigrams never seen in any earlier
+    document: the corpus-redundancy diagnostic a dedup pipeline reads to
+    decide whether MORE data is still adding information (novelty decays
+    toward 0 as a crawl saturates) and which sources are near-copies of
+    earlier ones (novelty ≈ 0 immediately).
+
+    Semantics: first-occurrence conversion — each distinct trigram is
+    attributed once to min(doc_id) — turns "seen before?" into two
+    aggregations; the naive form (each doc probed against the union of
+    all earlier docs) is quadratic in corpus size.  The novelty share is
+    integer-scaled division, no float.
+
+    Scale: one shuffle on the trigram (vocabulary-sized by Heaps' law),
+    one map-side-combinable per-doc count; the trigram stream comes from
+    the indexed-transform shingler (per-row JVM work, zero self-join —
+    the oracle's positional 3-way join is the naive twin)."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(_trigrams(F.col("toks"))).alias("tri"))
+        .distinct()
+    )
+    w = Window.partitionBy("tri")
+    flagged = per_doc.select(
+        "doc_id",
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_novel"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("is_novel"), 1).otherwise(0)).alias("n_novel"),
+        F.expr(
+            "sum(case when is_novel then 1 else 0 end) * 1000000"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("novelty_e6"),
+    )
