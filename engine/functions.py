@@ -569,3 +569,84 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("name_ci")).cast("string").alias("name_ci"), "n"
         )
     )
+
+
+@query(
+    "fn_geo_haversine",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+               (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               RADIANS(a.lat) AS la1, RADIANS(b.lat) AS la2,
+               RADIANS(b.lat - a.lat) AS dla,
+               RADIANS(b.lon - a.lon) AS dlo
+        FROM pts a JOIN pts b ON b.c_custkey = a.c_custkey + 1
+        WHERE a.c_custkey % 7 = 0
+    )
+    SELECT key_a, key_b,
+           CAST(FLOOR(2 * 6371.0088
+                * ASIN(SQRT(SIN(dla / 2) * SIN(dla / 2)
+                            + COS(la1) * COS(la2)
+                              * SIN(dlo / 2) * SIN(dlo / 2)))
+                * 10000 + 0.5) AS BIGINT) AS dist_km_e4
+    FROM pairs
+    """,
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance — the trigonometric function
+    family (radians/sin/cos/asin) under the float discipline, over
+    synthetic coordinates DERIVED FROM INTEGERS (key·prime mod range,
+    then one exact-rounded division), so both engines start from
+    bit-identical doubles and evaluate the same formula in the same
+    operation order; the e4-pinned km absorbs the ≤1-2 ulp divergence
+    between libm implementations, the same absorption margin every
+    pinned float key here relies on.
+
+    Geo-distance is the standard example of a JVM-side computed column
+    that must NOT become a Python UDF: 6 trig calls per row inside
+    whole-stage codegen vs an Arrow round-trip.
+
+    Scale: the consecutive-key pairing is an equi-join (broadcastable
+    probe side after the residue filter); everything else is per-row
+    math — no shuffle beyond the join."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    a = pts.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    b = pts.select(
+        (F.col("c_custkey") - 1).alias("join_key"),
+        F.col("c_custkey").alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    la1 = F.radians("lat_a")
+    la2 = F.radians("lat_b")
+    dla = F.radians(F.col("lat_b") - F.col("lat_a"))
+    dlo = F.radians(F.col("lon_b") - F.col("lon_a"))
+    hav = (
+        F.sin(dla / 2) * F.sin(dla / 2)
+        + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) * F.sin(dlo / 2)
+    )
+    dist = 2 * 6371.0088 * F.asin(F.sqrt(hav))
+    return (
+        a.join(b, a.key_a == b.join_key)
+        .select(
+            "key_a",
+            "key_b",
+            F.floor(dist * 10000 + F.lit(0.5)).cast("long").alias(
+                "dist_km_e4"
+            ),
+        )
+    )

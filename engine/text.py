@@ -349,6 +349,17 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak — the operator shape (profile → argmax, one per-row pass, no
     shuffle) is what carries to a real corpus."""
     d = load(spark, sf_dir, "documents")
+    d = d.select("doc_id", "lang", _langid_pred().alias("predicted"))
+    # int, not boolean — no BooleanType in declared outputs (VERDICT r2 #1)
+    return d.withColumn(
+        "correct", (F.col("predicted") == F.col("lang")).cast("int")
+    )
+
+
+def _langid_pred() -> F.Column:
+    """Marker-argmax language prediction over the `text` column — shared
+    by text_langid_ngram (per-doc) and text_langid_confusion (the eval
+    matrix), so prediction semantics cannot drift between them."""
     toks = F.array_distinct(_tokens(F.col("text")))
     scores = {
         lang: F.size(
@@ -360,11 +371,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best == 0, "unknown")
     for lang in _LANG_MARKERS:  # dict order = fixed tiebreak priority
         pred = pred.when(scores[lang] == best, lang)
-    d = d.select("doc_id", "lang", pred.alias("predicted"))
-    # int, not boolean — no BooleanType in declared outputs (VERDICT r2 #1)
-    return d.withColumn(
-        "correct", (F.col("predicted") == F.col("lang")).cast("int")
-    )
+    return pred
 
 
 @query(
@@ -1476,4 +1483,80 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("novelty_e6"),
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("en")})) AS s_en,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("de")})) AS s_de,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("fr")})) AS s_fr,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("es")})) AS s_es,
+               len(list_intersect({_TOKENS_SQL.format(c="text")}, {_markers_sql("zh")})) AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS true_lang,
+               CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
+                    WHEN 0 THEN 'unknown'
+                    WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+                    WHEN s_es THEN 'es' ELSE 'zh' END AS predicted
+        FROM scored
+    ),
+    cells AS (
+        SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY true_lang, predicted
+    )
+    SELECT true_lang, predicted, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY true_lang)
+                AS BIGINT) AS row_share_e6,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY predicted)
+                AS BIGINT) AS col_share_e6
+    FROM cells
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the language-ID classifier — the evaluation
+    half the predictor key lacks: every (true_lang, predicted) cell
+    count, plus each cell's share of its TRUE-class row (diagonal =
+    per-class RECALL) and of its PREDICTED-class column (diagonal =
+    per-class PRECISION), both integer-scaled — the standard
+    classifier-eval readout, computed in-engine over the full corpus.
+
+    The prediction expression is SHARED with text_langid_ngram
+    (``_langid_pred``) so the matrix always evaluates exactly the
+    classifier that key ships — eval drift between a model and its
+    metrics pipeline is a real production bug class.
+
+    Scale: one per-row prediction pass (no shuffle), a cells aggregate
+    (≤ |langs|² rows), and two window sums over the TINY cells table —
+    the heavy work is map-side; the matrix itself is constant-size
+    regardless of corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            _langid_pred().alias("predicted"),
+        )
+        .groupBy("true_lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("true_lang"))
+    col_tot = F.sum("n").over(Window.partitionBy("predicted"))
+    return cells.select(
+        "true_lang",
+        "predicted",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        row_tot.alias("_rt"),
+        col_tot.alias("_ct"),
+    ).select(
+        "true_lang",
+        "predicted",
+        "n",
+        F.expr("_num div _rt").cast("long").alias("row_share_e6"),
+        F.expr("_num div _ct").cast("long").alias("col_share_e6"),
     )
