@@ -1435,3 +1435,81 @@ def evt_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "evt_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(CAST(gap AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT))
+                    AS DOUBLE) AS s2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap) >= 20
+    )
+    SELECT user_id, n_gaps,
+           CAST(FLOOR(s1 / n_gaps / 1000000 + 0.5) AS BIGINT) AS mean_gap_s,
+           CAST(FLOOR(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+                      / (s1 / n_gaps) * 10000 + 0.5) AS BIGINT) AS cv_e4,
+           CAST(FLOOR(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+                      / (s1 / n_gaps) * 10000 + 0.5) < 2500 AS INTEGER)
+               AS is_regular
+    FROM s
+    """,
+)
+def evt_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / AUTOMATION detection by inter-event regularity — the
+    data-cleaning pass a pipeline runs before events feed anything
+    downstream: humans produce bursty gaps (coefficient of variation
+    ≈ 1 for Poisson-ish arrivals), schedulers produce near-constant
+    gaps (CV → 0), so a low CV over enough events flags automation.
+
+    Exactness: gap sufficient statistics (Σg, Σg²) accumulate as
+    decimal(38,0)/HUGEINT — a day-scale gap is ~10¹¹ µs, its square
+    ~10²² overflows int64 — and the float CV math runs once per user on
+    the exact sums in identical operation order, then e4-pins (the
+    agg_exact_moments discipline).  The flag threshold compares the
+    PINNED integer, so the cut is engine-exact.
+
+    Scale: one shuffle on user_id shared by the lag window and the
+    aggregate; sufficient statistics merge across time segments."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = (us - F.lag(us).over(w)).alias("gap")
+    dec = "decimal(38,0)"
+    s = (
+        ev.select("user_id", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum(F.col("gap").cast(dec)).cast("double").alias("s1"),
+            F.sum((F.col("gap").cast(dec) * F.col("gap").cast(dec)))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    m = F.col("s1") / F.col("n_gaps")
+    cv_e4 = F.floor(
+        F.sqrt(F.col("s2") / F.col("n_gaps") - m * m) / m * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.floor(m / 1_000_000 + F.lit(0.5)).cast("long").alias("mean_gap_s"),
+        cv_e4.alias("cv_e4"),
+        (cv_e4 < 2500).cast("int").alias("is_regular"),
+    )

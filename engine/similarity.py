@@ -808,3 +808,122 @@ def sim_knn_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= K
     )
+
+
+_MRL_PREFIX = 16  # coarse-stage dims (Matryoshka prefix)
+_MRL_SHORTLIST = 60
+_MRL_PFX_SQL = "(SELECT CAST(unnest(range(1, 17)) AS INTEGER) AS i)"
+
+
+@query(
+    "sim_matryoshka_prefix_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS eq FROM embeddings
+               WHERE vec_id < 5),
+    coarse AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS ne2
+        FROM q, embeddings e, {_MRL_PFX_SQL} s
+        WHERE e.vec_id <> q.q_id
+        GROUP BY q.q_id, e.vec_id
+    ),
+    short AS (
+        SELECT q_id, neighbor_id
+        FROM (SELECT q_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                         FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 1000000 + 0.5)
+                             DESC,
+                         neighbor_id ASC) AS rn
+              FROM coarse)
+        WHERE rn <= {_MRL_SHORTLIST}
+    ),
+    full_dim AS (
+        SELECT s.q_id, s.neighbor_id,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS ne2
+        FROM short s
+        JOIN q ON q.q_id = s.q_id
+        JOIN embeddings e ON e.vec_id = s.neighbor_id, {_DIMS} d
+        GROUP BY s.q_id, s.neighbor_id
+    )
+    SELECT q_id, neighbor_id,
+           FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000
+               AS cosine,
+           rn
+    FROM (SELECT q_id, neighbor_id, dot, nq2, ne2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                     FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) DESC,
+                     neighbor_id ASC) AS rn
+          FROM full_dim)
+    WHERE rn <= 5
+    """,
+)
+def sim_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (prefix-truncation) two-stage search — the modern
+    embedding-pipeline retrieval shape: score EVERY candidate on only
+    the first 16 of 64 dimensions (MRL-trained embeddings front-load
+    information, so the prefix preserves coarse ranking at 1/4 the
+    float work and 1/4 the memory bandwidth), keep a top-60 shortlist,
+    then re-rank the shortlist with full-dimension exact cosine.
+
+    Unlike LSH/IVF/PQ (the other ANN paths here) this needs NO index
+    build and no trained artifact — truncation IS the coarse quantizer
+    — which is why serving stacks reach for it first.  Both stages are
+    deterministic, so the whole pipeline is hash-verified against the
+    SQL twin (shortlist ranking on e6-pinned prefix cosine, final on
+    e4-pinned full cosine, vec_id tiebreaks).
+
+    Scale: the coarse pass reads only the prefix slice per vector
+    (columnar layout would prune the rest); the exact pass touches
+    60/|collection| of the raw vectors — constant per query as the
+    collection grows."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pfx = F.slice(F.col("embedding"), 1, _MRL_PREFIX)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.slice(F.col("embedding"), 1, _MRL_PREFIX).alias("eq_pfx"),
+    )
+    coarse_cos = _dot(F.col("eq_pfx"), F.col("e_pfx")) / (
+        _norm(F.col("eq_pfx")) * _norm(F.col("e_pfx"))
+    )
+    coarse = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), pfx.alias("e_pfx")
+        )
+        .crossJoin(F.broadcast(q.select("q_id", "eq_pfx")))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.floor(coarse_cos * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("pfx_e6"),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.desc("pfx_e6"), F.asc("neighbor_id")
+    )
+    short = coarse.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _MRL_SHORTLIST
+    )
+    nb = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("e_full"))
+    full_cos = _dot(F.col("eq"), F.col("e_full")) / (
+        _norm(F.col("eq")) * _norm(F.col("e_full"))
+    )
+    exact = (
+        short.select("q_id", "neighbor_id")
+        .join(nb, "neighbor_id")
+        .join(F.broadcast(q.select("q_id", "eq")), "q_id")
+        .select("q_id", "neighbor_id", _fix(full_cos, 10000).alias("cosine"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= 5
+    )
