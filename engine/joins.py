@@ -1005,3 +1005,104 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS not_exists_null_safe
         """
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE user_id % 3 = 0
+    ),
+    ch AS (
+        SELECT user_id, event_type, us, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev_type
+        FROM e WHERE event_type <> 'purchase'
+    ),
+    seg AS (
+        SELECT user_id, event_type AS segment, us AS valid_from_us, event_id
+        FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+        SELECT user_id, segment, valid_from_us,
+               LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from_us, event_id)
+                   AS valid_to_us
+        FROM seg
+    )
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+    FROM e JOIN dim d
+      ON d.user_id = e.user_id
+     AND d.valid_from_us <= e.us
+     AND (d.valid_to_us IS NULL OR e.us < d.valid_to_us)
+    WHERE e.event_type = 'purchase'
+    GROUP BY d.segment
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal validity) join — the warehouse pattern
+    SCD2 histories exist FOR: attribute each fact to the dimension row
+    that was valid WHEN the fact happened (``valid_from ≤ t <
+    valid_to``, open-ended current row), never to today's row.  Joining
+    facts to a type-2 dimension on the key alone double-counts across
+    versions; joining on key + validity interval is the correctness
+    fix, and the half-open interval makes every fact match EXACTLY one
+    version.
+
+    Here the dimension is the user's ACTIVITY-STATE history derived
+    from the non-purchase events (the ``evt_scd2_history`` derivation
+    inlined over a disjoint event slice), and the facts are the
+    purchase events — "revenue by the state the user was in at purchase
+    time"; purchases before the user's first state row drop out of the
+    inner join on both engines.
+
+    Scale: the join is EQUI on user_id with the interval predicate as a
+    residual filter — a hash join whose build side is the compacted
+    history (≪ the event stream, one row per segment change), never a
+    nested loop; exactly-one-match semantics keep the output row count
+    equal to the fact count before aggregation."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = (
+        e.filter(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("segment"),
+            F.col("us").alias("valid_from_us"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("d_user").orderBy("valid_from_us", "event_id")
+    dim = seg.select(
+        "d_user",
+        "segment",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+    )
+    joined = e.filter(F.col("event_type") == "purchase").join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from_us") <= F.col("us"))
+        & (F.col("valid_to_us").isNull() | (F.col("us") < F.col("valid_to_us"))),
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("sum_cents"),
+    )
