@@ -1048,3 +1048,72 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("waste_e6"),
     )
+
+
+@query(
+    "join_drill_across_facts",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    act AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1
+    )
+    SELECT COALESCE(r.day, a.day) AS day,
+           COALESCE(r.revenue_cents, 0) AS revenue_cents,
+           COALESCE(r.n_orders, 0) AS n_orders,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.n_users, 0) AS n_users
+    FROM rev r FULL OUTER JOIN act a ON r.day = a.day
+    """,
+)
+def join_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRILL-ACROSS — the conformed-dimension pattern: two fact tables
+    at DIFFERENT grains (orders revenue, event activity) each aggregate
+    to the shared calendar dimension FIRST, then full-outer join on the
+    conformed day key with zero-filled gaps.  Joining the raw fact
+    tables directly would fan out rows (every order × every same-day
+    event) and double-count both measures — aggregate-then-join is the
+    correctness rule this key pins, and the full-outer keeps days where
+    only one process ran.
+
+    Scale: each branch is a map-side-combinable rollup to |days| rows;
+    the outer join runs on two TINY conformed aggregates regardless of
+    fact-table scale — the whole point of drilling across at the
+    conformed grain instead of joining facts."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    ev = load(spark, sf_dir, "events")
+    act = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    r, a = rev.alias("r"), act.alias("a")
+    return r.join(a, F.col("r.day") == F.col("a.day"), "full").select(
+        F.coalesce(F.col("r.day"), F.col("a.day")).alias("day"),
+        F.coalesce("revenue_cents", F.lit(0)).alias("revenue_cents"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+    )

@@ -650,3 +650,55 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "fn_business_days",
+    oracle="""
+    WITH d AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS a,
+               CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 10 = 0
+    )
+    SELECT (5 * ((b + 4) // 7) + LEAST((b + 4) % 7, 5))
+           - (5 * ((a + 4) // 7) + LEAST((a + 4) % 7, 5)) AS bus_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM d
+    GROUP BY 1
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY arithmetic — weekdays between order and ship date,
+    closed-form: f(x) = 5·⌊(x+4)/7⌋ + min((x+4) mod 7, 5) counts the
+    weekdays in epoch-days [0..x], so f(b) − f(a) is the weekday count
+    in (a, b] with NO calendar loop, no generate_series, no UDF —
+    O(1) integer math per row (validated against a Python calendar
+    walk for Mon-Fri/weekend/cross-week cases).
+
+    Deliberately avoids ``dayofweek()``: Spark and DuckDB disagree on
+    its 0-vs-1 base and week start (the dialect trap in
+    fn_date_parts' docstring) — epoch-day modular arithmetic is the
+    dialect-proof form.  Output is the SLA histogram (business-day lag
+    → line count), the shape a fulfillment dashboard reads.
+
+    Scale: per-row integer expressions inside codegen + one
+    map-side-combinable count; the equi join shuffles on orderkey (or
+    broadcasts orders' two columns when small)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    o = load(spark, sf_dir, "orders")
+    a = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    b = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    fx = lambda x: 5 * F.expr(f"({x} + 4) div 7") + F.least(  # noqa: E731
+        (F.expr(f"({x} + 4)") % 7), F.lit(5)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(a.alias("a"), b.alias("b"))
+        .select((fx("b") - fx("a")).alias("bus_days"))
+        .groupBy("bus_days")
+        .agg(F.count("*").alias("n_lines"))
+    )
