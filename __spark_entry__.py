@@ -79,6 +79,23 @@ def _bench_times() -> dict[str, float]:
         return {}
 
 
+# Keys registered in round 5 (all pre-verified locally at driver
+# fidelity — PROGRESS.jsonl r5_*_preverify records): served after the
+# older unverified backlog so they cannot displace it from the driver's
+# ~50-key verification window.
+_NEW_THIS_ROUND = frozenset({
+    "agg_frequent_items", "agg_weighted_stats", "win_percent_rank_cume",
+    "join_correlated_scalar", "evt_lateness_audit",
+    "sample_importance_weighted", "sim_knn_topk_blocked",
+    "pack_length_buckets", "evt_cumulative_reach",
+    "join_not_in_null_semantics", "agg_bool_predicates",
+    "text_ngram_novelty", "scan_files_metadata", "text_langid_confusion",
+    "fn_geo_haversine", "sim_matryoshka_prefix_topk", "evt_bot_regularity",
+    "join_point_in_time_scd2", "fn_business_days",
+    "join_drill_across_facts",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -92,17 +109,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cost = _bench_times()
     order = {k: i for i, k in enumerate(engine.QUERIES)}
     unreached = [k for k in engine.QUERIES if k not in verified]
-    # Cheapest-first maximizes keys-through-window if the driver's
-    # budget is time-shaped.  Keys with no committed bench time default
-    # to inf (served after every benched unverified key) — note this
-    # only bites for keys added AFTER the last committed full bench
-    # run; a key benched before commit sorts by its real cost.  The
-    # invariant that actually protects the backlog is keeping
-    # (oracle-tier unverified keys) ≤ the ~50-key window per round —
-    # round 5 ships exactly 43 backlog + 7 new = 50.
+    # Within the unverified tier: oracle-checked before rows-only,
+    # KEYS WAITING SINCE AN EARLIER ROUND before this round's
+    # additions (a new key must never push a key that has been waiting
+    # for the ~50-key window out of it), cheapest-first within each
+    # band (time-shaped driver budgets verify more keys that way),
+    # inf default for never-benched keys.  _NEW_THIS_ROUND is updated
+    # when keys are added; it drains to irrelevance once its keys get
+    # CORRECTNESS rows.
     unreached.sort(
         key=lambda k: (
             k in engine.ROWS_ONLY,
+            k in _NEW_THIS_ROUND,
             cost.get(k, float("inf")),
             order[k],
         )
