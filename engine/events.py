@@ -1459,9 +1459,14 @@ def evt_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n_gaps,
            CAST(FLOOR(s1 / n_gaps / 1000000 + 0.5) AS BIGINT) AS mean_gap_s,
-           CAST(FLOOR(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+           -- GREATEST(var, 0): near-constant gaps (exactly the bot
+           -- pattern) cancel s2/n - m*m to a tiny NEGATIVE double, and
+           -- DuckDB SQRT hard-errors on negatives (Spark yields NaN)
+           CAST(FLOOR(SQRT(GREATEST(s2 / n_gaps
+                                    - (s1 / n_gaps) * (s1 / n_gaps), 0))
                       / (s1 / n_gaps) * 10000 + 0.5) AS BIGINT) AS cv_e4,
-           CAST(FLOOR(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+           CAST(FLOOR(SQRT(GREATEST(s2 / n_gaps
+                                    - (s1 / n_gaps) * (s1 / n_gaps), 0))
                       / (s1 / n_gaps) * 10000 + 0.5) < 2500 AS INTEGER)
                AS is_regular
     FROM s
@@ -1503,7 +1508,13 @@ def evt_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("s1") / F.col("n_gaps")
     cv_e4 = F.floor(
-        F.sqrt(F.col("s2") / F.col("n_gaps") - m * m) / m * 10000
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n_gaps") - m * m, F.lit(0.0)
+            )
+        )
+        / m
+        * 10000
         + F.lit(0.5)
     ).cast("long")
     return s.select(

@@ -92,6 +92,12 @@ def test_registry_consistency():
     assert not (set(engine.ORACLES) & engine.ROWS_ONLY)
     assert set(entry.queries()) == set(engine.QUERIES)
     assert entry.oracle_sql() == engine.ORACLES
+    # The serving-order cohort must name real keys: a typo would be a
+    # silent no-op in the frozenset lookup and let a new key displace a
+    # backlog key from the driver's verification window.
+    assert entry._NEW_THIS_ROUND <= set(engine.QUERIES), (
+        entry._NEW_THIS_ROUND - set(engine.QUERIES)
+    )
 
 
 def test_no_unpartitioned_window_over_unbounded_input():
