@@ -92,7 +92,7 @@ _NEW_THIS_ROUND = frozenset({
     "text_ngram_novelty", "scan_files_metadata", "text_langid_confusion",
     "fn_geo_haversine", "sim_matryoshka_prefix_topk", "evt_bot_regularity",
     "join_point_in_time_scd2", "fn_business_days",
-    "join_drill_across_facts",
+    "join_drill_across_facts", "fn_month_arith",
 })
 
 

@@ -702,3 +702,45 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bus_days")
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+@query(
+    "fn_month_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE)
+                + TO_MONTHS(CAST(o_orderkey % 13 + 1 AS INTEGER))
+                AS DATE) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) =
+                last_day(CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS is_month_end
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-MONTH arithmetic — ``add_months`` and ``last_day``, the
+    date family where naive day-count arithmetic breaks: Jan 31 + 1
+    month must CLAMP to Feb 29/28 (both engines clamp — verified
+    DuckDB ``+ TO_MONTHS`` matches Spark ``add_months`` on month-end
+    inputs including leap February), and billing/retention logic keyed
+    on "same day next month" silently drifts without it.  The
+    month-end flag is the membership test subscription rollovers
+    branch on.
+
+    Variable month offsets (1-13 from the order key) exercise year
+    wrap and leap-year clamping across the corpus's 1995-2001 span.
+
+    Scale: pure per-row codegen expressions; DATE outputs hash cleanly
+    cross-engine (no timestamp/timezone surface)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, (F.col("o_orderkey") % 13 + 1).cast("int")).alias(
+            "due_date"
+        ),
+        F.last_day(d).alias("month_end"),
+        (d == F.last_day(d)).cast("int").alias("is_month_end"),
+    )
