@@ -79,20 +79,16 @@ def _bench_times() -> dict[str, float]:
         return {}
 
 
-# Keys registered in round 5 (all pre-verified locally at driver
-# fidelity — PROGRESS.jsonl r5_*_preverify records): served after the
-# older unverified backlog so they cannot displace it from the driver's
-# ~50-key verification window.
+# Keys registered in the CURRENT round (pre-verified locally at driver
+# fidelity before registration): served after the older unverified
+# backlog so they cannot displace it from the driver's ~50-key
+# verification window.  Round-6 policy (r5 VERDICT #2): the r5 set
+# drained — its 7 served keys got CORRECTNESS_r05 rows and the other
+# 14 are now ordinary earlier-round backlog — so this set holds only
+# round-6 additions, kept few so the 38-key backlog fits the window.
 _NEW_THIS_ROUND = frozenset({
-    "agg_frequent_items", "agg_weighted_stats", "win_percent_rank_cume",
-    "join_correlated_scalar", "evt_lateness_audit",
-    "sample_importance_weighted", "sim_knn_topk_blocked",
-    "pack_length_buckets", "evt_cumulative_reach",
-    "join_not_in_null_semantics", "agg_bool_predicates",
-    "text_ngram_novelty", "scan_files_metadata", "text_langid_confusion",
-    "fn_geo_haversine", "sim_matryoshka_prefix_topk", "evt_bot_regularity",
-    "join_point_in_time_scd2", "fn_business_days",
-    "join_drill_across_facts", "fn_month_arith",
+    "fn_explode_outer_nulls", "agg_salted_twophase",
+    "agg_quantile_drift", "stream_checkpoint_recovery",
 })
 
 

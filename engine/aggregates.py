@@ -1099,3 +1099,121 @@ def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count_if(c_acctbal > 5000)").alias("n_high_balance"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)      AS qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(COUNT(*) AS BIGINT)                                                AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)                              AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED TWO-PHASE AGGREGATION — the skew-mitigation pattern for a
+    groupBy whose key cardinality is tiny (l_returnflag: 3 values → at
+    most 3 reduce tasks do ALL the work on a 1000-executor cluster):
+    phase 1 groups by (key, salt) with salt = pmod(hash(l_orderkey), 16)
+    spreading each hot group over 16 partitions; phase 2 re-aggregates
+    the 48 partials on the bare key.  Results are salt-INVARIANT because
+    every aggregate here is decomposable:
+    - sums/counts are associative — and kept in EXACT INTEGER CENTS, so
+      the partial-then-final summation order cannot perturb a float
+      hash (double partials would re-associate IEEE addition);
+    - COUNT(DISTINCT l_orderkey) is additive across salts ONLY because
+      the salt is a pure function of the distinct key itself — each
+      orderkey lands in exactly one salt bucket.  Salting by anything
+      else (or round-robin) silently double-counts; this key pins the
+      rule.
+    The oracle is the plain one-phase GROUP BY — bit-equality proves
+    the rewrite is semantics-preserving.
+
+    Plan: two exchanges ((key,salt) then key) but the second moves only
+    |keys|·16 partial rows; map-side combine still happens in phase 1.
+    Spark's own AQE skew handling covers JOIN skew, not reduce-side agg
+    skew with countDistinct — this rewrite is how you do it by hand."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    salt = F.pmod(F.hash("l_orderkey"), F.lit(16))
+    partial = (
+        li.select(
+            "l_returnflag",
+            salt.alias("salt"),
+            qty_c.alias("qty_c"),
+            price_c.alias("price_c"),
+            "l_orderkey",
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum("qty_c").alias("qty_cents"),
+            F.sum("price_c").alias("price_cents"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("qty_cents").cast("long").alias("qty_cents"),
+        F.sum("price_cents").cast("long").alias("price_cents"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+@query("agg_quantile_drift", oracle=None)  # rows-only: sketch ≠ DuckDB sketch
+def agg_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX-vs-EXACT percentile DRIFT REPORT (r5 VERDICT #6): one pass
+    computes, per event_type, the exact p50/p99 of `value` alongside the
+    Greenwald-Khanna sketch at two accuracies (100 and 10000), the
+    absolute drift of each (e6-scaled integers), and IN-BAND FLAGS
+    checking the sketch's actual contract: GK with accuracy=A guarantees
+    RANK error <= 1/A, so the approx p50 must land between the exact
+    p48 and p52 quantiles for A=100 (1% rank guarantee + 1% float
+    margin) and between p49.5/p50.5 for A=10000.  Value-space drift is
+    reported but NOT asserted — it is unbounded on heavy tails, which
+    is exactly what a user tuning the accuracy knob needs to see.
+
+    tests/test_unit_semantics.py asserts every in-band flag is 1 and
+    that the finer sketch never leaves the coarse band.
+
+    Scale: this is the audit you run at sf0.001 before trusting
+    approx_percentile at 100 TB — exact percentile is a full sort per
+    group (only viable on the sample), the sketch is mergeable constant
+    memory; the report quantifies what the downgrade costs."""
+    ev = load(spark, sf_dir, "events")
+    e6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile("value", 0.48).alias("p48"),
+        F.percentile("value", 0.52).alias("p52"),
+        F.percentile("value", 0.495).alias("p49_5"),
+        F.percentile("value", 0.505).alias("p50_5"),
+        F.percentile("value", 0.99).alias("p99_exact"),
+        F.percentile_approx("value", 0.5, 100).alias("p50_lo"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_hi"),
+        F.percentile_approx("value", 0.99, 100).alias("p99_lo"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_hi"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        e6(F.col("p50_exact")).alias("p50_exact_e6"),
+        e6(F.abs(F.col("p50_lo") - F.col("p50_exact"))).alias("p50_drift_lo_e6"),
+        e6(F.abs(F.col("p50_hi") - F.col("p50_exact"))).alias("p50_drift_hi_e6"),
+        e6(F.abs(F.col("p99_lo") - F.col("p99_exact"))).alias("p99_drift_lo_e6"),
+        e6(F.abs(F.col("p99_hi") - F.col("p99_exact"))).alias("p99_drift_hi_e6"),
+        ((F.col("p50_lo") >= F.col("p48")) & (F.col("p50_lo") <= F.col("p52")))
+        .cast("int")
+        .alias("p50_lo_in_band"),
+        (
+            (F.col("p50_hi") >= F.col("p49_5"))
+            & (F.col("p50_hi") <= F.col("p50_5"))
+        )
+        .cast("int")
+        .alias("p50_hi_in_band"),
+    )

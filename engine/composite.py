@@ -1026,11 +1026,19 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism — at 100 TB the partition key becomes (bucket,
     doc_id-range block) so no bucket serializes)."""
     d = load(spark, sf_dir, "documents")
-    bucket = ((F.col("n_chars") - 1) / 128).cast("long") * 128 + 128
+    # Integer `div` end-to-end (not double `/` + cast-truncation): the
+    # oracle's `//` floors while cast('long') truncates toward zero —
+    # equivalent only for non-negative operands.  n_chars >= 1 in this
+    # corpus, but keeping both engines structurally identical removes
+    # the latent divergence class entirely (r5 ADVICE item).
+    bucket = F.expr("(n_chars - 1) div 128") * 128 + 128
     w = Window.partitionBy("bucket").orderBy("doc_id")
-    batched = d.select(
-        "doc_id", "n_chars", bucket.alias("bucket")
-    ).withColumn("batch_id", ((F.row_number().over(w) - 1) / 8).cast("long"))
+    batched = (
+        d.select("doc_id", "n_chars", bucket.alias("bucket"))
+        .withColumn("rn0", F.row_number().over(w) - 1)
+        .withColumn("batch_id", F.expr("rn0 div 8"))
+        .drop("rn0")
+    )
     per_batch = batched.groupBy("bucket", "batch_id").agg(
         F.count("*").alias("n_docs"),
         F.max("n_chars").alias("max_len"),

@@ -72,10 +72,18 @@ _MODEL_ARTIFACT_MAX_ROWS = 4096
 
 
 def collect_model_artifact(df: DataFrame, max_rows: int = _MODEL_ARTIFACT_MAX_ROWS):
-    """Bounded driver-side materialization of a TRAINED MODEL ARTIFACT —
-    the one sanctioned exemption from the engine-wide no-collect rule
+    """Bounded driver-side materialization of a BOUNDED-BY-CONSTRUCTION
+    frame — the one sanctioned exemption from the engine-wide
+    no-collect rule
     (tests/test_plans.py::test_no_driver_side_collect_in_engine_source
     allow-lists exactly this call site).
+
+    Two sanctioned patterns, both bounded independent of data volume:
+    (a) TRAINED MODEL ARTIFACTS — codebooks / centroid tables (K·M
+    rows by construction); (b) FIXED QUERY SETS — the handful of probe
+    vectors a top-k search is evaluated against (e.g.
+    ``sim_knn_topk_blocked``'s 5 query embeddings).  Anything
+    data-sized is out of scope and the runtime guard below enforces it.
 
     Rationale: a trained codebook / centroid table is bounded BY
     CONSTRUCTION (K·M rows, independent of data volume), and the

@@ -744,3 +744,60 @@ def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         (d == F.last_day(d)).cast("int").alias("is_month_end"),
     )
+
+
+@query(
+    "fn_explode_outer_nulls",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        range(1, CAST(doc_id % 4 + 1 AS INT) + 1),
+                        i -> 't' || CAST(i AS VARCHAR))
+               END AS arr
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS token
+    FROM base
+    """,
+)
+def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE_OUTER null/empty-array semantics pin (r5 VERDICT #6): a
+    plain ``explode`` silently DROPS rows whose array is NULL or empty —
+    the classic lost-document bug in token pipelines — while
+    ``explode_outer`` keeps them with a NULL element.  DuckDB's
+    ``unnest`` has the drop-semantics for BOTH (NULL list and empty list
+    each produce zero rows), so the oracle models the outer variant by
+    padding those arrays to ``[NULL]`` before unnesting; the Spark side
+    is the native operator.  The CASE arms are ordered %7-before-%5
+    (doc_id 0 and 35 hit both) and identically on both engines.
+
+    The arrays are built from integer sequences, not text splits —
+    Spark's regex ``split`` and DuckDB's literal ``str_split`` disagree
+    on trailing-empty-string retention, which would pin the wrong thing.
+    (``sequence`` is ascending-safe here because n >= 1; Spark's
+    ``sequence(1, 0)`` DESCENDS instead of returning empty.)
+
+    Scale: explode_outer is a per-row generator — no shuffle, no state;
+    output volume is sum(len(arr)) which the corpus bounds at 4/doc."""
+    d = load(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 4 + 1).cast("int")
+    arr = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(F.lit("t"), i.cast("string")),
+            )
+        )
+    )
+    # arr is materialized as a projected column BEFORE the generator —
+    # never re-evaluated per element (CLAUDE.md higher-order-lambda rule).
+    return d.select("doc_id", arr.alias("arr")).select(
+        "doc_id", F.explode_outer("arr").alias("token")
+    )

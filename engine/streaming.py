@@ -677,3 +677,100 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+@query("stream_checkpoint_recovery", oracle=None)  # rows-only: streaming mode
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY — exactly-once across a mid-replay crash, the
+    one streaming semantics a production user hits that no happy-path
+    key shows (r5 VERDICT #4).  The replay is two time-ordered half
+    files (maxFilesPerTrigger=1 → two microbatches).  Run 1 is POISONED:
+    its foreachBatch writes batch 0 normally, then on batch 1 writes a
+    deliberately PARTIAL output and raises — simulating a
+    crash after a torn sink write.  Run 2 restarts the SAME checkpoint
+    dir with the poison removed: Spark's offset/commit logs show batch 0
+    committed, so recovery re-executes ONLY batch 1, and the idempotent
+    per-batch-id overwrite (the standard exactly-once foreachBatch
+    discipline) replaces the torn partial output.
+
+    Correctness gate (tests/test_streaming.py): the recovered sink must
+    equal the batch aggregation of the full events table — wrong under
+    every failure mode: no recovery → batch 1 missing or partial;
+    checkpoint ignored → batch 0 double-planned under new ids; append
+    instead of per-batch overwrite → the 40 torn rows double-count.
+
+    100 TB: this is restart discipline, not a data-sized operator —
+    checkpoint volume scales with source offsets + sink batch ids, not
+    with data.  The same code path recovers a 1000-executor job whose
+    driver died mid-batch."""
+    from pyspark.errors import StreamingQueryException
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    us = F.unix_micros(F.col("ts"))
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        mid = (lo + hi) // 2
+        stamped: set[str] = set()
+        ev.filter(us < mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 0, stamped)
+        ev.filter(us >= mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 1, stamped)
+
+    src = _staged_src("ckpt_halves", sf_dir, build)
+    # Sink and checkpoint are NOT cached (staged_build_once is for
+    # inputs only — engine.core contract): fresh scratch per invocation
+    # so the crash/recover cycle is self-contained and repeatable.
+    sink = _scratch("ckpt_recovery_sink")
+    ckpt = _scratch("ckpt_recovery_ckpt")
+
+    def writer(poison: bool):
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            out = os.path.join(sink, f"batch_id={batch_id}")
+            if poison and batch_id >= 1:
+                # torn write: a partial batch lands, then the "crash"
+                bdf.limit(40).write.mode("overwrite").parquet(out)
+                raise RuntimeError("spark_graft_injected_crash")
+            bdf.write.mode("overwrite").parquet(out)
+
+        return write_batch
+
+    def start(poison: bool):
+        with _stream_shuffle(spark):
+            return (
+                _events_stream(spark, src, max_files_per_trigger=1)
+                .select("event_id", "event_type", "value")
+                .writeStream.foreachBatch(writer(poison))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+    q1 = start(poison=True)
+    crashed = False
+    try:
+        q1.awaitTermination()
+    except StreamingQueryException as e:
+        if "spark_graft_injected_crash" not in str(e):
+            raise
+        crashed = True
+    if not crashed:
+        raise RuntimeError(
+            "stream_checkpoint_recovery: injected crash did not fire — "
+            "the replay collapsed into one microbatch; recovery untested"
+        )
+    q2 = start(poison=False)
+    q2.awaitTermination()
+
+    recovered = spark.read.option("basePath", sink).parquet(
+        os.path.join(sink, "batch_id=*")
+    )
+    return recovered.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )

@@ -199,3 +199,34 @@ def test_stream_stream_left_outer_matches_and_drains(spark):
         batch_unmatched, ["click_id"]
     )
     assert out.filter("unmatched = 1").count() > 0
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark):
+    # The key injects a crash on batch 1 (after a deliberate 40-row torn
+    # write), restarts from the SAME checkpoint, and must converge to the
+    # batch aggregation of the full table: wrong if recovery skipped the
+    # batch, re-ran batch 0 under a new id, or left the torn rows behind.
+    import os
+
+    recovered = engine.QUERIES["stream_checkpoint_recovery"](spark, SF_DIR)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    cols = ["event_type", "n", "n_distinct_ids", "sum_value_cents"]
+    assert _rows(recovered, cols) == _rows(batch, cols)
+    # exactly two microbatches reached the sink — batch 0 from run 1,
+    # batch 1 re-executed by the recovery run
+    import tempfile
+
+    sink = os.path.join(tempfile.gettempdir(), "spark_graft_stream",
+                        "ckpt_recovery_sink")
+    dirs = sorted(d for d in os.listdir(sink) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=1"]

@@ -452,3 +452,16 @@ def test_pipeline_embedding_dedup_clusters_planted_copies(spark):
     for r in rows:
         assert r.comp_size == 2
         assert r.kept == (1 if r.vec_id < 10_000 else 0)
+
+
+def test_quantile_drift_bands_hold_gk_contract(spark):
+    # GK sketch rank-error contract: accuracy=100 ⇒ approx p50 within the
+    # exact [p48, p52] band; accuracy=10000 ⇒ within [p49.5, p50.5].  The
+    # drift report's flags encode exactly that; every group must pass,
+    # and the finer sketch's drift can never exceed the coarse band.
+    rows = engine.QUERIES["agg_quantile_drift"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.p50_lo_in_band == 1, r
+        assert r.p50_hi_in_band == 1, r
+        assert r.p50_drift_hi_e6 >= 0 and r.p50_drift_lo_e6 >= 0
