@@ -89,6 +89,7 @@ def _bench_times() -> dict[str, float]:
 _NEW_THIS_ROUND = frozenset({
     "fn_explode_outer_nulls", "agg_salted_twophase",
     "agg_quantile_drift", "stream_checkpoint_recovery",
+    "tpch_q13_custdist", "tpch_q15_top_supplier", "tpch_q17_small_qty",
 })
 
 

@@ -1125,3 +1125,164 @@ def join_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("n_users", F.lit(0)).alias("n_users"),
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): the classic
+    LEFT-OUTER-WITH-FILTERED-JOIN-CONDITION pin.  The priority filter
+    lives INSIDE the outer join's ON clause — pushing it to a WHERE
+    would silently delete the zero-order customers the query exists to
+    count (the c_count = 0 histogram bucket).  COUNT(o_orderkey), not
+    COUNT(*), is the second trap: the unmatched row must count as 0,
+    not 1.  Double aggregation: per-customer count → histogram of
+    counts.
+
+    Scale: join shuffles on custkey (orders side pre-filtered
+    map-side); the second aggregate is over |customers| rows collapsing
+    to ~tens of distinct counts — map-side combinable to nothing."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): argmax over
+    a DERIVED aggregate via scalar-subquery equality — revenue is
+    grouped once, its MAX becomes a single-row broadcast joined back as
+    the filter (the engine's scalar-broadcast idiom; a window MAX over
+    the unpartitioned aggregate would work too but adds an exchange).
+    Ties surface as multiple rows on both engines because revenue is
+    EXACT integer cents — per-row floor-pinned, then integer-summed, so
+    equality-with-max never hinges on float summation order.
+
+    Scale: the revenue aggregate shuffles on l_suppkey with map-side
+    combine; everything after operates on |suppliers| rows (broadcast
+    joins only — supplier dim and the 1-row max)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(rev_c).alias("total_revenue_cents")
+    )
+    mx = revenue.agg(F.max("total_revenue_cents").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), revenue.total_revenue_cents == mx.mx
+    ).drop("mx")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(
+        F.broadcast(s), top.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue_cents")
+
+
+@query(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+         li AS (
+             SELECT l_partkey,
+                    CAST(l_quantity AS BIGINT) AS q,
+                    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+             FROM lineitem JOIN p ON l_partkey = p_partkey
+         ),
+         agg AS (
+             SELECT l_partkey,
+                    CAST(COUNT(*) AS BIGINT) AS cnt,
+                    CAST(SUM(q) AS BIGINT)   AS sum_q
+             FROM li GROUP BY l_partkey
+         )
+    SELECT CAST(CAST(SUM(li.price_c) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents,
+           CAST(COUNT(*) AS BIGINT)                             AS n_small
+    FROM li JOIN agg ON li.l_partkey = agg.l_partkey
+    WHERE 5 * li.q * agg.cnt < agg.sum_q
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): rows whose quantity is
+    below 20% of their part's average quantity.  The correlated
+    AVG-per-part subquery is expressed Spark-first as a PARTITIONED
+    WINDOW over the brand-pruned rows — one scan, one shuffle on
+    l_partkey — instead of the naive re-scan + self-join on a derived
+    aggregate.
+
+    Exactness: ``l_quantity < 0.2 * AVG(l_quantity)`` is algebraically
+    rewritten to ``5*q*cnt < sum_q`` in BIGINT (quantities are
+    integer-valued; both sides positive) — the float form divides two
+    engines' differently-ordered double sums and can flip a boundary
+    row, the integer form cannot.  Revenue is floor-pinned cents,
+    integer-divided by 7 (`div`/`//` — BIGINT `/` is float division in
+    DuckDB).
+
+    Scale: the broadcast brand filter prunes lineitem before the
+    window shuffle; per-part groups are bounded (order lines per part),
+    so no skew; output is one row."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    li2 = li.select(
+        "l_partkey",
+        "q",
+        "price_c",
+        F.count("*").over(w).alias("cnt"),
+        F.sum("q").over(w).alias("sum_q"),
+    )
+    small = li2.filter(
+        F.lit(5) * F.col("q") * F.col("cnt") < F.col("sum_q")
+    )
+    return small.agg(
+        F.expr("sum(price_c) div 7").cast("long").alias("avg_yearly_cents"),
+        F.count("*").alias("n_small"),
+    )
