@@ -459,3 +459,44 @@ def test_correlated_scalar_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q13_priority_filter_pushed_into_scan(spark):
+    # The NOT-URGENT filter lives in the outer join's ON clause, but it
+    # applies to the non-preserved (orders) side, so Catalyst must push
+    # it all the way into the parquet scan — a post-join filter would
+    # both read more and corrupt the zero-order bucket.
+    plan = _plan(spark, "tpch_q13_custdist")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q15_argmax_broadcasts_scalar_and_dim(spark):
+    # The 1-row MAX and the supplier dim both broadcast; the only hash
+    # exchanges feed the revenue aggregate (suppkey) — the argmax-equality
+    # join itself must never shuffle the aggregated side.
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_threshold_is_window_not_self_join(spark):
+    # The per-part AVG threshold is a partitioned window over the
+    # brand-pruned rows: exactly one hash exchange (l_partkey) after the
+    # broadcast prune, and no join against a derived aggregate (which
+    # would re-scan lineitem).
+    plan = _plan(spark, "tpch_q17_small_qty")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_twophase_bounded_exchanges(spark):
+    # Exactly the three exchanges the rewrite implies, each well-keyed:
+    # (key, salt, l_orderkey) — Spark's distinct-agg expansion dedups
+    # the countDistinct column map-side on the widest key (never skewed:
+    # orderkey is in the key); (key, salt) — phase-1 partials; (key) —
+    # phase 2 moving only |keys|*16 partial rows.  A fourth exchange
+    # would mean the rewrite lost its map-side combine.
+    plan = _plan(spark, "agg_salted_twophase")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "l_orderkey" in plan.split("Exchange hashpartitioning")[-1]
