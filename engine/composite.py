@@ -1286,3 +1286,341 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(price_c) div 7").cast("long").alias("avg_yearly_cents"),
         F.count("*").alias("n_small"),
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_CENTS_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")} AS vol_c,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_c ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+           CAST(SUM(vol_c) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_c ELSE 0 END) * 10000
+                // SUM(vol_c) AS BIGINT) AS share_bp
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of
+    STANDARD-part revenue sold to ASIA customers, by order year.  The
+    classic seven-table star: lineitem is the only fact; part,
+    supplier+nation (supplier side) and customer+nation+region
+    (customer side) are all dims.
+
+    Exactness: the spec's ``sum(case)/sum(volume)`` double division is
+    the cross-engine hazard (two differently-ordered float sums, then a
+    divide), so the share ships as integer BASIS POINTS —
+    ``nation_cents * 10000 div total_cents`` over per-row floor-pinned
+    cents — alongside both exact operands.
+
+    Scale: every dim side broadcasts (part is pruned to one type,
+    supplier/customer join their nation dims map-side); the only
+    shuffles are lineitem⋈orders on orderkey and the final tiny
+    groupBy(year).  Dim filters reach the scans (type/region pruned
+    before the fact join, not after)."""
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("vol_c"),
+        )
+    )
+    vol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_year", "vol_c", "supp_nation"
+    )
+    nat_c = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("vol_c")).otherwise(F.lit(0))
+    )
+    return vol.groupBy("o_year").agg(
+        nat_c.alias("nation_cents"),
+        F.sum("vol_c").alias("total_cents"),
+        F.expr(
+            "sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_c ELSE 0 END)"
+            " * 10000 div sum(vol_c)"
+        ).cast("long").alias("share_bp"),
+    )
+
+
+@query(
+    "tpch_q12_latency_buckets",
+    oracle="""
+    SELECT CASE WHEN d < 0 THEN 'early'
+                WHEN d <= 30 THEN '00-30'
+                WHEN d <= 90 THEN '31-90'
+                ELSE '90+' END AS bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (SELECT date_diff('day', o_orderdate, l_shipdate) AS d, o_orderpriority
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY bucket
+    """,
+)
+def tpch_q12_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority counts, adapted: the corpus
+    has no l_shipmode/l_commitdate, so the grouping dimension is the
+    DERIVED ship-latency bucket datediff(l_shipdate, o_orderdate)).
+    Keeps Q12's defining device: conditional CASE counting of
+    high/low-priority lines inside one aggregate pass — two metrics,
+    one scan, no self-join.
+
+    Dialect pin: Spark ``datediff(end, start)`` ≡ DuckDB
+    ``date_diff('day', start, end)`` — REVERSED argument order (the
+    fn_date_parts trap); the synthetic corpus ships lines before the
+    order date, so the 'early' bucket is load-bearing, not decorative.
+
+    Scale: one orderkey shuffle for the fact-fact join (priority is the
+    only orders column carried), then a 4-group aggregate that
+    collapses map-side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").alias("d"),
+        "o_orderpriority",
+    )
+    bucket = (
+        F.when(F.col("d") < 0, "early")
+        .when(F.col("d") <= 30, "00-30")
+        .when(F.col("d") <= 90, "31-90")
+        .otherwise("90+")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q21_latest_shipper",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept the order waiting, adapted
+    to l_shipdate: count a supplier's lines that shipped at-or-after
+    EVERY other supplier's line in a finished multi-supplier order).
+
+    Spark-first rewrite of the two correlated subqueries: the oracle's
+    EXISTS + NOT-EXISTS pair re-scans lineitem twice; here both
+    collapse into per-order statistics over a per-(order,supplier)
+    rollup — n_supp (distinct suppliers), the max per-supplier ship
+    date M1, how many suppliers attain it, and the runner-up max M2.
+    A line l1 of supplier s shipped at-or-after every OTHER supplier
+    iff l1.shipdate >= max_other, where max_other = M1 unless s ALONE
+    attains M1 (then M2 — non-null whenever n_supp >= 2 and s is the
+    sole M1 holder).  The tie case (two suppliers sharing M1) makes
+    both qualify on both engines — >= not >.
+
+    Scale: the rollup groupBy and both window passes share ONE
+    (l_orderkey) shuffle (the second window reuses the first's
+    partitioning — no extra exchange), the join back to l1 lines is
+    on the same key, supplier ⋈ nation broadcasts, and the final
+    group-by is |suppliers|-sized with a TakeOrderedAndProject
+    top-20.  No per-order data explosion: windows run over the
+    per-supplier rollup (bounded rows per order), never line×line."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    ps1 = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.count("*").over(w).alias("n_supp"),
+        F.max("smax").over(w).alias("m1"),
+    )
+    ps2 = ps1.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        "n_supp",
+        "m1",
+        F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("cnt_m1"),
+        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax")))
+        .over(w)
+        .alias("m2"),
+    )
+    bar = ps2.filter(F.col("n_supp") >= 2).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            (F.col("smax") < F.col("m1")) | (F.col("cnt_m1") > 1),
+            F.col("m1"),
+        )
+        .otherwise(F.col("m2"))
+        .alias("max_other"),
+    )
+    qualifying = li.join(bar, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("max_other")
+    )
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_dormant_balance",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+    ),
+    avg_b AS (
+        SELECT CAST(SUM(bal_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pool WHERE bal_c > 0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) AS totbal_cents
+    FROM pool, avg_b
+    WHERE bal_c * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted: the corpus
+    has no c_phone, so the country-code IN-list becomes a mktsegment
+    IN-list, and "never ordered" becomes "dormant" — no order since
+    2000 — because every synthetic customer has some order).  Keeps
+    Q22's three defining devices: a scalar AVG subquery as the balance
+    bar, an anti-join against orders, and a grouped rollup of the
+    survivors.
+
+    Exactness: ``c_acctbal > AVG(c_acctbal)`` compares against a float
+    average whose summation order differs across engines; rewritten to
+    the all-integer cross-multiplied form ``bal_c * n > sum_c`` over
+    floor-pinned cents (both sides BIGINT; n*max_cents ≈ 1e10 at
+    sf0.1, far inside the ANSI overflow bound).
+
+    Scale: the avg collapses to a 1-row broadcast (scalar-broadcast
+    idiom); the anti-join's right side is orders pre-filtered to the
+    dormancy horizon and projected to o_custkey only; customer-side
+    segment filter reaches the scan."""
+    pool = (
+        load(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "HOUSEHOLD")
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            _cents(F.col("c_acctbal")).alias("bal_c"),
+        )
+    )
+    bar = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count("*").alias("n")
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = pool.crossJoin(F.broadcast(bar)).filter(
+        F.col("bal_c") * F.col("n") > F.col("s")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_c").alias("totbal_cents"),
+    )
