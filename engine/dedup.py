@@ -1038,3 +1038,97 @@ def dedup_containment_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_bp"),
         )
     )
+
+
+_CHUNK_W = 10  # tokens per chunk (C4/Dolma-style span granularity)
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) > 0
+    ),
+    c AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, u.i*10 + 1, u.i*10 + 10), ' ')
+                   AS chunk
+        FROM t, UNNEST(range(0, CAST(CEIL(len(toks) / 10.0) AS BIGINT))) AS u(i)
+    ),
+    r AS (
+        SELECT doc_id, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(chunk, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SPAN-level dedup (the C4/Dolma "line dedup" op, adapted:
+    corpus docs are newline-free token streams, so the span unit is a
+    fixed 10-token chunk).  Every doc is chunked; a chunk occurring in
+    several places survives only at its FIRST occurrence (min doc_id,
+    then chunk_idx); per doc we report total vs surviving chunks and
+    surviving token mass — the numbers a corpus-cleaning pipeline
+    feeds its retention dashboard.
+
+    Array discipline (CLAUDE.md traps): ``toks`` is materialized as a
+    projected column BEFORE the transform lambda references it (a
+    computed split() inside the lambda re-evaluates per element —
+    measured O(n²)); the chunk-count sequence() lower bound is safe
+    because empty docs are filtered first (Spark sequence DESCENDS on
+    1..0 where DuckDB range() returns empty); Spark slice() takes
+    (start, LENGTH) vs DuckDB list_slice (start, inclusive END).
+
+    Scale: chunking is map-side (posexplode, no shuffle); first-
+    occurrence ranking shuffles once on the chunk string (at 100 TB
+    you'd shard on xxhash64(chunk) — same partitioning, narrower
+    shuffle rows — and keep the string only for in-partition tie
+    confirmation); the per-doc rollup shuffles on doc_id.  Window
+    groups are per-chunk (bounded by duplication factor), never
+    corpus-wide."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.ceil(F.size("toks") / _CHUNK_W).cast("int").alias("nch"),
+        )
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nch") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * _CHUNK_W + 1, F.lit(_CHUNK_W)),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.select(
+        "doc_id",
+        "chunk",
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1, F.size(F.split(F.col("chunk"), " "))
+            ).otherwise(0)
+        ).cast("long").alias("kept_tokens"),
+    )

@@ -1106,3 +1106,81 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+_SALT_JOIN_BUCKETS = 8
+
+
+@query(
+    "join_salted_replicate",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(length(event_type) AS BIGINT) AS weight
+        FROM events
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * d.weight * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS weighted_cents
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join — the large⋈large skew idiom, proven
+    hash-identical to the plain join it replaces.  The fact side
+    (events) joins a keyed dim on event_type, a handful of hot keys
+    that would land every row of a key on ONE reducer in a plain
+    shuffle join.  Fix: fact rows get salt = pmod(xxhash64(event_id),
+    B); the dim side is replicated ×B via explode(sequence) and the
+    join runs on (key, salt) — each hot key now spreads over B tasks.
+    The oracle is the UNSALTED join: salting must be a pure plan
+    transformation, invisible in the result (the same guarantee
+    agg_salted_twophase pins for aggregation — this key pins it for
+    the join+agg composite).
+
+    Here the dim is derived in-plan (distinct event_type + a
+    deterministic weight) so the key is self-contained; at 100 TB the
+    dim would be a real table too big to broadcast — exactly when
+    salting is the only lever, since broadcast (the usual skew fix)
+    is off the table.  Counts and weighted sums aggregate per
+    (key, salt) first, then roll up — additive because salt is a
+    function of the fact row, never of the aggregate.
+
+    Cost note: replication multiplies the dim by B=8; choose B ≈ skew
+    factor, not partition count.  AQE's skew-join split handles the
+    sort-merge case adaptively, but salting also covers hash
+    aggregation downstream and works under static planning."""
+    # weight = length(event_type) is computable fact-side here, but the
+    # POINT is the join: carry weight only on the dim side and pin
+    # cents post-join, as a real keyed-dim lookup would.
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_JOIN_BUCKETS))
+        .cast("int")
+        .alias("salt"),
+    )
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT_JOIN_BUCKETS - 1))),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = e.join(dim, ["event_type", "salt"])
+    per_salt = joined.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * F.col("weight") * 100 + F.lit(0.5))
+            .cast("long")
+        ).alias("wc"),
+    )
+    return per_salt.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("wc").alias("weighted_cents"),
+    )

@@ -927,3 +927,115 @@ def sim_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rn", F.row_number().over(w2)).filter(
         F.col("rn") <= 5
     )
+
+
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+# MMR balance λ = 0.7 expressed as exact integers: score = 7·rel − 3·red
+# over basis-point similarities, so selection never hinges on float
+# arithmetic (units: 1e-4 · 10).
+_MMR_LAMBDA_NUM = 7
+_MMR_DIV_NUM = 3
+
+
+@query("sim_mmr_diversify", oracle=None)  # rows-only: iterative selection
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the standard diversity pass a retrieval pipeline runs AFTER
+    top-k: from a 20-candidate cosine shortlist per query, greedily
+    pick 5 results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked, so near-duplicate hits don't crowd the result set.
+
+    Determinism (why this rows-only key is still exactly reproducible):
+    relevance and candidate-candidate similarity are floor-pinned to
+    basis points FIRST, then the MMR objective runs in pure integers
+    (7·rel_bp − 3·red_bp) with ties broken on vec_id — no float ever
+    enters the argmax.  Unit tests pin the planted hand case and the
+    diversity invariant.
+
+    Scale: stage 1 is the blocked-BLAS shortlist (map-side local top-20
+    per Arrow batch, window merge carries only winners — same physical
+    plan as sim_knn_topk_blocked); stage 2's iterative part touches
+    ONLY |queries|·20 rows via one applyInPandas over per-query groups
+    — the O(k²·shortlist) greedy loop never sees the corpus.  The
+    3-query probe rides the sanctioned bounded-collect helper."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        collect_model_artifact(e.filter(F.col("vec_id") < 3)),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def block_shortlist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            en = np.sqrt((X * X).sum(axis=1))
+            cos = X @ Q.T / (en[:, None] * qn[None, :])
+            rel = np.floor(cos * 10000 + 0.5).astype(np.int64)
+            out = {"q_id": [], "vec_id": [], "rel_bp": []}
+            for j in range(len(q_ids)):
+                order = np.lexsort((ids, -rel[:, j]))[:_MMR_SHORTLIST]
+                out["q_id"].extend([q_ids[j]] * len(order))
+                out["vec_id"].extend(ids[order])
+                out["rel_bp"].extend(rel[order, j])
+            yield pd.DataFrame(out)
+
+    cands = e.filter(F.col("vec_id") >= 3).mapInPandas(
+        block_shortlist, "q_id long, vec_id long, rel_bp long"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel_bp"), F.asc("vec_id"))
+    short = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .select("q_id", "vec_id", "rel_bp")
+    )
+    withvec = e.join(F.broadcast(short), "vec_id").select(
+        "q_id", "vec_id", "rel_bp", "embedding"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel_bp", "vec_id"], ascending=[False, True])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel_bp"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n = np.sqrt((X * X).sum(axis=1))
+        sim = np.floor((X @ X.T) / (n[:, None] * n[None, :]) * 10000 + 0.5
+                       ).astype(np.int64)
+        chosen: list[int] = []
+        scores: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < _MMR_K:
+            best_i, best_s = None, None
+            for i in remaining:
+                red = max((int(sim[i, c]) for c in chosen), default=0)
+                s = _MMR_LAMBDA_NUM * int(rel[i]) - _MMR_DIV_NUM * red
+                # equal-score ties resolve to the candidate earliest in
+                # shortlist order (rel_bp desc, vec_id asc) — strict >
+                # keeps the first-seen winner
+                if best_s is None or s > best_s:
+                    best_i, best_s = i, s
+            chosen.append(best_i)
+            scores.append(best_s)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "vec_id": ids[chosen],
+                "mmr_score": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return withvec.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, rank int, vec_id long, mmr_score long"
+    )

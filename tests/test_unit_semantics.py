@@ -465,3 +465,34 @@ def test_quantile_drift_bands_hold_gk_contract(spark):
         assert r.p50_lo_in_band == 1, r
         assert r.p50_hi_in_band == 1, r
         assert r.p50_drift_hi_e6 >= 0 and r.p50_drift_lo_e6 >= 0
+
+
+def test_mmr_diversify_invariants(spark):
+    """sim_mmr_diversify (rows-only): integer-MMR selection must be
+    (a) 5 ranks per query over the vec_id >= 3 candidate pool,
+    (b) rank 1 = pure relevance argmax (MMR with an empty chosen set),
+    (c) non-increasing mmr_score with rank (greedy-argmax property:
+        each candidate's score only decays as the chosen set grows),
+    (d) bit-stable across two runs (the all-integer objective)."""
+    rows = engine.QUERIES["sim_mmr_diversify"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    exact = {}
+    for r in engine.QUERIES["sim_knn_topk"](spark, SF_DIR).collect():
+        # rank-1 exact neighbor per query (same bp pinning, same
+        # tie-break on neighbor_id)
+        if r.rn == 1:
+            exact[r.q_id] = r.neighbor_id
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert len({r.vec_id for r in rs}) == 5
+        assert all(r.vec_id >= 3 for r in rs)
+        if q in exact and exact[q] >= 3:
+            assert rs[0].vec_id == exact[q], f"q{q}: rank-1 not argmax"
+        scores = [r.mmr_score for r in rs]
+        assert scores == sorted(scores, reverse=True), f"q{q}: not decaying"
+    again = engine.QUERIES["sim_mmr_diversify"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
