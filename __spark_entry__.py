@@ -90,6 +90,9 @@ _NEW_THIS_ROUND = frozenset({
     "fn_explode_outer_nulls", "agg_salted_twophase",
     "agg_quantile_drift", "stream_checkpoint_recovery",
     "tpch_q13_custdist", "tpch_q15_top_supplier", "tpch_q17_small_qty",
+    "tpch_q8_market_share", "tpch_q12_latency_buckets",
+    "tpch_q21_latest_shipper", "tpch_q22_dormant_balance",
+    "join_salted_replicate", "dedup_chunk_exact", "sim_mmr_diversify",
 })
 
 
