@@ -500,3 +500,68 @@ def test_salted_twophase_bounded_exchanges(spark):
     plan = _plan(spark, "agg_salted_twophase")
     assert plan.count("Exchange hashpartitioning") == 3
     assert "l_orderkey" in plan.split("Exchange hashpartitioning")[-1]
+
+
+def test_q8_dims_broadcast_single_fact_shuffle(spark):
+    # Seven-table star: every dim side (part, supplier⋈nation,
+    # customer⋈nation⋈region) must broadcast; the only SortMergeJoin is
+    # lineitem⋈orders, and the exchange budget is fact-join (2) +
+    # final year groupBy (1).
+    plan = _plan(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q12_single_agg_exchange_no_nested_loop(spark):
+    # lineitem⋈orders equi join (broadcast at sf0.01 stats; SMJ at
+    # scale — either is legal) + one 4-group aggregate exchange.  The
+    # derived CASE bucket must not force extra shuffles.
+    plan = _plan(spark, "tpch_q12_latency_buckets")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q21_windows_share_rollup_partitioning(spark):
+    # The EXISTS/NOT-EXISTS rewrite: per-supplier rollup (orderkey,
+    # suppkey), BOTH window passes on one orderkey exchange (the second
+    # reuses the first's partitioning), join back on (orderkey,
+    # suppkey), final supplier groupBy — 5 exchanges total, top-20 via
+    # TakeOrderedAndProject (never a global sort).
+    plan = _plan(spark, "tpch_q21_latest_shipper")
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_q22_scalar_bar_broadcasts_anti_joins(spark):
+    # The balance bar is the 1-row scalar-broadcast idiom (a
+    # BroadcastNestedLoopJoin over a single aggregate row — bounded by
+    # construction); the dormancy anti-join is an equi hash join; one
+    # exchange for the final segment rollup.
+    plan = _plan(spark, "tpch_q22_dormant_balance")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_replicate_join_keys_include_salt(spark):
+    # The join must run on (event_type, salt) — salt in the join keys
+    # is the whole mechanism — and the per-salt partial + final rollup
+    # keep the exchange budget at 3 (distinct, per-salt agg, final).
+    plan = _plan(spark, "join_salted_replicate")
+    assert "salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_two_exchanges_map_side_chunking(spark):
+    # Chunking is a map-side Generate (posexplode) — no shuffle until
+    # the first-occurrence window keyed on the chunk string; then one
+    # doc_id rollup.  Exactly 2 exchanges.
+    plan = _plan(spark, "dedup_chunk_exact")
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("SortMergeJoin") == 0
