@@ -93,6 +93,7 @@ _NEW_THIS_ROUND = frozenset({
     "tpch_q8_market_share", "tpch_q12_latency_buckets",
     "tpch_q21_latest_shipper", "tpch_q22_dormant_balance",
     "join_salted_replicate", "dedup_chunk_exact", "sim_mmr_diversify",
+    "win_gaps_islands", "graph_triangle_count",
 })
 
 

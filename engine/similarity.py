@@ -1039,3 +1039,145 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withvec.groupBy("q_id").applyInPandas(
         mmr, "q_id long, rank int, vec_id long, mmr_score long"
     )
+
+
+_TRI_BLOCK = 250     # raw-id block width for pair generation (50 nodes)
+_TRI_THR_BP = 2000   # edge threshold: pinned cosine >= 0.20
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH nodes AS (
+        SELECT vec_id, embedding, vec_id // {_TRI_BLOCK} AS blk
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
+               SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
+        FROM nodes a JOIN nodes b ON a.blk = b.blk AND a.vec_id < b.vec_id,
+             {_DIMS} s
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        WHERE FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) >= {_TRI_THR_BP}
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+        SELECT a AS node_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM corners GROUP BY node_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a similarity graph — the classic
+    distributed graph-analytics kernel (clustering coefficient, spam/
+    community detection), MapReduce-style per Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer" (WWW'11).
+
+    Input graph: block-local pinned-cosine edges over every 5th
+    embedding (equi-keyed on the id block — the banded all-pairs
+    discipline of dedup_embedding_cosine; never an unbounded cross
+    join).  The operator under test is the COUNTING join strategy:
+    edges are ORIENTED along the total order (degree, id) — each
+    triangle then has exactly ONE low-order apex holding both out-
+    edges, so one wedge self-join (apex, lo→hi by the same order) plus
+    one closure probe against the oriented edge list counts every
+    triangle exactly once, no post-hoc ÷3 or ÷6.  Degree-ordering is
+    the last-reducer fix: a hub of degree d contributes wedges only
+    for its HIGHER-ordered neighbors, bounding per-node wedge fanout
+    by arboricity instead of d².
+
+    The oracle counts the same triangles with plain id-ordered
+    3-way joins — orientation must be result-invisible (the triangle
+    SET is orientation-independent); hash-matching per-node counts
+    proves it.
+
+    Scale: wedge and closure joins are equi hash joins on (apex) and
+    (v, w); the only quadratic work is block-local pair scoring
+    (bounded 50-node blocks).  At 100 TB the edge list would come from
+    the LSH/MinHash candidate stages instead — the counting plan is
+    unchanged."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(f"vec_id div {_TRI_BLOCK}").alias("blk"),
+        )
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "blk")
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("blk").alias("blk_b"),
+    )
+    cos_bp = F.floor(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb")))
+        * 10000
+        + F.lit(0.5)
+    )
+    edges = (
+        a.join(b, (a.blk == b.blk_b) & (a.src < b.dst))
+        .filter(cos_bp >= _TRI_THR_BP)
+        .select("src", "dst")
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_s"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_d"))),
+            "dst",
+        )
+    )
+    lo_first = F.struct(F.col("deg_s").alias("d"), F.col("src").alias("n")) < F.struct(
+        F.col("deg_d").alias("d"), F.col("dst").alias("n")
+    )
+    directed = ed.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(
+            lo_first,
+            F.struct(F.col("deg_d").alias("d"), F.col("dst").alias("n")),
+        )
+        .otherwise(F.struct(F.col("deg_s").alias("d"), F.col("src").alias("n")))
+        .alias("ord_v"),
+    )
+    d1 = directed.alias("d1")
+    d2 = directed.alias("d2")
+    wedges = d1.join(
+        d2,
+        (F.col("d1.u") == F.col("d2.u")) & (F.col("d1.ord_v") < F.col("d2.ord_v")),
+    ).select(
+        F.col("d1.u").alias("a"),
+        F.col("d1.v").alias("b"),
+        F.col("d2.v").alias("c"),
+    )
+    closure = directed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closure, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("n_tri"))
+    )

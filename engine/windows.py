@@ -553,3 +553,63 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         e6(F.percent_rank().over(w)).alias("pct_rank_e6"),
         e6(F.cume_dist().over(w)).alias("cume_dist_e6"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               date_diff('day', DATE '1995-01-01', day)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+        FROM active
+    )
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS len_days
+    FROM r GROUP BY user_id, grp
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (the classic retention/streak primitive SQL folklore solves
+    with the day − row_number() trick: consecutive days share a
+    constant difference, so the difference IS the island id).
+
+    Exactness: the island key is formed in pure integers — epoch-day
+    number (datediff from a fixed anchor) minus the per-user
+    row_number — never date-minus-interval arithmetic, whose result
+    TYPE diverges across engines (the date_trunc trap class).
+    ``evt_streaks`` pins per-event streak lengths; this key pins the
+    island-level rollup (start/end/length per run), a different output
+    grain.
+
+    Scale: distinct(user, day) collapses the event stream map-side
+    before anything else; ONE shuffle on user_id serves both the
+    window and (via AQE partition reuse) the island groupBy — groups
+    are (user × island), never global.  Day-grain distinct keeps
+    window partitions at ≤ span-days rows per user regardless of
+    event volume."""
+    active = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = (
+        F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    return (
+        active.select("user_id", "day", grp.alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").alias("len_days"),
+        )
+        .drop("grp")
+    )

@@ -565,3 +565,25 @@ def test_chunk_dedup_two_exchanges_map_side_chunking(spark):
     assert plan.count("Generate") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_gaps_islands_two_exchanges_no_join(spark):
+    # distinct(user, day) partial-aggregates map-side then shuffles;
+    # the user_id window shuffle is the second and LAST exchange — the
+    # island rollup's (user_id, grp) grouping is satisfied by the
+    # window's user_id partitioning (subset rule), so no third
+    # exchange and no join anywhere.
+    plan = _plan(spark, "win_gaps_islands")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_triangle_count_all_equi_joins_never_nested_loop(spark):
+    # Pair scoring must stay an equi hash join on the id block (the
+    # banded all-pairs discipline), and the wedge + closure joins are
+    # equi on (apex) and (v, w) — a BroadcastNestedLoopJoin anywhere
+    # means the orientation rewrite regressed to cartesian scoring.
+    plan = _plan(spark, "graph_triangle_count")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") == 1  # one corner explode
+    assert "CartesianProduct" not in plan
