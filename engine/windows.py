@@ -613,3 +613,83 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "win_reset_running_sum",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE user_id % 3 = 0
+    ),
+    seg AS (
+        SELECT user_id, event_id, cents,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS seg,
+               ts
+        FROM e
+    )
+    SELECT user_id, event_id, COALESCE(seg, 0) AS seg,
+           CAST(SUM(cents) OVER (PARTITION BY user_id, COALESCE(seg, 0)
+                                 ORDER BY ts, event_id) AS BIGINT)
+               AS run_cents
+    FROM seg
+    """,
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS after each trigger event (here: a
+    user's spend accumulator restarting after every 'purchase') — the
+    conditional-reset window device: the segment id is the count of
+    TRIGGERS AMONG STRICT PREDECESSORS (rows-frame SUM ending at 1
+    PRECEDING — the first event after a purchase opens segment n+1,
+    the purchase row itself still closes segment n), and the running
+    sum then windows within (user, segment).  No iteration, no UDF —
+    two window passes express what looks like stateful code.
+
+    The frame's first row yields NULL from the empty preceding frame
+    (both engines) — COALESCE to segment 0 on both sides.  user_id
+    modulo-residue input filter bounds verified rows (CLAUDE.md
+    budget rule; resets depend only on the user's own stream, so
+    pre-filtering users is semantics-preserving).
+
+    Scale: first window shuffles on user_id; the second needs (user,
+    seg) — rows within a user stay together (subset key), so AQE-era
+    Spark plans it as a LOCAL sort without a second exchange when the
+    first partitioning survives.  Ordering key ends in unique
+    event_id: deterministic running values under timestamp ties."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % 3 == 0
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).cast("long").alias("seg"),
+    )
+    w2 = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    return seg.select(
+        "user_id",
+        "event_id",
+        "seg",
+        F.sum("cents").over(w2).alias("run_cents"),
+    )

@@ -587,3 +587,33 @@ def test_triangle_count_all_equi_joins_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate") == 1  # one corner explode
     assert "CartesianProduct" not in plan
+
+
+def test_reset_running_sum_single_exchange(spark):
+    # Both window passes must share the user_id shuffle: (user_id, seg)
+    # is a superset of the first window's partitioning, so pass 2 is a
+    # local sort, never a second exchange.
+    plan = _plan(spark, "win_reset_running_sum")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_profile_columns_pruned_scans_no_expand(spark):
+    # Six per-column aggregates → six single-column parquet scans
+    # (ReadSchema shows exactly one orders column each) and NO Expand
+    # operator — the distinct-agg expansion a six-countDistinct
+    # single aggregate would pay.
+    plan = _plan(spark, "scan_profile_columns")
+    assert "Expand" not in plan
+    assert plan.count("ReadSchema: struct<o_") == 6
+    assert "Union" in plan
+
+
+def test_dq_orphans_anti_joins_broadcast(spark):
+    # Every referential check is a broadcast LEFT-ANTI join at sf0.01
+    # stats; no shuffle happens at all — each check collapses to a
+    # 1-row count before the union.
+    plan = _plan(spark, "join_dq_orphans")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
