@@ -1200,9 +1200,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev_c = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
+    rev_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     revenue = li.groupBy("l_suppkey").agg(
         F.sum(rev_c).alias("total_revenue_cents")
     )
@@ -1266,9 +1264,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             F.col("l_quantity").cast("long").alias("q"),
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("price_c"),
+            _cents(F.col("l_extendedprice")).alias("price_c"),
         )
     )
     w = Window.partitionBy("l_partkey")
