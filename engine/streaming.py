@@ -44,8 +44,15 @@ def _stream_shuffle(spark: SparkSession):
         yield
 
 
+def scratch_path(name: str) -> str:
+    """Path of a named scratch area WITHOUT wiping it — for tests that
+    inspect a sink a key just wrote (keeps the layout in one place;
+    tests must never re-derive tempdir/spark_graft_stream/<name>)."""
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stream", name)
+
+
 def _scratch(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream", name)
+    d = scratch_path(name)
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)

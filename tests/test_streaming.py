@@ -224,9 +224,8 @@ def test_stream_checkpoint_recovery_exactly_once(spark):
     assert _rows(recovered, cols) == _rows(batch, cols)
     # exactly two microbatches reached the sink — batch 0 from run 1,
     # batch 1 re-executed by the recovery run
-    import tempfile
+    from engine.streaming import scratch_path
 
-    sink = os.path.join(tempfile.gettempdir(), "spark_graft_stream",
-                        "ckpt_recovery_sink")
+    sink = scratch_path("ckpt_recovery_sink")
     dirs = sorted(d for d in os.listdir(sink) if d.startswith("batch_id="))
     assert dirs == ["batch_id=0", "batch_id=1"]

@@ -496,3 +496,42 @@ def test_mmr_diversify_invariants(spark):
         assert scores == sorted(scores, reverse=True), f"q{q}: not decaying"
     again = engine.QUERIES["sim_mmr_diversify"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gaps_islands_partition_active_days(spark):
+    """Islands must exactly PARTITION each user's active-day set:
+    lengths sum to the distinct active days, spans are internally
+    consecutive (len == end-start+1), and islands of one user never
+    overlap (sorted starts strictly follow the previous end + a gap
+    of >= 2 days)."""
+    rows = engine.QUERIES["win_gaps_islands"](spark, SF_DIR).collect()
+    active = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    per_user_days = {r.user_id: r["count"] for r in active}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert (r.end_day - r.start_day).days + 1 == r.len_days
+    assert set(by_user) == set(per_user_days)
+    for u, isl in by_user.items():
+        assert sum(r.len_days for r in isl) == per_user_days[u]
+        isl.sort(key=lambda r: r.start_day)
+        for a, b in zip(isl, isl[1:]):
+            assert (b.start_day - a.end_day).days >= 2, f"user {u}: islands touch"
+
+
+def test_triangle_counts_sum_divisible_by_three(spark):
+    """Each triangle contributes exactly one count to each of its three
+    corners, so the per-node counts must sum to 3x the triangle total,
+    and every reported node participates at least once."""
+    rows = engine.QUERIES["graph_triangle_count"](spark, SF_DIR).collect()
+    total = sum(r.n_tri for r in rows)
+    assert total > 0 and total % 3 == 0
+    assert all(r.n_tri >= 1 for r in rows)
+    assert all(r.node_id % 5 == 0 for r in rows)  # the declared node subset
