@@ -617,3 +617,14 @@ def test_dq_orphans_anti_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 4
     assert "LeftAnti" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_fuzzy_join_blocks_to_hash_join(spark):
+    # The suffix-4 block must compile to an EQUALITY hash join —
+    # levenshtein only as a post-join filter.  A BroadcastNestedLoop
+    # here means the blocking key stopped being an equi-condition and
+    # the verify went quadratic.
+    plan = _plan(spark, "join_fuzzy_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 1
+    assert "levenshtein" in plan
