@@ -1044,11 +1044,10 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_BLOCK = 250     # raw-id block width for pair generation (50 nodes)
 _TRI_THR_BP = 2000   # edge threshold: pinned cosine >= 0.20
 
-
-@query(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH nodes AS (
+# Shared oracle CTE body for the block-local pinned-cosine graph
+# (graph_triangle_count + graph_pagerank_bounded build on it).
+_GRAPH_EDGES_SQL = f"""
+    nodes AS (
         SELECT vec_id, embedding, vec_id // {_TRI_BLOCK} AS blk
         FROM embeddings WHERE vec_id % 5 = 0
     ),
@@ -1064,7 +1063,64 @@ _TRI_THR_BP = 2000   # edge threshold: pinned cosine >= 0.20
     edges AS (
         SELECT src, dst FROM pairs
         WHERE FLOOR(dot / (SQRT(na2) * SQRT(nb2)) * 10000 + 0.5) >= {_TRI_THR_BP}
-    ),
+    )
+"""
+
+
+def _cos_block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-local pinned-cosine edge list (src < dst), persisted.
+
+    Norms are per-NODE quantities: fold them once (|V| HOF
+    evaluations), never inside the pair filter (3 folds per pair — 3×
+    the interpreted-HOF work on the quadratic term).  The oracle twin
+    (_GRAPH_EDGES_SQL) divides by SQRT(na2)·SQRT(nb2) computed per
+    pair, but the VALUE is identical: same elements, same fold order
+    per vector.  repartition(blk) spreads block-local scoring across
+    tasks (the subset otherwise arrives as one parquet split and the
+    whole quadratic stage runs single-threaded).  Persisted because
+    every consumer (degree rollup, orientation, closure, PageRank's
+    3 unrolled iterations) would otherwise re-derive the scoring
+    subtree — measured 8.2 s → 1.3 s at sf0.1."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(f"vec_id div {_TRI_BLOCK}").alias("blk"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a = e.repartition(F.col("blk")).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "blk",
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("blk").alias("blk_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos_bp = F.floor(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.col("nrm_a") * F.col("nrm_b"))
+        * 10000
+        + F.lit(0.5)
+    )
+    return (
+        a.join(b, (a.blk == b.blk_b) & (a.src < b.dst))
+        .filter(cos_bp >= _TRI_THR_BP)
+        .select("src", "dst")
+        .persist()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_GRAPH_EDGES_SQL},
     tri AS (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM edges e1
@@ -1109,53 +1165,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded 50-node blocks).  At 100 TB the edge list would come from
     the LSH/MinHash candidate stages instead — the counting plan is
     unchanged."""
-    # Norms are per-NODE quantities: fold them once here (|V| HOF
-    # evaluations), never inside the pair filter (3 folds per pair —
-    # 3× the interpreted-HOF work on the quadratic term).  The oracle
-    # divides by SQRT(na2)·SQRT(nb2) computed per pair, but the VALUE
-    # is identical: same elements, same fold order per vector.
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 5 == 0)
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(f"vec_id div {_TRI_BLOCK}").alias("blk"),
-            _norm(F.col("embedding")).alias("nrm"),
-        )
-    )
-    # Spread block-local scoring across tasks: the subset otherwise
-    # arrives as one parquet split and the whole quadratic stage runs
-    # in a single thread.
-    a = e.repartition(F.col("blk")).select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("ea"),
-        "blk",
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("eb"),
-        F.col("blk").alias("blk_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos_bp = F.floor(
-        _dot(F.col("ea"), F.col("eb"))
-        / (F.col("nrm_a") * F.col("nrm_b"))
-        * 10000
-        + F.lit(0.5)
-    )
-    # The edge list feeds the degree rollup (twice, via the union),
-    # the orientation join and the closure probe — persist the diamond
-    # so the 64-dim HOF scoring runs ONCE, not once per consumer
-    # (unpersisted, the recursive re-derivation measured 8.2 s at
-    # sf0.1; persisted, 1.3 s).
-    edges = (
-        a.join(b, (a.blk == b.blk_b) & (a.src < b.dst))
-        .filter(cos_bp >= _TRI_THR_BP)
-        .select("src", "dst")
-        .persist()
-    )
+    edges = _cos_block_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -1202,3 +1212,93 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+_PR_M = 1_000_000  # rank unit: parts-per-million of total rank mass
+_PR_ITERS = 3
+_PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
+
+
+@query(
+    "graph_pagerank_bounded",
+    oracle=f"""
+    WITH {_GRAPH_EDGES_SQL},
+    und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    base AS (SELECT CAST((15 * {_PR_M}) // (100 * n) AS BIGINT) AS b FROM nn),
+    r0 AS (SELECT node, CAST({_PR_M} // nn.n AS BIGINT) AS r FROM deg, nn),
+    it1 AS (
+        SELECT und.v AS node,
+               CAST((SELECT b FROM base)
+                    + ({_PR_DAMP_NUM} * SUM(r0.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM und JOIN r0 ON r0.node = und.u JOIN deg ON deg.node = und.u
+        GROUP BY und.v
+    ),
+    it2 AS (
+        SELECT und.v AS node,
+               CAST((SELECT b FROM base)
+                    + ({_PR_DAMP_NUM} * SUM(it1.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM und JOIN it1 ON it1.node = und.u JOIN deg ON deg.node = und.u
+        GROUP BY und.v
+    ),
+    it3 AS (
+        SELECT und.v AS node,
+               CAST((SELECT b FROM base)
+                    + ({_PR_DAMP_NUM} * SUM(it2.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM und JOIN it2 ON it2.node = und.u JOIN deg ON deg.node = und.u
+        GROUP BY und.v
+    )
+    SELECT node, r AS rank_ppm FROM it3
+    """,
+)
+def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 bounded iterations over the block-cosine graph —
+    the canonical iterative-dataflow kernel (Page et al. 1999;
+    Pregel/GraphX's hello-world), expressed as an UNROLLED declarative
+    plan: each iteration is contribution-join → per-target SUM, so
+    Catalyst sees one DAG and AQE sizes every stage; no driver loop,
+    no mutable state.
+
+    Exactness — the reason this iterative float algorithm can be
+    hash-compared at all: ranks live in integer parts-per-million and
+    EVERY division is integer floor division (contribution = r div
+    deg; damping = (85·S) div 100; teleport base = 15M div (100·N)).
+    Identical values on both engines by construction, not by float
+    luck.  Rank mass leaks a few ppm per iteration to the floors —
+    irrelevant for ranking, the point of the pin.
+
+    Scale: the per-iteration shuffle pair (join on u, aggregate on v)
+    is the standard distributed PageRank step; `links` (adjacency ⋈
+    out-degree) persists once and is re-read by all three iterations
+    — exactly the RDD-era `links.cache()` idiom, DataFrame-native.
+    Bounded iterations = bounded plan depth; a convergence-driven
+    variant would wrap this step in the dedup_connected_components
+    loop harness (localCheckpoint per round, loud non-convergence)."""
+    edges = _cos_block_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    links = und.join(deg, "u").persist()  # (u, v, d) re-read 3x
+    nn = deg.agg(F.count("*").alias("n"))
+    rank = deg.select(F.col("u").alias("node")).crossJoin(
+        F.broadcast(nn)
+    ).select("node", F.expr(f"{_PR_M} div n").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = links.join(
+            rank, links.u == rank.node
+        ).select("v", F.expr("r div d").alias("c"))
+        s = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        rank = s.crossJoin(F.broadcast(nn)).select(
+            F.col("v").alias("node"),
+            (
+                F.expr(f"(15 * {_PR_M}) div (100 * n)")
+                + F.expr(f"({_PR_DAMP_NUM} * s) div 100")
+            ).cast("long").alias("r"),
+        )
+    return rank.select("node", F.col("r").alias("rank_ppm"))

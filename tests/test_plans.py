@@ -628,3 +628,14 @@ def test_fuzzy_join_blocks_to_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 1
     assert "levenshtein" in plan
+
+
+def test_pagerank_links_cached_scalar_broadcasts_only(spark):
+    # The adjacency⋈degree `links` frame must come from cache in every
+    # iteration (InMemoryTableScan — the RDD-era links.cache() idiom),
+    # and the only nested-loop joins are the four 1-row scalar
+    # broadcasts of the node count (init + 3 iterations).
+    plan = _plan(spark, "graph_pagerank_bounded")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert "CartesianProduct" not in plan
