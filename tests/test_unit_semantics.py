@@ -535,3 +535,22 @@ def test_triangle_counts_sum_divisible_by_three(spark):
     assert total > 0 and total % 3 == 0
     assert all(r.n_tri >= 1 for r in rows)
     assert all(r.node_id % 5 == 0 for r in rows)  # the declared node subset
+
+
+def test_pagerank_mass_and_floor_bounds(spark):
+    """Integer-ppm PageRank invariants: every rank >= the teleport
+    base (a node always keeps 0.15/N mass), total rank mass stays
+    within the floor-leak band [M - iters*N, M] ppm (each of the ~2N
+    floor divisions per iteration drops < 1 ppm), and the node set is
+    exactly the graph's vertex set (every node has >= 1 edge, so no
+    node can drop out of the contribution aggregate)."""
+    rows = engine.QUERIES["graph_pagerank_bounded"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    base = (15 * 1_000_000) // (100 * n)
+    assert all(r.rank_ppm >= base for r in rows)
+    total = sum(r.rank_ppm for r in rows)
+    assert 1_000_000 - 6 * n <= total <= 1_000_000
+    tri_nodes = {r.node_id for r in
+                 engine.QUERIES["graph_triangle_count"](spark, SF_DIR).collect()}
+    assert tri_nodes <= {r.node for r in rows}  # triangle corners are vertices
