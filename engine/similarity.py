@@ -1219,9 +1219,24 @@ _PR_ITERS = 3
 _PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
 
 
-@query(
-    "graph_pagerank_bounded",
-    oracle=f"""
+def _pr_oracle() -> str:
+    """PageRank oracle with the iteration CTEs UNROLLED FROM _PR_ITERS —
+    the Spark side loops over the same constant, so bumping it can
+    never desync engine from oracle (a hand-written it1/it2/it3 chain
+    would silently keep computing 3 iterations)."""
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT und.v AS node,
+               CAST((SELECT b FROM base)
+                    + ({_PR_DAMP_NUM} * SUM({prev}.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM und JOIN {prev} ON {prev}.node = und.u JOIN deg ON deg.node = und.u
+        GROUP BY und.v
+    )""")
+        prev = f"it{i}"
+    return f"""
     WITH {_GRAPH_EDGES_SQL},
     und AS (
         SELECT src AS u, dst AS v FROM edges
@@ -1232,30 +1247,12 @@ _PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
     base AS (SELECT CAST((15 * {_PR_M}) // (100 * n) AS BIGINT) AS b FROM nn),
     r0 AS (SELECT node, CAST({_PR_M} // nn.n AS BIGINT) AS r FROM deg, nn),
-    it1 AS (
-        SELECT und.v AS node,
-               CAST((SELECT b FROM base)
-                    + ({_PR_DAMP_NUM} * SUM(r0.r // deg.d)) // 100 AS BIGINT) AS r
-        FROM und JOIN r0 ON r0.node = und.u JOIN deg ON deg.node = und.u
-        GROUP BY und.v
-    ),
-    it2 AS (
-        SELECT und.v AS node,
-               CAST((SELECT b FROM base)
-                    + ({_PR_DAMP_NUM} * SUM(it1.r // deg.d)) // 100 AS BIGINT) AS r
-        FROM und JOIN it1 ON it1.node = und.u JOIN deg ON deg.node = und.u
-        GROUP BY und.v
-    ),
-    it3 AS (
-        SELECT und.v AS node,
-               CAST((SELECT b FROM base)
-                    + ({_PR_DAMP_NUM} * SUM(it2.r // deg.d)) // 100 AS BIGINT) AS r
-        FROM und JOIN it2 ON it2.node = und.u JOIN deg ON deg.node = und.u
-        GROUP BY und.v
-    )
-    SELECT node, r AS rank_ppm FROM it3
-    """,
-)
+    {",".join(its)}
+    SELECT node, r AS rank_ppm FROM {prev}
+    """
+
+
+@query("graph_pagerank_bounded", oracle=_pr_oracle())
 def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 bounded iterations over the block-cosine graph —
     the canonical iterative-dataflow kernel (Page et al. 1999;

@@ -540,17 +540,27 @@ def test_triangle_counts_sum_divisible_by_three(spark):
 def test_pagerank_mass_and_floor_bounds(spark):
     """Integer-ppm PageRank invariants: every rank >= the teleport
     base (a node always keeps 0.15/N mass), total rank mass stays
-    within the floor-leak band [M - iters*N, M] ppm (each of the ~2N
-    floor divisions per iteration drops < 1 ppm), and the node set is
-    exactly the graph's vertex set (every node has >= 1 edge, so no
-    node can drop out of the contribution aggregate)."""
+    within the floor-leak band, and triangle corners are PageRank
+    vertices (same edge graph).
+
+    The leak bound is derived, not eyeballed: per iteration, the
+    contribution floors lose at most sum_u (d_u - 1) = 2E - N ppm
+    (r_u mod d_u per node), the damping floor < 1 ppm per node (N)
+    and the teleport base floor < 1 ppm per node (N) — so total >=
+    M - iters*(2E + N) - N (the trailing N covers the r0 = M//N
+    init).  Bound computed from the ACTUAL edge count so a corpus
+    roll or threshold change that densifies the graph rescales the
+    band instead of failing a healthy engine."""
+    from engine.similarity import _PR_ITERS, _PR_M, _cos_block_edges
+
     rows = engine.QUERIES["graph_pagerank_bounded"](spark, SF_DIR).collect()
     n = len(rows)
     assert n > 0
-    base = (15 * 1_000_000) // (100 * n)
+    base = (15 * _PR_M) // (100 * n)
     assert all(r.rank_ppm >= base for r in rows)
+    e_cnt = _cos_block_edges(spark, SF_DIR).count()
     total = sum(r.rank_ppm for r in rows)
-    assert 1_000_000 - 6 * n <= total <= 1_000_000
+    assert _PR_M - _PR_ITERS * (2 * e_cnt + n) - n <= total <= _PR_M
     tri_nodes = {r.node_id for r in
                  engine.QUERIES["graph_triangle_count"](spark, SF_DIR).collect()}
     assert tri_nodes <= {r.node for r in rows}  # triangle corners are vertices
