@@ -95,7 +95,7 @@ _NEW_THIS_ROUND = frozenset({
     "join_salted_replicate", "dedup_chunk_exact", "sim_mmr_diversify",
     "win_gaps_islands", "graph_triangle_count",
     "win_reset_running_sum", "scan_profile_columns", "join_dq_orphans",
-    "join_fuzzy_blocked", "graph_pagerank_bounded",
+    "join_fuzzy_blocked", "graph_pagerank_bounded", "evt_ewma_integer",
 })
 
 

@@ -1524,3 +1524,77 @@ def evt_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cv_e4.alias("cv_e4"),
         (cv_e4 < 2500).cast("int").alias("is_regular"),
     )
+
+
+@query(
+    "evt_ewma_integer",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id % 5 = 0
+    ),
+    ew AS (
+        SELECT user_id, event_id, rn, c AS e FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.rn, (15 * b.c + 85 * ew.e) // 100
+        FROM base b JOIN ew ON b.user_id = ew.user_id AND b.rn = ew.rn + 1
+    )
+    SELECT user_id, event_id, CAST(e AS BIGINT) AS ewma_cents FROM ew
+    """,
+)
+def evt_ewma_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user stream, exact:
+    e_1 = x_1; e_t = (15·x_t + 85·e_{t−1}) div 100 over integer cents
+    (α = 0.15).  A TRUE recursion — each value depends on the previous
+    OUTPUT, which no window frame can express — so the engine side is
+    the canonical group-local-state pattern (applyInPandas: sort the
+    user's stream, fold in exact Python ints) and the oracle is a
+    RECURSIVE CTE stepping rn → rn+1.  The pair demonstrates both
+    engines' only honest encodings of linear recurrences agree bit
+    for bit when the arithmetic is pinned.
+
+    Integer-division dialect trap (measured): DuckDB ``//`` TRUNCATES
+    toward zero (-7 // 2 = -3) while Python ``//`` FLOORS (-4) — the
+    two agree only because event values (and hence every EWMA state)
+    are strictly positive here; a signed-value variant must floor
+    explicitly on the oracle side.  user_id modulo filter bounds
+    verified rows (budget rule; EWMA depends only on the user's own
+    stream, so pre-filtering users is semantics-preserving).
+
+    Scale: ONE shuffle on user_id; per-group state is O(1) (the fold
+    carries a single integer), group size = events-per-user — the
+    applyInPandas batch never exceeds a user's stream.  The streaming
+    twin of this fold is applyInPandasWithState
+    (stream_stateful_counter's harness) with e as the state row."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        state = None
+        for c in pdf["c"].astype("int64"):
+            state = int(c) if state is None else (15 * int(c) + 85 * state) // 100
+            out.append(state)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma_cents": pd.array(out, dtype="int64"),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        fold, "user_id long, event_id long, ewma_cents long"
+    )

@@ -639,3 +639,14 @@ def test_pagerank_links_cached_scalar_broadcasts_only(spark):
     assert "InMemoryTableScan" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 4
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_exchange_group_state(spark):
+    # True recurrence → one user_id shuffle into the Arrow fold; no
+    # joins, no second exchange (the per-group sort happens inside the
+    # pandas batch, not as a rangepartitioned global sort).
+    plan = _plan(spark, "evt_ewma_integer")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
