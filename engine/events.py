@@ -1564,24 +1564,30 @@ def evt_ewma_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified rows (budget rule; EWMA depends only on the user's own
     stream, so pre-filtering users is semantics-preserving).
 
-    Scale: ONE shuffle on user_id; per-group state is O(1) (the fold
-    carries a single integer), group size = events-per-user — the
-    applyInPandas batch never exceeds a user's stream.  The streaming
-    twin of this fold is applyInPandasWithState
+    Scale: ONE shuffle on user_id serves both the rn window and the
+    grouped fold (subset-partitioning rule); per-group state is O(1)
+    (the fold carries a single integer), group size = events-per-user
+    — the applyInPandas batch never exceeds a user's stream.  The
+    ordering RANK is computed JVM-side and only integers cross the
+    Arrow boundary: shipping the raw timestamp into pandas measured
+    2.36 s vs 0.99 s warm at sf0.1 (timestamp columns are the
+    expensive Arrow conversion; rank-then-drop is the fix).  The
+    streaming twin of this fold is applyInPandasWithState
     (stream_stateful_counter's harness) with e as the state row."""
     import pandas as pd
 
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = load(spark, sf_dir, "events").filter(
         F.col("user_id") % 5 == 0
     ).select(
         "user_id",
         "event_id",
-        "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.row_number().over(w).alias("rn"),
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values("rn")
         out = []
         state = None
         for c in pdf["c"].astype("int64"):
