@@ -650,3 +650,11 @@ def test_ewma_single_exchange_group_state(spark):
     assert plan.count("Exchange rangepartitioning") == 0
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_resize_pool_pure_map_no_shuffle(spark):
+    # Average-pool resize must be entirely map-side: binary payloads
+    # flow through one MapInPandas with zero exchanges.
+    plan = _plan(spark, "mm_resize_pool")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 0
