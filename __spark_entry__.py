@@ -96,7 +96,7 @@ _NEW_THIS_ROUND = frozenset({
     "win_gaps_islands", "graph_triangle_count",
     "win_reset_running_sum", "scan_profile_columns", "join_dq_orphans",
     "join_fuzzy_blocked", "graph_pagerank_bounded", "evt_ewma_integer",
-    "mm_resize_pool",
+    "mm_resize_pool", "evt_funnel_windowed", "sink_compact_small_files",
 })
 
 

@@ -1604,3 +1604,92 @@ def evt_ewma_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         fold, "user_id long, event_id long, ewma_cents long"
     )
+
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour conversion window
+
+
+@query(
+    "evt_funnel_windowed",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    nxt AS (
+        SELECT user_id, event_id, event_type, us,
+               MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY us DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS npt
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, us, npt,
+               CASE WHEN npt IS NOT NULL
+                         AND npt - us <= 3600000000 THEN 1 ELSE 0 END AS conv,
+               CASE WHEN npt IS NOT NULL
+                         AND npt - us <= 3600000000 THEN npt - us END AS lag_us
+        FROM nxt WHERE event_type = 'signup'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_us) AS BIGINT) AS fastest_lag_us
+    FROM s GROUP BY user_id
+    """,
+)
+def evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict TIME-WINDOW funnel (signup → purchase within 1 hour) for
+    EVERY signup event, not just the user's first — the
+    time-to-convert metric evt_funnel's staged earliest-match cannot
+    express.  The "next purchase after this event" lookup is a
+    REVERSED running min: order the user's stream DESCENDING and take
+    min(purchase ts) over the frame ENDING 1 PRECEDING — i.e. every
+    event strictly later in stream order — turning a per-signup
+    point-lookup self-join into one window pass.  Stream order is the
+    total (us, event_id), so same-microsecond ties resolve identically
+    on both engines (row frames are order-dependent; the unique
+    event_id makes the order total — the repo's ORDER-BY-ends-in-a-
+    unique-key rule applied to a frame).
+
+    Exactness: all arithmetic in integer microseconds (unix_micros ↔
+    epoch_us); the 1-hour bound and conversion lags are BIGINT
+    everywhere.
+
+    Scale: ONE shuffle on user_id serves the window and (subset rule)
+    the per-user rollup; no self-join, no range join — the classic
+    funnel anti-pattern (events ⋈ events on user + time band) never
+    appears, so cost is linear in the stream, not quadratic in events
+    per user."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    npt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    nxt = e.select("user_id", "event_type", "us", npt.alias("npt"))
+    conv = F.when(
+        F.col("npt").isNotNull()
+        & (F.col("npt") - F.col("us") <= F.lit(_FUNNEL_WINDOW_US)),
+        1,
+    ).otherwise(0)
+    lag = F.when(conv == 1, F.col("npt") - F.col("us"))
+    return (
+        nxt.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum(conv).alias("n_converted"),
+            F.min(lag).alias("fastest_lag_us"),
+        )
+    )

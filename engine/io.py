@@ -962,3 +962,47 @@ def scan_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the operational chore every long-lived
+    100 TB table needs: a fragmented table (simulated by writing
+    documents as 64 splits — the shape streaming micro-batches and
+    over-parallel writers leave behind) is rewritten with
+    ``coalesce(target)`` into few large files, and the aggregate over
+    the compacted copy must equal the source exactly (the oracle reads
+    the ORIGINAL parquet — compaction is proven lossless, column for
+    column).
+
+    coalesce(), not repartition(): compaction wants to MERGE splits
+    without paying a shuffle — coalesce is a narrow dependency (each
+    output file unions whole input splits).  repartition() would add
+    an exchange and is only right when the files must also be
+    re-clustered.  A unit test pins the file-count contract (64 → ≤ 4
+    data files); at scale the target count comes from
+    total_bytes / desired_file_size (128 MB-1 GB), per partition when
+    the table is partitioned.
+
+    Scale: read + write, zero shuffles; the verifying aggregate
+    shuffles only the ~|langs| partial rows."""
+    d = load(spark, sf_dir, "documents")
+    frag_path = _scratch_dir("compact_fragmented")
+    d.repartition(64).write.mode("overwrite").parquet(frag_path)
+    fragmented = spark.read.parquet(frag_path)
+    compact_path = _scratch_dir("compact_output")
+    fragmented.coalesce(4).write.mode("overwrite").parquet(compact_path)
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -658,3 +658,24 @@ def test_resize_pool_pure_map_no_shuffle(spark):
     plan = _plan(spark, "mm_resize_pool")
     assert "MapInPandas" in plan
     assert plan.count("Exchange") == 0
+
+
+def test_funnel_windowed_single_shuffle_no_self_join(spark):
+    # The "next purchase after this event" lookup must be the reversed
+    # running-min window — ONE user_id exchange, zero joins.  A Join
+    # node here means the rewrite regressed to the events⋈events
+    # time-band self-join (quadratic per user).
+    plan = _plan(spark, "evt_funnel_windowed")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_compaction_coalesce_not_shuffle(spark):
+    # The returned plan is the post-compaction verify read: one
+    # aggregate exchange, no global sort.  (The coalesce itself lives
+    # in the already-executed write job — its narrow-merge contract is
+    # pinned by the file-count unit test, which proves 64 splits
+    # became <= 4 files.)
+    plan = _plan(spark, "sink_compact_small_files")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0

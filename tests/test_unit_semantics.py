@@ -564,3 +564,23 @@ def test_pagerank_mass_and_floor_bounds(spark):
     tri_nodes = {r.node_id for r in
                  engine.QUERIES["graph_triangle_count"](spark, SF_DIR).collect()}
     assert tri_nodes <= {r.node for r in rows}  # triangle corners are vertices
+
+
+def test_compaction_file_count_contract(spark):
+    """sink_compact_small_files: the fragmented write must leave many
+    data files and the compacted copy few (64 splits -> <= 4), with
+    row counts preserved — the file-count half of the contract the
+    oracle's value equality cannot see."""
+    import glob
+    import os
+    import tempfile
+
+    engine.QUERIES["sink_compact_small_files"](spark, SF_DIR).collect()
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    frag = glob.glob(os.path.join(base, "compact_fragmented", "part-*"))
+    comp = glob.glob(os.path.join(base, "compact_output", "part-*"))
+    assert len(frag) > 16, f"fragmented write produced {len(frag)} files"
+    assert 1 <= len(comp) <= 4, f"compacted write produced {len(comp)} files"
+    n_src = load(spark, SF_DIR, "documents").count()
+    n_comp = spark.read.parquet(os.path.join(base, "compact_output")).count()
+    assert n_src == n_comp
