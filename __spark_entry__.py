@@ -97,6 +97,9 @@ _NEW_THIS_ROUND = frozenset({
     "win_reset_running_sum", "scan_profile_columns", "join_dq_orphans",
     "join_fuzzy_blocked", "graph_pagerank_bounded", "evt_ewma_integer",
     "mm_resize_pool", "evt_funnel_windowed", "sink_compact_small_files",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q16_supplier_relation_count",
+    "tpch_q20_excess_suppliers",
 })
 
 

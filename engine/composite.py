@@ -1620,3 +1620,346 @@ def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum("bal_c").alias("totbal_cents"),
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH eu AS (
+        SELECT s_suppkey, s_name, n_name,
+               {_CENTS_SQL.format(expr="s_acctbal")} AS acctbal_cents
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(MIN({_CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS cost_cents
+        FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT *, MIN(cost_cents) OVER (PARTITION BY l_partkey) AS mn FROM cost
+    )
+    SELECT eu.acctbal_cents, eu.s_name, eu.n_name,
+           p.p_partkey, ranked.cost_cents
+    FROM ranked
+    JOIN part p ON ranked.l_partkey = p.p_partkey
+    JOIN eu    ON ranked.l_suppkey = eu.s_suppkey
+    WHERE ranked.cost_cents = ranked.mn
+      AND p.p_type = 'SMALL' AND p.p_size <= 10
+    ORDER BY eu.acctbal_cents DESC, eu.n_name ASC, eu.s_name ASC,
+             p.p_partkey ASC, ranked.cost_cents ASC
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the corpus has
+    no partsupp/ps_supplycost, so the part↔supplier cost relation is
+    DERIVED from lineitem — a (part, supplier) pair's cost is the MIN
+    observed sale price in exact cents — and the mfgr/comment columns
+    are absent.  Keeps Q2's defining device: a CORRELATED MIN subquery
+    (cheapest supplier per part) re-expressed Spark-first as a window
+    MIN over the part partition instead of the spec's re-scan +
+    equality subquery — one shuffle, no self-join.
+
+    Scale: the EUROPE supplier dim (region⋈nation⋈supplier) broadcasts
+    into lineitem, so the fact side never shuffles for eligibility;
+    the (partkey, suppkey) aggregate shuffles once and the window MIN
+    reuses that partitioning (partkey ⊆ group keys satisfies the
+    ClusteredDistribution — no second exchange); the part filter
+    broadcasts into the bounded survivor set.  Top-100 compiles to
+    TakeOrderedAndProject with (n_name, s_name, p_partkey) making the
+    order total."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("pc"))
+    )
+    cost = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("pc").alias("cost_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = cost.withColumn("mn", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("mn")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    return (
+        cheapest.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("acctbal_cents", "s_name", "n_name", "p_partkey", "cost_cents")
+        .orderBy(
+            F.desc("acctbal_cents"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+            F.asc("cost_cents"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+                    - {_CENTS_SQL.format(expr="0.5 * p_retailprice * l_quantity")})
+                AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE 'red %'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    no partsupp, so the unit cost is a deterministic proxy —
+    ``0.5 * p_retailprice`` per unit (part.p_retailprice exists) — and
+    the name filter is the corpus's 'red ' prefix (spec: '%green%').
+    Keeps Q9's defining devices: a profit expression combining revenue
+    and cost from DIFFERENT dims, and the (nation, year) rollup over a
+    five-table star.
+
+    Exactness: revenue and cost are floor-pinned to cents PER ROW
+    (identical association order in both engines: ((0.5*r)*q)*100+0.5)
+    and subtracted as BIGINTs — the spec's float SUM(rev - cost) would
+    hinge on summation order.
+
+    Scale: part (name-pruned), supplier⋈nation broadcast; the only
+    shuffles are lineitem⋈orders on orderkey and the ~150-group
+    aggregate.  Profit can be negative; floor is identical on
+    negatives in both engines."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey", "p_retailprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    rev_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost_c = _cents(F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "nation", (rev_c - cost_c).alias("profit_c"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_c").alias("profit_cents"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(SUM({_CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT)
+                   AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM v
+    WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp, so a part's "stock value" for NATION_3's suppliers is
+    the summed sale value (exact cents) of their lineitem rows.  Keeps
+    Q11's defining device: a HAVING bar set by a SCALAR SUBQUERY over
+    the SAME derived aggregate — parts holding more than 0.1% of the
+    nation's total value.
+
+    Exactness: the spec's ``value > total * 0.0001`` float comparison
+    becomes the all-integer cross-multiplied ``value_cents * 1000 >
+    total_cents`` (total ≈ 2e11 cents at sf0.1; ×1000 is far inside
+    BIGINT).
+
+    Scale: the nation's supplier list broadcasts into lineitem; one
+    shuffle groups by partkey; the grand total is a 1-row broadcast
+    (scalar-broadcast idiom) — the derived aggregate is persisted so
+    the two consumers (per-part rows, grand total) don't re-derive the
+    join+agg subtree twice."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+        .persist()
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q16_supplier_relation_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (2, 5, 11, 17, 23, 29, 36, 42, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count), adapted: the
+    part↔supplier bridge is DISTINCT (l_partkey, l_suppkey) pairs from
+    lineitem (no partsupp), and the spec's complaint-comment exclusion
+    becomes the deterministic ``s_acctbal < 0`` flag (no s_comment
+    column).  Keeps Q16's defining devices: a NOT-IN supplier
+    exclusion (anti-join; the excluded key set is non-null so NOT IN ≡
+    anti) and COUNT(DISTINCT supplier) per (brand, type, size) over a
+    negated + IN-list dim filter.
+
+    Scale: the exclusion list (6 rows) and the filtered part dim
+    broadcast; the bridge dedup shuffles once on the pair; the
+    distinct-agg expansion plans its extra exchange on (group keys +
+    suppkey) — the known third exchange (see agg_salted_twophase
+    build note), unavoidable for exact distinct counts."""
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(2, 5, 11, 17, 23, 29, 36, 42, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bridge = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return bridge.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle=f"""
+    WITH sp AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    m AS (SELECT *, SUM(q) OVER (PARTITION BY l_partkey) AS tq FROM sp),
+    qual AS (SELECT DISTINCT l_suppkey FROM m WHERE 2 * q > tq)
+    SELECT s_name, {_CENTS_SQL.format(expr="s_acctbal")} AS acctbal_cents
+    FROM qual
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    ORDER BY s_name ASC
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: no partsupp
+    availability, so "excess" means the supplier shipped MORE THAN HALF
+    of a prefix-named part's 1997 volume (spec: availqty > 50% of the
+    year's shipped quantity).  Keeps Q20's defining devices: a nested
+    correlated-aggregate qualification (per-(part,supplier) quantity
+    vs per-part total) feeding a supplier semi-join, then the nation
+    filter on the survivors.
+
+    Exactness: quantities are integer-valued doubles — cast to BIGINT
+    before summing; the half-share test is the all-integer ``2*q > tq``
+    (never a float ratio).
+
+    Scale: the prefix-pruned part dim broadcasts into the date-pruned
+    fact scan; repartition(l_partkey) then groupBy(partkey, suppkey)
+    and the window SUM over partkey all reuse ONE exchange (subset
+    partitioning satisfies both ClusteredDistributions); the supplier⋈
+    nation dim join broadcasts over the tiny qualifier set."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qi"))
+    )
+    sp = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qi").alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        sp.withColumn("tq", F.sum("q").over(w))
+        .filter(F.lit(2) * F.col("q") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+    )
+    return (
+        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "acctbal_cents")
+        .orderBy(F.asc("s_name"))
+    )

@@ -679,3 +679,60 @@ def test_compaction_coalesce_not_shuffle(spark):
     plan = _plan(spark, "sink_compact_small_files")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_q2_one_exchange_shared_by_group_and_window(spark):
+    # The explicit repartition(l_partkey) is the ONLY exchange: the
+    # (partkey, suppkey) groupBy and the window MIN over partkey both
+    # reuse it (subset partitioning satisfies both clusterings); every
+    # dim (EUROPE suppliers, part filter, supplier detail) broadcasts;
+    # top-100 compiles to TakeOrderedAndProject.
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_dims_broadcast_bounded_exchanges(spark):
+    # part (name-pruned) and supplier⋈nation broadcast; li⋈orders is
+    # broadcast at sf0.01 stats (SMJ at scale — either is legal, hence
+    # <= 3 covers the two SMJ exchanges + the ~150-group aggregate);
+    # never a nested loop.
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_scalar_total_broadcasts_over_persisted_diamond(spark):
+    # The grand total is the 1-row scalar-broadcast idiom (one
+    # BroadcastNestedLoopJoin, bounded by construction) over the
+    # PERSISTED per-part aggregate — the diamond's join+agg subtree
+    # must not be re-derived per consumer.
+    plan = _plan(spark, "tpch_q11_important_stock")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "InMemoryTableScan" in plan
+
+
+def test_q16_anti_join_broadcast_distinct_agg_three_exchanges(spark):
+    # NOT IN (non-null key set) plans as a broadcast anti hash join;
+    # the exchange budget is pair-distinct (1) + the distinct-agg
+    # expansion's documented pair (group+suppkey, group) = 3 exactly
+    # (see agg_salted_twophase build note).
+    plan = _plan(spark, "tpch_q16_supplier_relation_count")
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_one_exchange_for_group_window_then_distinct(spark):
+    # repartition(l_partkey) feeds groupBy(partkey, suppkey) AND the
+    # window SUM over partkey with no further exchange; the suppkey
+    # distinct adds the second; the tiny ordered output may sort
+    # globally (bounded rows).
+    plan = _plan(spark, "tpch_q20_excess_suppliers")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange rangepartitioning") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
