@@ -583,6 +583,11 @@ def test_triangle_count_all_equi_joins_never_nested_loop(spark):
     # banded all-pairs discipline), and the wedge + closure joins are
     # equi on (apex) and (v, w) — a BroadcastNestedLoopJoin anywhere
     # means the orientation rewrite regressed to cartesian scoring.
+    # Cold cache: a prior parity run leaves the persisted edge diamonds
+    # in the CacheManager; a materialized-IMR plan print embeds the
+    # child plan per consumer and skews substring counts (see the q11
+    # test note).
+    spark.catalog.clearCache()
     plan = _plan(spark, "graph_triangle_count")
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate") == 1  # one corner explode
@@ -635,6 +640,9 @@ def test_pagerank_links_cached_scalar_broadcasts_only(spark):
     # iteration (InMemoryTableScan — the RDD-era links.cache() idiom),
     # and the only nested-loop joins are the four 1-row scalar
     # broadcasts of the node count (init + 3 iterations).
+    # Cold cache — same materialized-IMR plan-print skew as the q11 and
+    # triangle-count tests.
+    spark.catalog.clearCache()
     plan = _plan(spark, "graph_pagerank_bounded")
     assert "InMemoryTableScan" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 4
@@ -710,6 +718,12 @@ def test_q11_scalar_total_broadcasts_over_persisted_diamond(spark):
     # BroadcastNestedLoopJoin, bounded by construction) over the
     # PERSISTED per-part aggregate — the diamond's join+agg subtree
     # must not be re-derived per consumer.
+    # Cold cache first: if an earlier test already ran q11 (the parity
+    # sweep persists v and never unpersists), the fresh persist() hits
+    # the CacheManager's existing entry and the printed plan embeds the
+    # MATERIALIZED InMemoryRelation's child plan once per consumer —
+    # doubling the Exchange substring count without any real exchange.
+    spark.catalog.clearCache()
     plan = _plan(spark, "tpch_q11_important_stock")
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
