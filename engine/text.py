@@ -1462,7 +1462,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the trigram (vocabulary-sized by Heaps' law),
     one map-side-combinable per-doc count; the trigram stream comes from
     the indexed-transform shingler (per-row JVM work, zero self-join —
-    the oracle's positional 3-way join is the naive twin)."""
+    the oracle's positional 3-way join is the naive twin).
+
+    Plan choice (measured): a 2-exchange alternative exists —
+    ``repartition("tri")`` feeding dropDuplicates AND the window via
+    the subset-partitioning rule — and hash-matches this one (sf0.1
+    warm minima 1.098 vs 1.123 s, i.e. noise).  Rejected for 100 TB:
+    it shuffles the RAW occurrence stream keyed on the Zipf-skewed
+    trigram and forfeits distinct()'s map-side partial dedup, so the
+    biggest intermediate grows and hotspots exactly where the corpus
+    is largest; the third exchange here carries only the already
+    per-partition-deduped (doc_id, tri) pairs."""
     d = load(spark, sf_dir, "documents")
     per_doc = (
         d.select("doc_id", _tokens(F.col("text")).alias("toks"))
