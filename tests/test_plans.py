@@ -98,6 +98,26 @@ def test_registry_consistency():
     assert entry._NEW_THIS_ROUND <= set(engine.QUERIES), (
         entry._NEW_THIS_ROUND - set(engine.QUERIES)
     )
+    # Serving-order invariant (the round-6 flip): within the
+    # driver-unverified tier, EVERY key waiting since an earlier round
+    # precedes EVERY _NEW_THIS_ROUND key — a new key must never push a
+    # waiting key out of the driver's ~50-key verification window.
+    served = list(entry.queries())
+    verified = entry._driver_verified()
+    unverified = [k for k in served if k not in verified]
+    first_new = next(
+        (i for i, k in enumerate(unverified) if k in entry._NEW_THIS_ROUND),
+        len(unverified),
+    )
+    stragglers = [
+        k for k in unverified[first_new:] if k not in entry._NEW_THIS_ROUND
+    ]
+    assert not stragglers, (
+        f"backlog keys served after a _NEW_THIS_ROUND key: {stragglers}"
+    )
+    # and the verified tier re-serves strictly after all unverified keys
+    tail = served[len(unverified):]
+    assert all(k in verified for k in tail)
 
 
 def test_no_unpartitioned_window_over_unbounded_input():
