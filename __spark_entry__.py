@@ -100,6 +100,7 @@ _NEW_THIS_ROUND = frozenset({
     "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
     "tpch_q11_important_stock", "tpch_q16_supplier_relation_count",
     "tpch_q20_excess_suppliers",
+    "sort_zorder_cluster", "graph_reachability_roots", "agg_ks_drift",
 })
 
 

@@ -1217,3 +1217,112 @@ def agg_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p50_hi_in_band"),
     )
+
+
+@query(
+    "agg_ks_drift",
+    oracle="""
+    WITH pv AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM orders
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS ta,
+               CAST(SUM(nb) AS BIGINT) AS tb
+        FROM pv
+    ),
+    c AS (
+        SELECT v // 1048576 AS bucket,
+               SUM(na) OVER (ORDER BY v) AS ca,
+               SUM(nb) OVER (ORDER BY v) AS cb
+        FROM pv
+    )
+    SELECT CAST(c.bucket AS BIGINT)                    AS bucket_id,
+           CAST(COUNT(*) AS BIGINT)                    AS n_values,
+           CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS ks_num
+    FROM c, tot
+    GROUP BY c.bucket
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV drift between order cohorts
+    (orders before vs since 1995-01-01) — the distribution-shift
+    monitor a data pipeline runs between crawl/snapshot generations.
+    All-integer by cross-multiplication: at each observed price point
+    the ECDF gap |F_a - F_b| = |ca·tb - cb·ta| / (ta·tb); we report the
+    numerator (counts ≤ 150k ⇒ products ≤ 2.25e10 ≪ 2^63, ANSI-safe),
+    maxed per value-bucket, so the driver hash-proves the entire ECDF
+    chain, not just the final statistic.
+
+    Scale — DISTRIBUTED ECDF via two-phase prefix sum: a global
+    cumulative count needs a total order, which would be one
+    single-partition window over the data.  Instead (1) per-value
+    counts shuffle once on the value, (2) a BUCKET ROLLUP (value div
+    2^20 cents, bounded by the PRICE DOMAIN at ~60 rows regardless of
+    data size) takes the only unpartitioned window for cross-bucket
+    offsets, (3) within-bucket cumsums run partitioned by bucket, and
+    offset + local sum = exact global ECDF.  The per-value frame is
+    persisted (three consumers: totals, rollup, cumsum).  The final
+    groupBy(bucket) reuses the window's partitioning — no extra
+    exchange."""
+    o = load(spark, sf_dir, "orders")
+    a = (
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    pv = (
+        o.select(v.alias("v"), a.alias("a"))
+        .groupBy("v")
+        .agg(
+            F.sum("a").alias("na"),
+            (F.count("*") - F.sum("a")).alias("nb"),
+        )
+        .persist()
+    )
+    tot = pv.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    bucketed = pv.select(
+        "v", "na", "nb", F.expr("v div 1048576").alias("bucket")
+    )
+    bk = bucketed.groupBy("bucket").agg(
+        F.sum("na").alias("sa"), F.sum("nb").alias("sb")
+    )
+    # Cross-bucket offsets: unpartitioned window over the BOUNDED
+    # bucket rollup (price-domain-sized, ~60 rows at any sf) — the
+    # allow-listed exception class in test_plans.
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bk.select(
+        "bucket",
+        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("off_b"),
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bucketed.select(
+        "bucket",
+        "v",
+        F.sum("na").over(wv).alias("ca_l"),
+        F.sum("nb").over(wv).alias("cb_l"),
+    )
+    d = F.abs(
+        (F.col("off_a") + F.col("ca_l")) * F.col("tb")
+        - (F.col("off_b") + F.col("cb_l")) * F.col("ta")
+    )
+    return (
+        cum.join(F.broadcast(off), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("bucket").alias("bucket_id"))
+        .agg(
+            F.count("*").alias("n_values"),
+            F.max(d).alias("ks_num"),
+        )
+    )

@@ -230,6 +230,98 @@ def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering (beyond-contract: storage-layout optimization)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-dimension field width; widen to 32 for production keys
+
+
+def _morton(x, y):
+    """Interleave the low _Z_BITS bits of two long Columns (Morton/Z-order
+    code) — pure JVM bit ops, stays inside whole-stage codegen."""
+    out = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_Z_DD_SQL = "date_diff('day', DATE '1992-01-01', o_orderdate)"
+
+
+@query(
+    "sort_zorder_cluster",
+    oracle=f"""
+    WITH z AS (
+        SELECT {_morton_sql("CAST(o_custkey AS BIGINT)", _Z_DD_SQL)} AS morton,
+               CAST(o_custkey AS BIGINT) AS ck,
+               {_Z_DD_SQL} AS dd
+        FROM orders
+    )
+    SELECT CAST(morton >> 20 AS BIGINT) AS bucket_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_rows,
+           CAST(MIN(ck) AS BIGINT)      AS ck_min,
+           CAST(MAX(ck) AS BIGINT)      AS ck_max,
+           CAST(MIN(dd) AS BIGINT)      AS day_min,
+           CAST(MAX(dd) AS BIGINT)      AS day_max
+    FROM z
+    GROUP BY morton >> 20
+    """,
+)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering diagnostics — the multi-dimensional
+    layout key behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleaving
+    the bits of (customer, order-day) makes equal-size code-prefix
+    buckets that are SIMULTANEOUSLY narrow in both dimensions (~√range
+    per dim), so parquet min/max footer stats skip files for predicates
+    on EITHER column — a single-key sort bounds one dimension and leaves
+    the other's span at full width in every file.
+
+    Output: per 20-bit-prefix bucket, the row count and each dimension's
+    min/max span — exactly the footer stats a scan planner would prune
+    on; hash-comparable because the Morton code is pure integer bit
+    arithmetic, identical on both engines.
+
+    Scale: the code is computed map-side inside whole-stage codegen
+    (32 unrolled shift/mask/or terms per dimension pair — no UDF); the
+    only shuffle is the bucket groupBy (map-side combinable).  At
+    100 TB you'd widen the fields to 32 bits (_Z_BITS), compute the same
+    code, and ``repartitionByRange(morton)`` before the write so each
+    output file owns one contiguous Z-range; the diagnostic here is the
+    pruning-quality report of that layout.  Field width: 16 bits holds
+    o_custkey to sf≈4 (65 536 customers) and the day offset for 179
+    years — values past the width alias into neighbor buckets (layout
+    quality degrades, correctness of downstream scans does not)."""
+    o = load(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("long")
+    dd = F.datediff(
+        F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    ).cast("long")
+    z = o.select(_morton(ck, dd).alias("morton"), ck.alias("ck"), dd.alias("dd"))
+    return z.groupBy(
+        F.shiftright(F.col("morton"), 20).alias("bucket_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("ck").alias("ck_min"),
+        F.max("ck").alias("ck_max"),
+        F.min("dd").alias("day_min"),
+        F.max("dd").alias("day_max"),
+    )
+
+
 @query(
     "limit_topk",
     oracle="""

@@ -1299,3 +1299,97 @@ def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("r"),
         )
     return rank.select("node", F.col("r").alias("rank_ppm"))
+
+
+_REACH_MAX_ITERS = 8  # pointer doubling: covers depth 2^8 = 256
+
+
+@query(
+    "graph_reachability_roots",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT doc_id, doc_id AS node, 0 AS depth
+        FROM documents
+      UNION ALL
+        SELECT doc_id, (node - 5) // 3 AS node, depth + 1
+        FROM walk
+        WHERE node >= 5
+    )
+    SELECT doc_id,
+           CAST(node AS BIGINT)  AS root_id,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    WHERE node < 5
+    """,
+)
+def graph_reachability_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure over a forest — the Spark-first answer
+    to ``WITH RECURSIVE`` (which Spark lacks): every document resolves
+    its ROOT ancestor and exact depth in a deterministic ternary forest
+    (roots 0-4; parent(d) = (d-5) div 3 — a pure function of the key,
+    so the hierarchy is reproducible on both engines and at any sf).
+
+    Algorithm: POINTER DOUBLING, not one-hop walking — each round
+    composes the ancestor map with itself (state ⋈ state on ptr = node,
+    distances add; roots self-loop with distance 0), so round k covers
+    depth 2^k and a depth-d chain resolves in ⌈log₂ d⌉ rounds where the
+    naive recursive walk (the oracle's WITH RECURSIVE twin) takes d
+    dependent scans.  That log-vs-linear gap is the whole point at
+    100 TB: a billion-node hierarchy of depth ~40 is 6 self-joins.
+    Convergence: ptr is monotone non-increasing (parents have strictly
+    smaller ids), so equal consecutive ptr-sums ⇔ every pointer reached
+    its root — the same tiny-aggregate probe as the CC kernel
+    (dedup_connected_components), localCheckpoint per round for lineage
+    truncation, loud failure at the cap.
+
+    Output: (doc_id, root_id, depth) — one row per document, exact, so
+    the recursive-CTE oracle hash-proves the unrolled plan."""
+    from engine.core import scoped_shuffle_partitions
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    state = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            F.col("doc_id") >= 5, F.expr("(doc_id - 5) div 3")
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("long")
+        .alias("ptr"),
+        F.when(F.col("doc_id") >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
+    )
+    with scoped_shuffle_partitions(spark, 8):
+        state = state.localCheckpoint(eager=True)
+        prev_sum = None
+        for it in range(_REACH_MAX_ITERS):
+            p = state.select(
+                F.col("node").alias("p_node"),
+                F.col("ptr").alias("p_ptr"),
+                F.col("dist").alias("p_dist"),
+            )
+            state = (
+                state.join(p, state.ptr == p.p_node)
+                .select(
+                    "node",
+                    F.col("p_ptr").alias("ptr"),
+                    (F.col("dist") + F.col("p_dist")).alias("dist"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = state.agg(F.sum("ptr")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                "reachability did not converge within "
+                f"{_REACH_MAX_ITERS} doubling rounds (depth > "
+                f"{2 ** _REACH_MAX_ITERS}) — raise _REACH_MAX_ITERS"
+            )
+    return state.select(
+        F.col("node").alias("doc_id"),
+        F.col("ptr").alias("root_id"),
+        F.col("dist").alias("depth"),
+    )

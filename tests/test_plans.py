@@ -137,6 +137,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         ("text.py", "text_zipf_fit"),
         # running sum over the DAILY rollup — one row per calendar day
         ("events.py", "evt_cumulative_reach"),
+        # cross-bucket ECDF offsets over the BUCKET rollup — bounded by
+        # the price domain (~60 rows at any sf); the per-value cumsum
+        # is partitioned by bucket (two-phase prefix sum)
+        ("aggregates.py", "agg_ks_drift"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
@@ -667,6 +671,44 @@ def test_pagerank_links_cached_scalar_broadcasts_only(spark):
     assert "InMemoryTableScan" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 4
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_map_side_code_single_exchange(spark):
+    # The Morton code must be computed map-side inside codegen (no
+    # Python eval, no join); the only shuffle is the bucket groupBy.
+    plan = _plan(spark, "sort_zorder_cluster")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reachability_converges_and_roots_are_roots(spark):
+    # Pointer doubling must reach the fixpoint within the cap (depth
+    # ~log3(N) => ~3 doubling rounds at sf0.01) and end with every
+    # pointer at a true root (< 5) — the loud-failure path guarantees
+    # non-convergence cannot return partial ancestors silently.
+    df = engine.QUERIES["graph_reachability_roots"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows and all(r.root_id < 5 for r in rows)
+    # roots are depth 0 and their own ancestor
+    for r in rows:
+        if r.doc_id < 5:
+            assert r.root_id == r.doc_id and r.depth == 0
+
+
+def test_ks_drift_no_global_data_sort(spark):
+    # The ECDF must come from the two-phase prefix sum: the only
+    # single-partition windows run over the bounded bucket rollup —
+    # the raw per-value stream is never range-partitioned or globally
+    # sorted, and everything stays JVM-side.
+    spark.catalog.clearCache()
+    plan = _plan(spark, "agg_ks_drift")
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # scalar totals + bucket offsets broadcast into the cumsum stream
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row totals
+    assert plan.count("BroadcastHashJoin") == 1        # bucket offsets
 
 
 def test_ewma_single_exchange_group_state(spark):
