@@ -1262,14 +1262,18 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale — DISTRIBUTED ECDF via two-phase prefix sum: a global
     cumulative count needs a total order, which would be one
     single-partition window over the data.  Instead (1) per-value
-    counts shuffle once on the value, (2) a BUCKET ROLLUP (value div
-    2^20 cents, bounded by the PRICE DOMAIN at ~60 rows regardless of
-    data size) takes the only unpartitioned window for cross-bucket
-    offsets, (3) within-bucket cumsums run partitioned by bucket, and
-    offset + local sum = exact global ECDF.  The per-value frame is
-    persisted (three consumers: totals, rollup, cumsum).  The final
-    groupBy(bucket) reuses the window's partitioning — no extra
-    exchange."""
+    counts shuffle once on the value, (2) within-bucket cumsums
+    (value div 2^20 cents) run partitioned by bucket — ONE bucket
+    shuffle, then everything downstream reuses that partitioning:
+    the per-bucket totals are just each bucket's LAST running sum
+    (max of a non-decreasing cumsum = the bucket sum, no second
+    shuffle of the value stream), the cross-bucket offsets take the
+    only unpartitioned window over that BOUNDED rollup (price-domain-
+    sized, ~60 rows regardless of data size), the grand totals are a
+    1-row sum of the same rollup, and offset + local sum = exact
+    global ECDF.  The cumsum frame is persisted (consumers: rollup and
+    the final join); the final groupBy(bucket) reuses the window's
+    partitioning — no extra exchange."""
     o = load(spark, sf_dir, "orders")
     a = (
         F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
@@ -1282,25 +1286,9 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("a").alias("na"),
             (F.count("*") - F.sum("a")).alias("nb"),
         )
-        .persist()
     )
-    tot = pv.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     bucketed = pv.select(
         "v", "na", "nb", F.expr("v div 1048576").alias("bucket")
-    )
-    bk = bucketed.groupBy("bucket").agg(
-        F.sum("na").alias("sa"), F.sum("nb").alias("sb")
-    )
-    # Cross-bucket offsets: unpartitioned window over the BOUNDED
-    # bucket rollup (price-domain-sized, ~60 rows at any sf) — the
-    # allow-listed exception class in test_plans.
-    woff = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off = bk.select(
-        "bucket",
-        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("off_a"),
-        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("off_b"),
     )
     wv = (
         Window.partitionBy("bucket")
@@ -1312,6 +1300,24 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum("na").over(wv).alias("ca_l"),
         F.sum("nb").over(wv).alias("cb_l"),
+    ).persist()
+    # Per-bucket totals from the cumsum itself (na/nb >= 0 so the
+    # running sums are non-decreasing; their max is the bucket sum) —
+    # reuses the bucket partitioning, no exchange.
+    bk = cum.groupBy("bucket").agg(
+        F.max("ca_l").alias("sa"), F.max("cb_l").alias("sb")
+    )
+    tot = bk.agg(F.sum("sa").alias("ta"), F.sum("sb").alias("tb"))
+    # Cross-bucket offsets: unpartitioned window over the BOUNDED
+    # bucket rollup (price-domain-sized, ~60 rows at any sf) — the
+    # allow-listed exception class in test_plans.
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bk.select(
+        "bucket",
+        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("off_b"),
     )
     d = F.abs(
         (F.col("off_a") + F.col("ca_l")) * F.col("tb")
