@@ -101,6 +101,7 @@ _NEW_THIS_ROUND = frozenset({
     "tpch_q11_important_stock", "tpch_q16_supplier_relation_count",
     "tpch_q20_excess_suppliers",
     "sort_zorder_cluster", "graph_reachability_roots", "agg_ks_drift",
+    "text_hashing_tf", "join_snapshot_diff",
 })
 
 

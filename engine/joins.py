@@ -1314,3 +1314,73 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("d_name", "s_name").cast("long").alias("dist"),
     )
     return cand.filter(F.col("dist") <= 2)
+
+
+@query(
+    "join_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    cur AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 83 <> 0
+    )
+    SELECT COALESCE(prev.k, cur.k) AS o_orderkey,
+           CASE WHEN prev.k IS NULL THEN 'added'
+                WHEN cur.k  IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           prev.cents AS old_cents,
+           cur.cents  AS new_cents
+    FROM prev FULL OUTER JOIN cur ON prev.k = cur.k
+    WHERE prev.k IS NULL OR cur.k IS NULL OR prev.cents <> cur.cents
+    """,
+)
+def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF (CDC without a log): row-level added / removed /
+    changed between two table versions — the reconciliation op behind
+    incremental ingestion, backfill audits, and "what changed since the
+    last crawl".  The two versions derive deterministically from
+    orders: prev drops keys % 89 = 0 (so they appear as 'added'), cur
+    drops keys % 83 = 0 ('removed') and bumps price by one cent on
+    keys % 13 = 0 ('changed'); unchanged rows — the overwhelming bulk —
+    are filtered out AFTER classification, so the output is the delta
+    only.
+
+    Scale: a co-partitioned FULL OUTER equi join on the snapshot key —
+    both sides are table-sized, so neither broadcasts; the compare here
+    is a single column, and at 100 TB you'd diff a precomputed row-hash
+    column (xxhash64 over all payload fields) instead of field-by-field
+    predicates, with exactly this join shape.  The unchanged-row filter
+    cannot push below the join (it spans both sides), but the column
+    pruning does — only (key, hash) cross the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    prev = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("pk"), cents.alias("old_cents")
+    )
+    cur = o.filter(F.col("o_orderkey") % 83 != 0).select(
+        F.col("o_orderkey").alias("ck"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 13 == 0, 1).otherwise(0)
+        ).alias("new_cents"),
+    )
+    j = prev.join(cur, prev.pk == cur.ck, "full_outer")
+    return j.select(
+        F.coalesce("pk", "ck").alias("o_orderkey"),
+        F.when(F.col("pk").isNull(), "added")
+        .when(F.col("ck").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_cents",
+        "new_cents",
+    ).filter(
+        F.col("pk").isNull()
+        | F.col("ck").isNull()
+        | (F.col("old_cents") != F.col("new_cents"))
+    )

@@ -1570,3 +1570,64 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _rt").cast("long").alias("row_share_e6"),
         F.expr("_num div _ct").cast("long").alias("col_share_e6"),
     )
+
+
+@query(
+    "text_hashing_tf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.tok
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+        WHERE doc_id % 5 = 0
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split_regex(tok, ''),
+                                               c -> CAST(ascii(c) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % {_FP_MOD}) % 1024 AS slot
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(slot AS BIGINT)     AS slot,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM h
+    GROUP BY doc_id, slot
+    """,
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK term-frequency featurizer (the HashingTF /
+    feature-hashing construction, Weinberger et al.): token → slot =
+    polyhash(token) mod D (D = 1024), per-doc slot counts in long form
+    (doc_id, slot, tf).  The point of the trick at corpus scale: a
+    FIXED feature dimension with NO vocabulary pass and no dictionary
+    broadcast — new tokens hash into existing slots, so featurization
+    is a single map-side pass whatever the vocabulary growth
+    (Heaps-law-proof), at the cost of known, bounded collisions.
+
+    Exactness: the slot hash is the repo's Karp-Rabin fold ((h*31 +
+    byte) mod p, p < 2^40 — text_fingerprint_rolling proves the
+    char-fold parity) reduced mod 1024, identical integer ops on both
+    engines.  Output bounded for the driver with the doc_id % 5
+    residue mirrored in the oracle.
+
+    Scale: explode + fold + groupBy(doc_id, slot) — one map-side pass
+    and ONE shuffle on the output keys (map-side combinable); no UDF,
+    no vocabulary state."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    tok = toks.select("doc_id", F.explode("toks").alias("tok"))
+    slot = (
+        F.aggregate(
+            F.split(F.col("tok"), ""),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
+        )
+        % 1024
+    )
+    return (
+        tok.select("doc_id", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count("*").alias("tf"))
+    )

@@ -696,6 +696,30 @@ def test_reachability_converges_and_roots_are_roots(spark):
             assert r.root_id == r.doc_id and r.depth == 0
 
 
+def test_hashing_tf_one_shuffle_no_vocab_join(spark):
+    # The hashing trick's contract: featurization is one map-side pass
+    # (explode + JVM char-fold) and one shuffle on the output keys —
+    # no vocabulary join, no Python.
+    plan = _plan(spark, "text_hashing_tf")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_copartitioned_full_outer(spark):
+    # Both snapshots are table-sized: the diff must be a co-partitioned
+    # FULL OUTER equi join (SortMergeJoin FullOuter), never a broadcast
+    # of either side, with only (key, cents) crossing the shuffle.
+    plan = _plan(spark, "join_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # one per side
+    # column pruning reached the scans: orderkey + totalprice only
+    assert plan.count("ReadSchema: struct<o_orderkey") == 2
+    assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
+
+
 def test_ks_drift_no_global_data_sort(spark):
     # The ECDF must come from the two-phase prefix sum: the only
     # single-partition windows run over the bounded bucket rollup —
