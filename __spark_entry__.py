@@ -102,6 +102,8 @@ _NEW_THIS_ROUND = frozenset({
     "tpch_q20_excess_suppliers",
     "sort_zorder_cluster", "graph_reachability_roots", "agg_ks_drift",
     "text_hashing_tf", "join_snapshot_diff",
+    "evt_changepoint_cusum", "sample_bootstrap_ci",
+    "text_winnowing_fingerprint",
 })
 
 

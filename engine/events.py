@@ -1693,3 +1693,93 @@ def evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(lag).alias("fastest_lag_us"),
         )
     )
+
+
+@query(
+    "evt_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    kd AS (
+        SELECT *,
+               SUM(x) OVER (PARTITION BY event_type)
+                 // COUNT(*) OVER (PARTITION BY event_type) AS k
+        FROM daily
+    ),
+    p AS (
+        SELECT event_type, day, x, k,
+               SUM(x - k) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS pref
+        FROM kd
+    )
+    SELECT event_type, day, x,
+           CAST(pref - LEAST(0, MIN(pref) OVER (PARTITION BY event_type
+                                                ORDER BY day
+                                                ROWS UNBOUNDED PRECEDING))
+                AS BIGINT) AS cusum,
+           CAST(CASE WHEN pref - LEAST(0, MIN(pref) OVER (
+                         PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)) > 2 * k
+                     THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM p
+    """,
+)
+def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection on per-type daily event volume — the
+    drift alarm a pipeline runs on its ingest monitors (Page's
+    cumulative-sum control chart, positive side, drift allowance k =
+    the series' integer mean).
+
+    The defining recurrence s_i = max(0, s_{i-1} + (x_i - k)) looks
+    iterative, but the closed form s_i = pref_i - min(0, min_{j<=i}
+    pref_j) (prefix sum minus its running minimum) turns it into TWO
+    ORDERED WINDOW PASSES over the same partitioning — no applyInPandas
+    fold, no recursion, exact integers end-to-end.  The oracle computes
+    the identical identity in SQL, hash-proving the rewrite.
+
+    Scale: the daily rollup is one combinable shuffle of the raw
+    stream; both ordered windows and the per-type mean window reuse the
+    single (event_type) partitioning — one exchange carries
+    calendar-bounded rows per type, never raw events.  (Day gaps, if
+    any, contribute no term — CUSUM over observed buckets.)"""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("x"))
+    kd = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.expr(
+            "sum(x) over (partition by event_type)"
+            " div count(*) over (partition by event_type)"
+        ).alias("k"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = kd.select(
+        "event_type",
+        "day",
+        "x",
+        "k",
+        F.sum(F.col("x") - F.col("k")).over(wo).alias("pref"),
+    )
+    cusum = F.col("pref") - F.least(
+        F.lit(0).cast("long"), F.min("pref").over(wo)
+    )
+    return p.select(
+        "event_type",
+        "day",
+        "x",
+        cusum.alias("cusum"),
+        (cusum > 2 * F.col("k")).cast("int").alias("alarm"),
+    )

@@ -614,3 +614,86 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < F.col("weight"))
     )
+
+
+# Poisson(1) CDF scaled to the hash modulus 1_000_003 (thresholds at
+# 1e6 precision): P(W < w) boundaries for the deterministic bootstrap
+# weights below.  Same literals in the Spark CASE and the oracle SQL.
+_BOOT_MOD = 1_000_003
+_BOOT_CUM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+_BOOT_REPS = 20
+
+
+def _boot_case_sql(h: str) -> str:
+    branches = "".join(
+        f" WHEN {h} < {c} THEN {w}" for w, c in enumerate(_BOOT_CUM)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+@query(
+    "sample_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+        SELECT t.rep,
+               {_boot_case_sql(
+                   "(CAST(o_orderkey AS BIGINT) * 2654435761"
+                   " + (t.rep + 1) * 97003999) % " + str(_BOOT_MOD)
+               )} AS wt,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders, range({_BOOT_REPS}) t(rep)
+    )
+    SELECT CAST(rep AS BIGINT)            AS rep,
+           CAST(SUM(wt) AS BIGINT)        AS n_eff,
+           CAST(SUM(wt * cents) AS BIGINT) AS total_cents
+    FROM w
+    GROUP BY rep
+    """,
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP — 20 resampling
+    replicates of the order-total sum in ONE pass, the
+    confidence-interval machinery for any distributed aggregate
+    (Poisson bootstrap / Bag of Little Bootstraps family): replicate r
+    weights each row by a Poisson(1)-distributed integer derived from
+    hash(key, r), so E[replicate sum] = the true sum and the replicate
+    spread estimates the sampling variance — no data is ever copied or
+    re-shuffled per replicate.
+
+    Determinism: the weight is a multiplicative-hash residue mapped
+    through the integer-scaled Poisson(1) CDF (_BOOT_CUM) — identical
+    integer arithmetic on both engines, so the driver hash-proves all
+    20 resamples.  (key·2654435761 ≤ 6e6·2.7e9 ≈ 1.6e16 ≪
+    2^63 — ANSI-safe.)
+
+    Scale: the ×20 replicate expansion is MAP-SIDE (explode
+    over a constant sequence) and collapses in the partial aggregate
+    before the exchange — each partition emits ≤20 rows per replicate
+    whatever its size, so the shuffle carries replicates, not data.
+    The naive alternative (R shuffled samples) moves the table R
+    times."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rows = o.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        cents.alias("cents"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))
+        ).alias("rep"),
+    )
+    h = (
+        F.col("k") * F.lit(2654435761)
+        + (F.col("rep") + 1) * F.lit(97003999)
+    ) % _BOOT_MOD
+    wt = F.lit(7).cast("long")
+    for w, c in reversed(list(enumerate(_BOOT_CUM))):
+        wt = F.when(h < c, w).otherwise(wt)
+    return (
+        rows.select(F.col("rep").cast("long").alias("rep"),
+                    wt.cast("long").alias("wt"), "cents")
+        .groupBy("rep")
+        .agg(
+            F.sum("wt").alias("n_eff"),
+            F.sum(F.col("wt") * F.col("cents")).alias("total_cents"),
+        )
+    )

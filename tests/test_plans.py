@@ -720,6 +720,41 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
 
 
+def test_winnowing_pure_map_no_shuffle(spark):
+    # Gram hashing + window-min selection run in ONE Arrow-batched
+    # vectorized kernel (the interpreted-HOF twin measured 6.3 s at
+    # sf0.1): the whole fingerprint pass must be map-side — zero
+    # exchanges, zero joins, one MapInPandas, no per-row Python eval.
+    plan = _plan(spark, "text_winnowing_fingerprint")
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_cusum_two_exchanges_no_fold(spark):
+    # The CUSUM recurrence must compile to ordered windows (the
+    # prefix-minus-running-min identity), never a Python fold; the
+    # daily rollup shuffle is combinable (raw events collapse map-side)
+    # and the window exchange carries only calendar-bounded rows.
+    plan = _plan(spark, "evt_changepoint_cusum")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_bootstrap_replicates_collapse_before_shuffle(spark):
+    # The x20 replicate expansion is map-side (one Generate) and the
+    # partial aggregate collapses it before the single exchange — the
+    # shuffle carries replicates, not data.
+    plan = _plan(spark, "sample_bootstrap_ci")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert "partial" in plan.lower()  # map-side combine present
+
+
 def test_ks_drift_no_global_data_sort(spark):
     # The ECDF must come from the two-phase prefix sum: the only
     # single-partition windows run over the bounded bucket rollup —
