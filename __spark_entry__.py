@@ -104,6 +104,7 @@ _NEW_THIS_ROUND = frozenset({
     "text_hashing_tf", "join_snapshot_diff",
     "evt_changepoint_cusum", "sample_bootstrap_ci",
     "text_winnowing_fingerprint",
+    "sim_random_projection_jl", "graph_copurchase_lift",
 })
 
 

@@ -1384,3 +1384,97 @@ def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("ck").isNull()
         | (F.col("old_cents") != F.col("new_cents"))
     )
+
+
+@query(
+    "graph_copurchase_lift",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    bc AS (
+        SELECT c, p FROM (
+            SELECT c, p,
+                   ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rk
+            FROM b
+        ) WHERE rk <= 15
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cust FROM bc),
+    pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS pn FROM bc GROUP BY p),
+    pairs AS (
+        SELECT b1.p AS p1, b2.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM bc b1 JOIN bc b2 ON b1.c = b2.c AND b1.p < b2.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, n_co,
+           CAST(n_co * n_cust * 1000000 // (c1.pn * c2.pn) AS BIGINT)
+               AS lift_e6
+    FROM pairs
+    CROSS JOIN n
+    JOIN pc c1 ON pairs.p1 = c1.p
+    JOIN pc c2 ON pairs.p2 = c2.p
+    """,
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET co-occurrence (bipartite projection with lift):
+    part pairs bought by >= 3 common customers (within capped
+    baskets), scored by lift =
+    P(p1,p2) / (P(p1)·P(p2)) — the association-mining op behind
+    related-items, query expansion, and co-occurrence embeddings.
+    All-integer lift via cross-multiplication: n_co·n_cust·1e6 div
+    (n_p1·n_p2) (≤ 1.5k·15k·1e6 ≈ 2e13 ≪ 2^63).
+
+    Scale — the pair explosion is THE hazard here, and the cap is the
+    fix, not a footnote: the uncapped op measured 21.6 s at sf0.1
+    (12.7M-pair stream, nearly all unique, so the groupBy shuffle
+    carries all of it; a 10⁵-part customer at 100 TB would emit 10¹⁰
+    pairs).  Baskets are therefore CAPPED at 15 parts per customer
+    (deterministic rank, mirrored in the oracle — the production move
+    for heavy-hitter baskets), which bounds pairs at 105/customer and
+    cut the stream 8×.  Plan: ONE shuffle on the customer key feeds
+    everything — repartition(c) satisfies the (c,p) dedup and the
+    ranking window via the subset-partitioning rule, and the self-join
+    joins two reads of the SAME persisted c-partitioned frame with no
+    further exchange; only the bounded pair aggregate and the tiny
+    part-count rollup shuffle after that.  Part counts and the 1-row
+    customer total broadcast into the surviving pairs."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("c").orderBy("p")
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .repartition("c")
+        .dropDuplicates(["c", "p"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .drop("rk")
+        .persist()
+    )
+    b1 = b.select(F.col("c").alias("c1"), F.col("p").alias("p1"))
+    b2 = b.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    pairs = (
+        b1.join(b2, (F.col("c1") == F.col("c2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    pc = b.groupBy("p").agg(F.count("*").alias("pn"))
+    tot = b.agg(F.countDistinct("c").alias("n_cust"))
+    c1 = pc.select(F.col("p").alias("j1"), F.col("pn").alias("pn1"))
+    c2 = pc.select(F.col("p").alias("j2"), F.col("pn").alias("pn2"))
+    return (
+        pairs.join(F.broadcast(c1), F.col("p1") == F.col("j1"))
+        .join(F.broadcast(c2), F.col("p2") == F.col("j2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            F.expr("n_co * n_cust * 1000000 div (pn1 * pn2)")
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )

@@ -1393,3 +1393,68 @@ def graph_reachability_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ptr").alias("root_id"),
         F.col("dist").alias("depth"),
     )
+
+
+@query(
+    "sim_random_projection_jl",
+    oracle="""
+    SELECT vec_id,
+           CAST(t.k AS BIGINT) AS k,
+           CAST(FLOOR(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                       i -> (1 - 2 * ((t.k * 2654435761 + i * 97003999)
+                                      % 1000003 % 2))
+                            * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS y_e6
+    FROM embeddings, range(16) t(k)
+    WHERE vec_id % 10 = 0
+    """,
+)
+def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS random projection (Achlioptas ±1 form):
+    64-dim embeddings sketched to K = 16 dims with a DETERMINISTIC sign
+    matrix s(k,i) = ±1 derived from the repo's multiplicative hash — the
+    embedding-compression primitive (JL lemma: pairwise distances
+    survive to 1±ε at K = O(log n / ε²)) that runs BEFORE the ANN index
+    at 100 TB to cut vector bytes 4× with no training step and no model
+    artifact to ship: the projection matrix is a FORMULA, so every
+    executor regenerates it from (k, i) — nothing is broadcast.
+
+    Exactness: sign from integer hash parity; each output component is
+    a 64-term float64 sum in INDEX ORDER on both engines (float32
+    widens exactly; same addends, same order ⇒ bit-identical IEEE),
+    pinned e6.  Long-form output (vec_id, k, y_e6), bounded with the
+    vec_id % 10 residue mirrored in the oracle.
+
+    Scale: pure map-side — zero shuffles; 16×64 fused multiply-adds
+    per row inside JVM higher-order functions."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    ks = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
+    )
+    y = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            1
+            - 2
+            * (
+                (
+                    F.col("k").cast("long") * F.lit(2654435761)
+                    + i.cast("long") * F.lit(97003999)
+                )
+                % 1000003
+                % 2
+            )
+        ).cast("double")
+        * F.element_at(F.col("embedding"), i).cast("double"),
+    )
+    return ks.select(
+        "vec_id",
+        F.col("k").cast("long").alias("k"),
+        F.floor(y * 1000000 + F.lit(0.5)).cast("long").alias("y_e6"),
+    )

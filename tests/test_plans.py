@@ -720,6 +720,33 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
 
 
+def test_jl_projection_pure_map(spark):
+    # The sign matrix is a formula — nothing broadcast, nothing joined:
+    # the sketch must be map-side (one Generate for the k explode, zero
+    # exchanges, no Python).
+    plan = _plan(spark, "sim_random_projection_jl")
+    assert plan.count("Exchange") == 0
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_copurchase_equi_self_join_broadcast_counts(spark):
+    # Pair generation must be an EQUI join on the customer key (never a
+    # nested loop over parts); the persisted bridge feeds both sides
+    # and the counts; part counts and the 1-row total broadcast.
+    # (the persisted bridge's child plan — itself containing the
+    # orders⋈lineitem broadcast join — prints once per consumer, so
+    # BroadcastHashJoin substring counts are unstable; pin the
+    # invariants that are not)
+    spark.catalog.clearCache()
+    plan = _plan(spark, "graph_copurchase_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total only
+    assert "SortMergeJoin" in plan                     # equi self-join
+    assert "InMemoryTableScan" in plan                 # bridge persisted
+
+
 def test_winnowing_pure_map_no_shuffle(spark):
     # Gram hashing + window-min selection run in ONE Arrow-batched
     # vectorized kernel (the interpreted-HOF twin measured 6.3 s at
