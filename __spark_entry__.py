@@ -105,6 +105,7 @@ _NEW_THIS_ROUND = frozenset({
     "evt_changepoint_cusum", "sample_bootstrap_ci",
     "text_winnowing_fingerprint",
     "sim_random_projection_jl", "graph_copurchase_lift",
+    "agg_gini_concentration", "evt_decayed_engagement",
 })
 
 

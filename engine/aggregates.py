@@ -1332,3 +1332,57 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(d).alias("ks_num"),
         )
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           CAST((2 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars))
+                * 1000000 // (COUNT(*) * SUM(n_chars)) AS BIGINT)
+               AS gini_e6
+    FROM r
+    GROUP BY source
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-source character mass — the corpus-
+    balance diagnostic a training-data pipeline reads per source/domain
+    (is one shard of a source contributing all its tokens?), computed
+    EXACTLY from the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted values, all-integer cross-multiplied to e6
+    (Σ i·x ≤ 5e3·5e3·1e3 ≈ 2.5e10; ×2e6 ≪ 2^63 — ANSI-safe).  Rank
+    ties broken by doc_id so both engines sort identically.
+
+    Scale: ONE shuffle — the rank window partitions by source and the
+    closing groupBy(source) reuses that partitioning (subset rule, no
+    second exchange); per-source sorting is the only per-group cost,
+    and a skewed giant source sorts within its partition (salt + merge
+    ranks if one source outgrows an executor)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    n = F.count("*")
+    sx = F.sum("n_chars")
+    srx = F.sum(F.col("rk").cast("long") * F.col("n_chars"))
+    return r.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        sx.cast("long").alias("total_chars"),
+        F.expr(
+            "(2 * sum(CAST(rk AS BIGINT) * n_chars)"
+            " - (count(*) + 1) * sum(n_chars)) * 1000000"
+            " div (count(*) * sum(n_chars))"
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )

@@ -1783,3 +1783,60 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum > 2 * F.col("k")).cast("int").alias("alarm"),
     )
+
+
+@query(
+    "evt_decayed_engagement",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    * (1048576 >> CAST(LEAST(
+                          date_diff('day', CAST(ts AS DATE),
+                                    DATE '2024-01-31') // 7,
+                          20) AS INTEGER))) AS BIGINT) AS score_q20
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED engagement score (half-life 7 days): each event's
+    value decays by 2^-(age/7d) toward the corpus horizon — the
+    recency-weighted feature behind user activity ranking and
+    retention models.  The decay is EXACT integer arithmetic: whole
+    half-life periods become a RIGHT SHIFT of the Q20 fixed-point unit
+    (1048576 >> periods), so no exp()/pow() — libm exponentials are
+    not bit-identical across engines, shifts are — and the score is a
+    plain integer sum (cents ≤ 5e4 × 2^20 × 2e3 events ≪ 2^63).
+    Period count capped at 20 (a >= 63-bit shift is engine-defined).
+
+    Scale: one combinable groupBy(user_id) shuffle; the decay weight
+    is per-row map-side arithmetic.  The whole-period quantization
+    (floor to 7-day steps) is the price of exactness — production
+    smooths it by shrinking the step, not by switching to float
+    exp."""
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # F.shiftright takes a literal bit count — a Column shift needs the
+    # SQL form
+    weighted = e.select(
+        "user_id",
+        cents.alias("cents"),
+        F.least(
+            F.expr(
+                "CAST(datediff(DATE '2024-01-31', CAST(ts AS DATE))"
+                " AS BIGINT) div 7"
+            ),
+            F.lit(20).cast("long"),
+        ).alias("p"),
+    ).select(
+        "user_id",
+        (
+            F.col("cents")
+            * F.expr("shiftright(CAST(1048576 AS BIGINT), CAST(p AS INT))")
+        ).alias("contrib"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("contrib").alias("score_q20"),
+    )

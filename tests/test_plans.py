@@ -720,6 +720,25 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
 
 
+def test_gini_one_exchange_window_reused_by_agg(spark):
+    # The rank window partitions by source and the closing
+    # groupBy(source) must reuse that partitioning — exactly one
+    # exchange, no join, no global sort.
+    plan = _plan(spark, "agg_gini_concentration")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "Join" not in plan
+
+
+def test_decayed_engagement_single_combinable_shuffle(spark):
+    # Decay weights are per-row map-side shifts; one combinable
+    # groupBy(user_id) shuffle, nothing else.
+    plan = _plan(spark, "evt_decayed_engagement")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 def test_jl_projection_pure_map(spark):
     # The sign matrix is a formula — nothing broadcast, nothing joined:
     # the sketch must be map-side (one Generate for the k explode, zero
