@@ -106,6 +106,7 @@ _NEW_THIS_ROUND = frozenset({
     "text_winnowing_fingerprint",
     "sim_random_projection_jl", "graph_copurchase_lift",
     "agg_gini_concentration", "evt_decayed_engagement",
+    "evt_srm_check", "sample_aqp_estimate",
 })
 
 

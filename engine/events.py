@@ -1840,3 +1840,54 @@ def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("contrib").alias("score_q20"),
     )
+
+
+@query(
+    "evt_srm_check",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n, n_a,
+           CAST(FLOOR((2 * n_a - n) / sqrt(CAST(n AS DOUBLE)) * 1000000
+                      + 0.5) AS BIGINT) AS z_e6,
+           CAST(CASE WHEN ABS((2 * n_a - n) / sqrt(CAST(n AS DOUBLE)))
+                          > 3.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_alarm
+    FROM g
+    """,
+)
+def evt_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check (the first thing an experimentation
+    platform validates before reading an A/B result): for the user_id
+    parity split, the per-event-type binomial z-score
+    z = (2·n_a − n)/√n against the expected 50/50 allocation; |z| > 3
+    raises the SRM alarm that invalidates the experiment.
+
+    Determinism note: unlike sin/cos/exp, IEEE-754 REQUIRES sqrt to be
+    correctly rounded — so (2·n_a − n) (exact integer < 2^53) divided
+    by sqrt(n) is bit-identical across engines, and the e6 pinning is
+    belt-and-suspenders, not load-bearing (contrast fn_geo_haversine's
+    libm-trig residual risk).
+
+    Scale: one combinable groupBy — counts only, no per-user state."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        ).alias("n_a"),
+    )
+    z = (2 * F.col("n_a") - F.col("n")) / F.sqrt(F.col("n").cast("double"))
+    return g.select(
+        "event_type",
+        "n",
+        "n_a",
+        F.floor(z * 1000000 + F.lit(0.5)).cast("long").alias("z_e6"),
+        (F.abs(z) > 3.0).cast("int").alias("srm_alarm"),
+    )

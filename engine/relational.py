@@ -697,3 +697,91 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("wt") * F.col("cents")).alias("total_cents"),
         )
     )
+
+
+@query(
+    "sample_aqp_estimate",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS s_n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_cents
+        FROM orders
+        WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1048576 < 10486
+        GROUP BY o_orderstatus
+    ),
+    t AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS t_n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS t_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT t.o_orderstatus AS status,
+           t_n,
+           CAST(s_n * 1048576 // 10486 AS BIGINT)          AS est_n,
+           CAST(ABS(s_n * 1048576 // 10486 - t_n) * 1000000 // t_n
+                AS BIGINT)                                  AS err_n_ppm,
+           t_cents,
+           CAST(s_cents * 1048576 // 10486 AS BIGINT)       AS est_cents,
+           CAST(ABS(s_cents * 1048576 // 10486 - t_cents) * 1000000
+                // t_cents AS BIGINT)                        AS err_cents_ppm
+    FROM t LEFT JOIN s ON t.o_orderstatus = s.o_orderstatus
+    """,
+)
+def sample_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING by deterministic hash sampling: a
+    ~1% sample (multiplicative hash of the key into a 2^20 ring,
+    keep < 10486) answers per-status COUNT and SUM, scaled back up in
+    EXACT integer arithmetic, side-by-side with ground truth and the
+    ppm error — the accuracy report that decides whether a dashboard
+    can run on the sample.  Hash sampling (vs row-position TABLESAMPLE)
+    is restart-stable and join-consistent: the same keys sample on
+    every engine, which is what makes this oracle-provable at all.
+
+    Overflow discipline: scale-up multiplies the SAMPLE aggregate
+    (100× smaller than the total — s_cents·2^20 ≈ 8e16 ≪ 2^63 even at
+    sf1); the naive total·2^20 would overflow first.
+
+    Scale: two combinable aggregates over one scan pattern (Catalyst
+    reads orders twice — at 100 TB you'd compute both from one pass
+    with conditional aggregation; kept as two scans here so the sample
+    predicate PUSHES DOWN and the sampled branch reads ~1% of rows,
+    which is the entire point of AQP).  The final join is 3 rows."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    in_sample = (
+        F.col("o_orderkey").cast("long") * F.lit(2654435761)
+    ) % 1048576 < 10486
+    s = (
+        o.filter(in_sample)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("s_n"), F.sum(cents).alias("s_cents"))
+    )
+    t = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("t_n"), F.sum(cents).alias("t_cents")
+    )
+    j = t.join(F.broadcast(s), "o_orderstatus", "left")
+    est_n = F.expr("s_n * 1048576 div 10486")
+    est_c = F.expr("s_cents * 1048576 div 10486")
+    # integer div on both sides (ADVICE r5: '/'+cast truncates toward
+    # zero, '//' floors — equivalent only for positive operands; keep
+    # the engines structurally identical)
+    return j.select(
+        F.col("o_orderstatus").alias("status"),
+        "t_n",
+        est_n.cast("long").alias("est_n"),
+        F.expr("abs(s_n * 1048576 div 10486 - t_n) * 1000000 div t_n")
+        .cast("long")
+        .alias("err_n_ppm"),
+        "t_cents",
+        est_c.cast("long").alias("est_cents"),
+        F.expr(
+            "abs(s_cents * 1048576 div 10486 - t_cents) * 1000000"
+            " div t_cents"
+        )
+        .cast("long")
+        .alias("err_cents_ppm"),
+    )

@@ -720,6 +720,16 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
 
 
+def test_aqp_sample_predicate_pushed_to_scan(spark):
+    # The whole point of hash-sample AQP: the sample predicate must
+    # reach the parquet scan so the sampled branch reads ~1% of rows.
+    plan = _plan(spark, "sample_aqp_estimate")
+    assert "PushedFilters" in plan
+    # the sampled aggregate's scan carries the hash-ring predicate
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_gini_one_exchange_window_reused_by_agg(spark):
     # The rank window partitions by source and the closing
     # groupBy(source) must reuse that partitioning — exactly one
