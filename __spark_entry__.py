@@ -107,6 +107,7 @@ _NEW_THIS_ROUND = frozenset({
     "sim_random_projection_jl", "graph_copurchase_lift",
     "agg_gini_concentration", "evt_decayed_engagement",
     "evt_srm_check", "sample_aqp_estimate",
+    "agg_apportion_slots", "agg_weighted_median",
 })
 
 

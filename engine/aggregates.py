@@ -1386,3 +1386,153 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+@query(
+    "agg_apportion_slots",
+    oracle="""
+    WITH g AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, mass,
+               SUM(mass) OVER () AS total,
+               1000 * mass // SUM(mass) OVER () AS base,
+               1000 * mass - (1000 * mass // SUM(mass) OVER ())
+                             * SUM(mass) OVER () AS rem
+        FROM g
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+               1000 - SUM(base) OVER () AS leftover
+        FROM q
+    )
+    SELECT source, mass,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS slots
+    FROM r
+    """,
+)
+def agg_apportion_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) apportionment: distribute exactly
+    1000 sampling slots across sources proportional to character mass
+    — the exact-quota primitive behind per-source sampling budgets,
+    shard assignment, and mixture weighting, where naive rounding
+    over- or under-shoots the budget.  Base quota = floor-proportional
+    share; the leftover slots go to the largest fractional remainders
+    (ties by source name — both engines rank identically).  All
+    integers: 1000·mass ≤ 1e3·5e6 ≪ 2^63, and Σ slots = 1000 exactly
+    by construction — the hash check proves the full allocation.
+
+    Scale: the heavy work is one combinable groupBy(source); every
+    window after that runs on the SOURCE ROLLUP (one row per source —
+    bounded by the domain, not the data), so the unpartitioned windows
+    are bounded-input by construction (allow-listed in
+    test_no_unpartitioned_window_over_unbounded_input)."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    wall = Window.partitionBy()
+    q = g.select(
+        "source",
+        "mass",
+        F.sum("mass").over(wall).alias("total"),
+    ).select(
+        "source",
+        "mass",
+        "total",
+        F.expr("1000 * mass div total").alias("base"),
+        F.expr("1000 * mass - (1000 * mass div total) * total").alias(
+            "rem"
+        ),
+    )
+    wrk = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "mass",
+        "base",
+        F.row_number().over(wrk).alias("rk"),
+        (1000 - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "mass",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("slots"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM v
+    )
+    SELECT flag,
+           CAST(MAX(tw) AS BIGINT)  AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN (price weighted by quantity) per return
+    flag — the robust-center statistic percentile_approx cannot give
+    you exactly and unweighted medians get wrong: the smallest value
+    whose cumulative weight reaches half the total.  All integers
+    (cents, integer-cast quantities), so the cross-engine comparison
+    is exact with no interpolation-rule ambiguity (lower-weighted-
+    median convention on both sides).
+
+    Determinism under ties: the cumulative sum is ordered by cents
+    alone, so equal cents rows could permute — but any permutation of
+    equal values crosses the half-total threshold at the SAME cents
+    value, which is all the output keeps (MIN over the qualifying
+    set).  The window, the total, and the final groupBy all share one
+    (flag) partitioning — a single exchange.
+
+    Scale: one shuffle on the flag; per-group sort is the cost, and a
+    giant group's exact weighted median would move to the two-phase
+    bucket ECDF of agg_ks_drift (same prefix-sum idiom)."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("flag")
+    c = v.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+        ).alias("wmedian_cents"),
+    )

@@ -141,6 +141,9 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # the price domain (~60 rows at any sf); the per-value cumsum
         # is partitioned by bucket (two-phase prefix sum)
         ("aggregates.py", "agg_ks_drift"),
+        # largest-remainder ranking over the SOURCE ROLLUP — one row
+        # per source, bounded by the domain
+        ("aggregates.py", "agg_apportion_slots"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
@@ -718,6 +721,15 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     # column pruning reached the scans: orderkey + totalprice only
     assert plan.count("ReadSchema: struct<o_orderkey") == 2
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
+
+
+def test_weighted_median_single_flag_exchange(spark):
+    # Cumulative weights, per-group totals, and the closing groupBy all
+    # share one (flag) partitioning — exactly one exchange, no join.
+    plan = _plan(spark, "agg_weighted_median")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange rangepartitioning") == 0
 
 
 def test_aqp_sample_predicate_pushed_to_scan(spark):
