@@ -1500,16 +1500,22 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact with no interpolation-rule ambiguity (lower-weighted-
     median convention on both sides).
 
-    Determinism under ties: the cumulative sum is ordered by cents
-    alone, so equal cents rows could permute — but any permutation of
-    equal values crosses the half-total threshold at the SAME cents
-    value, which is all the output keeps (MIN over the qualifying
-    set).  The window, the total, and the final groupBy all share one
-    (flag) partitioning — a single exchange.
+    Determinism under ties: cumulative weights are summed over
+    DISTINCT (flag, cents) rows (pre-aggregated), so there is no
+    equal-value permutation to worry about at all.
 
-    Scale: one shuffle on the flag; per-group sort is the cost, and a
-    giant group's exact weighted median would move to the two-phase
-    bucket ECDF of agg_ks_drift (same prefix-sum idiom)."""
+    Scale — the GIANT-GROUP problem solved, not footnoted: a naive
+    per-flag ordered window sorts each flag's whole value stream in
+    ONE task (3 flags ⇒ parallelism 3 over 600k rows here; a single
+    hot group at 100 TB is a straggler).  This plan is the agg_ks_drift
+    two-phase prefix sum instead: ONE repartition on (flag, bucket =
+    cents div 2^20) spreads every flag across the cluster, the
+    per-(flag,bucket,cents) weight rollup and the within-bucket cumsum
+    reuse that partitioning (subset rule — bucket is in the group key),
+    cross-bucket offsets and per-flag totals come from the BOUNDED
+    (flag × price-domain-bucket) rollup and broadcast back, and the
+    final groupBy(flag) is map-side combinable.  No step ever sorts
+    more than one bucket of one flag in a task."""
     li = load(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -1517,22 +1523,38 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
+    ).select("flag", "cents", "w", F.expr("cents div 1048576").alias("bkt"))
+    pv = (
+        v.repartition("flag", "bkt")
+        .groupBy("flag", "bkt", "cents")
+        .agg(F.sum("w").alias("w"))
     )
     wc = (
-        Window.partitionBy("flag")
+        Window.partitionBy("flag", "bkt")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wt = Window.partitionBy("flag")
-    c = v.select(
-        "flag",
-        "cents",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+    cum = pv.select(
+        "flag", "bkt", "cents", F.sum("w").over(wc).alias("cw_l")
+    ).persist()
+    roll = cum.groupBy("flag", "bkt").agg(F.max("cw_l").alias("sb"))
+    woff = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return c.groupBy("flag").agg(
-        F.max("tw").alias("total_weight"),
-        F.min(
-            F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
-        ).alias("wmedian_cents"),
+    off = roll.select(
+        "flag",
+        "bkt",
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("off_w"),
+        F.sum("sb").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    j = cum.join(F.broadcast(off), ["flag", "bkt"])
+    return (
+        j.filter(2 * (F.col("off_w") + F.col("cw_l")) >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.max("tw").alias("total_weight"),
+            F.min("cents").alias("wmedian_cents"),
+        )
     )

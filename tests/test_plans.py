@@ -723,13 +723,17 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
     assert "o_orderdate" not in plan.split("ReadSchema", 1)[1]
 
 
-def test_weighted_median_single_flag_exchange(spark):
-    # Cumulative weights, per-group totals, and the closing groupBy all
-    # share one (flag) partitioning — exactly one exchange, no join.
+def test_weighted_median_two_phase_no_global_group_sort(spark):
+    # The two-phase plan must never sort a whole flag in one task: the
+    # big exchange is the (flag, bucket) repartition, the offsets come
+    # from the bounded rollup via a broadcast join, and no range
+    # partitioning (global sort) appears anywhere.
+    spark.catalog.clearCache()
     plan = _plan(spark, "agg_weighted_median")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "Join" not in plan
+    assert "REPARTITION_BY_COL" in plan
     assert plan.count("Exchange rangepartitioning") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_aqp_sample_predicate_pushed_to_scan(spark):
