@@ -82,33 +82,11 @@ def _bench_times() -> dict[str, float]:
 # Keys registered in the CURRENT round (pre-verified locally at driver
 # fidelity before registration): served after the older unverified
 # backlog so they cannot displace it from the driver's ~50-key
-# verification window.  Round-6 policy (r5 VERDICT #2): the r5 set
-# drained — its 7 served keys got CORRECTNESS_r05 rows and the other
-# 14 are now ordinary earlier-round backlog — so this set holds only
-# round-6 additions, kept few so the 38-key backlog fits the window.
-_NEW_THIS_ROUND = frozenset({
-    "fn_explode_outer_nulls", "agg_salted_twophase",
-    "agg_quantile_drift", "stream_checkpoint_recovery",
-    "tpch_q13_custdist", "tpch_q15_top_supplier", "tpch_q17_small_qty",
-    "tpch_q8_market_share", "tpch_q12_latency_buckets",
-    "tpch_q21_latest_shipper", "tpch_q22_dormant_balance",
-    "join_salted_replicate", "dedup_chunk_exact", "sim_mmr_diversify",
-    "win_gaps_islands", "graph_triangle_count",
-    "win_reset_running_sum", "scan_profile_columns", "join_dq_orphans",
-    "join_fuzzy_blocked", "graph_pagerank_bounded", "evt_ewma_integer",
-    "mm_resize_pool", "evt_funnel_windowed", "sink_compact_small_files",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q16_supplier_relation_count",
-    "tpch_q20_excess_suppliers",
-    "sort_zorder_cluster", "graph_reachability_roots", "agg_ks_drift",
-    "text_hashing_tf", "join_snapshot_diff",
-    "evt_changepoint_cusum", "sample_bootstrap_ci",
-    "text_winnowing_fingerprint",
-    "sim_random_projection_jl", "graph_copurchase_lift",
-    "agg_gini_concentration", "evt_decayed_engagement",
-    "evt_srm_check", "sample_aqp_estimate",
-    "agg_apportion_slots", "agg_weighted_median",
-})
+# verification window.  Round-7 reset (r6 ADVICE): the set holds ONLY
+# this round's additions — earlier rounds' still-waiting keys are
+# ordinary backlog and must outrank these.  The 34-key round-6 backlog
+# + |this set| must stay ≤ ~50.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

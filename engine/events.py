@@ -1792,8 +1792,8 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                     * (1048576 >> CAST(LEAST(
-                          date_diff('day', CAST(ts AS DATE),
-                                    DATE '2024-01-31') // 7,
+                          GREATEST(0, date_diff('day', CAST(ts AS DATE),
+                                    DATE '2024-01-31')) // 7,
                           20) AS INTEGER))) AS BIGINT) AS score_q20
     FROM events
     GROUP BY user_id
@@ -1822,10 +1822,15 @@ def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = e.select(
         "user_id",
         cents.alias("cents"),
+        # Clamp the day count at 0 BEFORE the division: for events past
+        # the horizon, DuckDB's // floors the negative count (-1 → a
+        # negative, engine-defined shift) while Spark's div truncates
+        # to 0.  GREATEST/greatest makes both sides shift by 0 instead.
         F.least(
             F.expr(
-                "CAST(datediff(DATE '2024-01-31', CAST(ts AS DATE))"
-                " AS BIGINT) div 7"
+                "GREATEST(CAST(0 AS BIGINT),"
+                " CAST(datediff(DATE '2024-01-31', CAST(ts AS DATE))"
+                " AS BIGINT)) div 7"
             ),
             F.lit(20).cast("long"),
         ).alias("p"),

@@ -1347,6 +1347,22 @@ def graph_reachability_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.core import scoped_shuffle_partitions
 
     d = load(spark, sf_dir, "documents").select("doc_id")
+    # The pointer-doubling join (state ⋈ state on ptr = node) requires
+    # every ancestor id to EXIST as a node row; the recursive-CTE
+    # oracle just applies the parent formula and never checks.  With
+    # contiguous ids 0..N-1 every parent (strictly smaller id) exists;
+    # a gap or nonzero start would make the inner join silently drop
+    # whole subtrees — fail loudly instead (r6 ADVICE).
+    lo, hi, n = d.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).first()
+    if lo != 0 or hi != n - 1:
+        raise RuntimeError(
+            "graph_reachability_roots requires contiguous doc_ids "
+            f"0..N-1 (got min={lo}, max={hi}, n={n}); with gaps the "
+            "ancestor join drops subtrees — synthesize the ancestor "
+            "closure before re-enabling"
+        )
     state = d.select(
         F.col("doc_id").alias("node"),
         F.when(

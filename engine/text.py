@@ -1648,6 +1648,7 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         c -> CAST(ascii(c) AS BIGINT))),
                        (h, c) -> (h * 31 + c) % {_FP_MOD})) AS hashes
         FROM documents
+        WHERE strlen(text) = length(text)
     ),
     m AS (
         SELECT doc_id,
@@ -1727,7 +1728,16 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["prints_sum"].append(int(prints.sum()))
             yield pd.DataFrame(out)
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # ASCII-only gate, mirrored in the oracle: bytes == chars ⇔ pure
+    # ASCII in UTF-8, so the numpy BYTE indexing below provably equals
+    # the oracle's CHARACTER substring/ascii() and encode("ascii")
+    # cannot raise on a regenerated corpus (r6 ADVICE).  Codegen'd
+    # filter, no UDF.
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.octet_length("text") == F.length("text"))
+        .select("doc_id", "text")
+    )
     return d.mapInPandas(
         winnow, "doc_id long, n_prints long, prints_sum long"
     )

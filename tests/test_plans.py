@@ -98,6 +98,16 @@ def test_registry_consistency():
     assert entry._NEW_THIS_ROUND <= set(engine.QUERIES), (
         entry._NEW_THIS_ROUND - set(engine.QUERIES)
     )
+    # A stale cohort is as bad as a typo (r6 ADVICE: 12 round-5 keys
+    # lingered and starved 11 waiting backlog keys past the window):
+    # any member that already has a driver CORRECTNESS row has drained
+    # — it must be REMOVED from the set at round start, not left to
+    # share the cohort with genuinely-new keys.
+    stale = entry._NEW_THIS_ROUND & entry._driver_verified()
+    assert not stale, (
+        f"_NEW_THIS_ROUND holds already-driver-verified keys {sorted(stale)}"
+        " — replace the set's contents with the current round's additions"
+    )
     # Serving-order invariant (the round-6 flip): within the
     # driver-unverified tier, EVERY key waiting since an earlier round
     # precedes EVERY _NEW_THIS_ROUND key — a new key must never push a
