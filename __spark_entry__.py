@@ -86,7 +86,10 @@ def _bench_times() -> dict[str, float]:
 # this round's additions — earlier rounds' still-waiting keys are
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND = frozenset({
+    "source_xml_roundtrip", "scan_observe_metrics", "fn_sql_udf",
+    "join_not_in_nulls", "stream_rate_limit",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -801,3 +801,57 @@ def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", arr.alias("arr")).select(
         "doc_id", F.explode_outer("arr").alias("token")
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           MIN(l_returnflag || '/' || l_linestatus) AS min_flag_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 ``CREATE TEMPORARY FUNCTION ... RETURNS ...
+    RETURN expr``) — named, reusable scalar functions defined IN SQL.
+    Unlike Python UDFs these are inlined by the analyzer into the
+    calling plan, so they cost nothing at runtime: the optimized plan
+    is identical to writing the expression inline (whole-stage codegen,
+    pushdown, everything).  That makes them the right vehicle for
+    shared business logic (pricing formulas, status formatting) across
+    a 100 TB warehouse — one definition, zero per-row overhead — where
+    a Python UDF would serialize every row.
+
+    Two shapes: a numeric pricing formula and a string formatter, both
+    used inside an aggregate.  The oracle inlines the expressions —
+    equality proves the inlining is semantically transparent.  The
+    revenue is exact integer cents per the repo's no-ROUND rule."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price_cents"
+        "(p DOUBLE, d DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(FLOOR(p * (1 - d) * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION flag_status"
+        "(f STRING, s STRING) RETURNS STRING"
+        " RETURN CONCAT(f, '/', s)"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("fn_sql_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(disc_price_cents(l_extendedprice, l_discount))
+                   AS revenue_cents,
+               MIN(flag_status(l_returnflag, l_linestatus))
+                   AS min_flag_status
+        FROM fn_sql_udf_lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -1006,3 +1006,129 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS BIGINT)
+               AS sum_epoch_s
+    FROM events
+    WHERE event_id % 5 = 1
+    GROUP BY event_type
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events sample → XML files → read back with explicit schema →
+    aggregate; the oracle reads the ORIGINAL parquet, so equality
+    proves the XML round-trip lossless for the projected columns.
+    Spark 4 ships the XML source built in (``format("xml")`` +
+    ``rowTag``) — this key completes the source family next to
+    CSV/JSONL/ORC/text/python-datasource.
+
+    Like the JSONL twin, floats travel as integer cents and timestamps
+    as epoch seconds: XML is a text format, so a double round-trip is
+    parse-dependent while integers are exact on both engines.
+
+    Scale: the XML reader splits by row tag per file; at 100 TB the
+    same code reads a directory of shard files in parallel.  Schema is
+    EXPLICIT — schema inference over XML is a full extra pass."""
+    sample = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            .alias("value_cents"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+    )
+    path = _scratch_dir("xml_roundtrip")
+    (
+        sample.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id BIGINT, event_type STRING,"
+            " value_cents BIGINT, epoch_s BIGINT"
+        )
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").alias("sum_value_cents"),
+        F.sum("epoch_s").alias("sum_epoch_s"),
+    )
+
+
+@query(
+    "scan_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_high_disc,
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS n_null_shipdate
+    FROM lineitem
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` — production pipeline OBSERVABILITY: named
+    metrics (row count, checksum, predicate counts, null counts)
+    accumulated ON THE EXECUTORS during a normal pass over the data and
+    surfaced to the driver after the action, for free — no second scan,
+    no separate audit query.  This is how a 100 TB ingest job publishes
+    row counts and DQ counters to its metrics system (via
+    QueryExecutionListener / StreamingQueryListener in production; the
+    Observation helper is the batch convenience wrapper).
+
+    The observed pass here is a ``noop``-format write (Spark's
+    benchmark sink — a full distributed materialization that discards
+    rows), standing in for the real job's parquet write.  The returned
+    frame IS the metric row; the oracle recomputes the same four
+    metrics with a direct aggregate, hash-proving that observe()
+    counted every row exactly once — the metrics are exact integers,
+    not samples.
+
+    Scale: metrics ride the existing scan as accumulator updates; zero
+    extra shuffles, zero extra scans, driver traffic = one tiny row."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_qty_cents"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("n_null_shipdate"),
+    )
+    # The pipeline's real action: a distributed write (noop sink — rows
+    # flow through every executor and are dropped; metrics accumulate).
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get  # bounded: exactly one metrics row, the observe idiom
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_qty_cents"]),
+                int(m["n_high_disc"]),
+                int(m["n_null_shipdate"]),
+            )
+        ],
+        "n_rows long, sum_qty_cents long, n_high_disc long,"
+        " n_null_shipdate long",
+    )

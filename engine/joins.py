@@ -1478,3 +1478,66 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+@query(
+    "join_not_in_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey END AS o_custkey,
+               o_totalprice
+        FROM orders
+    )
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` with a NULLABLE outer key — the three-valued
+    -logic trap every SQL engine must honor: ``NULL NOT IN S`` is NULL
+    (not TRUE), so rows with a NULL key are FILTERED, unlike the plain
+    anti join a naive rewrite would produce.  Spark plans this as a
+    NULL-AWARE ANTI JOIN (the `key = k OR (key = k) IS NULL` disjunct
+    rewrites to a broadcast hash join in null-aware mode); DuckDB
+    implements the same ANSI semantics natively, so the hash match
+    proves the decorrelation end-to-end — including dropping the 1-in-7
+    orders whose derived key is NULL.
+
+    The outer key is made nullable on purpose (NULL when
+    o_orderkey % 7 = 0): with a provably-non-null key Catalyst degrades
+    this to an ordinary left_anti and the null path would go untested.
+
+    Scale: the subquery side (one segment of customers) broadcasts;
+    null-aware anti join REQUIRES a broadcastable right side (the
+    null-disjunct breaks hash partitioning).  When both sides are huge,
+    production rewrites to a null-filtered left_anti plus an explicit
+    `key IS NOT NULL` guard after PROVING the subquery has no NULLs —
+    noted here, the broadcast form is the honest general plan."""
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_totalprice",
+    ).createOrReplaceTempView("nin_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM nin_orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM nin_customer
+            WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )

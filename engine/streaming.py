@@ -781,3 +781,52 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents"
         ),
     )
+
+
+@query("stream_rate_limit", oracle=None)  # rows-only: streaming mode
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side BACKPRESSURE via ``maxFilesPerTrigger`` — the
+    ops knob that keeps a file-source stream from swallowing a huge
+    backlog in one microbatch (the file twin of Kafka's
+    ``maxOffsetsPerTrigger``).  The events table is staged as FIVE
+    residue files with monotone mtimes; with maxFilesPerTrigger=1 the
+    availableNow drain MUST schedule five microbatches of one file
+    each, oldest first.  foreachBatch records (batch_id, n_rows) per
+    microbatch; the returned frame is that per-batch ledger, so the
+    split is visible data, not a log line.  tests/test_streaming.py
+    pins: exactly 5 batches, batch row counts == the residue-class
+    sizes, total == the batch count(*).
+
+    Scale: without a trigger limit, a recovered stream replays its
+    whole backlog in one batch — state blowup and an hours-long
+    straggler batch; with it, recovery is incremental and each batch's
+    shuffle fits the sized state stores.  availableNow + rate limit is
+    exactly the production catch-up configuration."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+
+    def build(src: str) -> None:
+        stamped: set[str] = set()
+        for r in range(5):
+            ev.filter(F.col("event_id") % 5 == r).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _stamp_phase(src, r, stamped)
+
+    src = _staged_src("rate_limit", sf_dir, build)
+    sink = _scratch("rate_limit_ledger")
+
+    def record_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy().agg(F.count("*").alias("n_rows")).select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "n_rows"
+        ).write.mode("append").parquet(sink)
+
+    with _stream_shuffle(spark):
+        q = (
+            _events_stream(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(record_batch)
+            .option("checkpointLocation", os.path.join(sink, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).select("batch_id", "n_rows")

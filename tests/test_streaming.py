@@ -229,3 +229,19 @@ def test_stream_checkpoint_recovery_exactly_once(spark):
     sink = scratch_path("ckpt_recovery_sink")
     dirs = sorted(d for d in os.listdir(sink) if d.startswith("batch_id="))
     assert dirs == ["batch_id=0", "batch_id=1"]
+
+
+def test_stream_rate_limit_splits_batches(spark):
+    # maxFilesPerTrigger=1 over five staged residue files must yield
+    # exactly five microbatches whose sizes equal the residue-class
+    # sizes, oldest-stamped file first (batch_id 0 ↔ residue 0).
+    ledger = engine.QUERIES["stream_rate_limit"](spark, SF_DIR)
+    got = _rows(ledger, ["batch_id", "n_rows"])
+    ev = load(spark, SF_DIR, "events")
+    want = _rows(
+        ev.groupBy((F.col("event_id") % 5).cast("long").alias("batch_id"))
+        .agg(F.count("*").alias("n_rows")),
+        ["batch_id", "n_rows"],
+    )
+    assert got == want
+    assert len(got) == 5
