@@ -1558,3 +1558,85 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("wmedian_cents"),
         )
     )
+
+
+@query(
+    "agg_regr_slope",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sy,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sxy,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sxx
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxy, sxx,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS slope_e6
+    FROM s
+    """,
+)
+def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LEAST-SQUARES SLOPE (price vs quantity) from EXACT
+    integer moment sums — the distributed-regression pattern: the
+    shuffle carries five combinable integers per group (n, Σx, Σy,
+    Σxy, Σxx), never rows, and the slope is assembled from them in one
+    final expression.  That is also why the result can be
+    hash-compared at all: Spark's builtin ``regr_slope`` (and
+    DuckDB's) accumulate FLOATING-POINT moments whose summation order
+    varies per partitioning — same algorithm, unstable last bits.
+    Fixed-point cents make every sum exact; the single double-typed
+    combination at the end is the IDENTICAL expression tree on both
+    engines (IEEE multiply/divide are correctly rounded —
+    deterministic), floor-scaled per the repo's no-ROUND rule.
+
+    Bit-width proof (ANSI mode throws on overflow): qty cents ≤ 5.1e3,
+    price cents ≤ 1.2e7 → per-row xy ≤ 6.2e10; ≤ 6e6 rows/group at
+    sf1 keeps Σxy < 4e17 < 2^63.  The exported sums double as the
+    mergeable state for map-side partial aggregation.
+
+    Scale: one combinable groupBy shuffle, |groups| rows out — the
+    same plan at any sf."""
+    li = load(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    s = (
+        li.select(
+            "l_returnflag",
+            xc.alias("xc"),
+            yc.alias("yc"),
+            (xc * yc).alias("xy"),
+            (xc * xc).alias("xx"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xx").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxy", "sxx",
+        F.floor(slope * 1000000 + F.lit(0.5)).cast("long").alias("slope_e6"),
+    )

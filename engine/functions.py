@@ -855,3 +855,52 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "fn_parameterized_sql",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    WHERE value >= 10.0 AND event_type IN ('click', 'view')
+      AND user_id % 4 = 1
+    GROUP BY event_type
+    """,
+)
+def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 ``spark.sql(query, args=...)``): named
+    ``:placeholders`` bound server-side as typed literals — the
+    injection-safe templating surface every SQL-facing service needs
+    (the JDBC PreparedStatement idiom, natively in the Spark API).
+    Catalyst sees real literals after binding, so constant folding and
+    predicate pushdown work exactly as with inline constants — the
+    oracle IS the inlined query, and the hash match proves binding is
+    semantically transparent.
+
+    Array/scalar params cover the two common shapes: a numeric
+    threshold, an IN-list (bound as an array + array_contains), and a
+    modulus residue."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("param_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   AS sum_value_cents
+        FROM param_events
+        WHERE value >= :min_value
+          AND array_contains(:types, event_type)
+          AND user_id % :modulus = :residue
+        GROUP BY event_type
+        """,
+        args={
+            "min_value": 10.0,
+            "types": ["click", "view"],
+            "modulus": 4,
+            "residue": 1,
+        },
+    )

@@ -1323,8 +1323,9 @@ _REACH_MAX_ITERS = 8  # pointer doubling: covers depth 2^8 = 256
     """,
 )
 def graph_reachability_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded transitive closure over a forest — the Spark-first answer
-    to ``WITH RECURSIVE`` (which Spark lacks): every document resolves
+    """Bounded transitive closure over a forest — the log-depth
+    alternative to ``WITH RECURSIVE`` (which Spark 4 now ships; see the
+    hash-equal twin ``graph_recursive_cte_native``): every document resolves
     its ROOT ancestor and exact depth in a deterministic ternary forest
     (roots 0-4; parent(d) = (d-5) div 3 — a pure function of the key,
     so the hierarchy is reproducible on both engines and at any sf).
@@ -1473,4 +1474,61 @@ def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("k").cast("long").alias("k"),
         F.floor(y * 1000000 + F.lit(0.5)).cast("long").alias("y_e6"),
+    )
+
+
+@query(
+    "graph_recursive_cte_native",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT doc_id, doc_id AS node, 0 AS depth
+        FROM documents
+      UNION ALL
+        SELECT doc_id, (node - 5) // 3 AS node, depth + 1
+        FROM walk
+        WHERE node >= 5
+    )
+    SELECT doc_id,
+           CAST(node AS BIGINT)  AS root_id,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    WHERE node < 5
+    """,
+)
+def graph_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``WITH RECURSIVE`` — new in Spark 4 — resolving the same
+    ternary-forest root/depth as ``graph_reachability_roots``, as one
+    declarative SQL statement instead of the driver-orchestrated
+    pointer-doubling loop.  Both engines run the textually-identical
+    recursive CTE (modulo `//` vs `div`), so the hash match pins
+    Spark's brand-new recursion implementation against DuckDB's mature
+    one — and transitively against the pointer-doubling plan, since
+    that key shares this oracle.
+
+    When to use which at 100 TB: the native CTE iterates ONE HOP per
+    level (depth-linear — each level is a self-join scheduled by the
+    engine, bounded by spark.sql.cteRecursionLevelLimit, default 100),
+    which is simplest and fine for shallow hierarchies (org charts,
+    category trees, depth ≤ ~20).  The pointer-doubling twin converges
+    in ⌈log₂ depth⌉ joins with explicit lineage checkpointing — the
+    right tool when depth is large or unknown.  Keeping both shapes
+    hash-equal is exactly the point of the twin keys."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    d.createOrReplaceTempView("rcte_documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT doc_id, doc_id AS node, 0 AS depth
+            FROM rcte_documents
+          UNION ALL
+            SELECT doc_id, (node - 5) div 3 AS node, depth + 1
+            FROM walk
+            WHERE node >= 5
+        )
+        SELECT doc_id,
+               CAST(node AS BIGINT)  AS root_id,
+               CAST(depth AS BIGINT) AS depth
+        FROM walk
+        WHERE node < 5
+        """
     )

@@ -268,3 +268,93 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInArrow(
         group_stats, schema="event_type string, n long, sum_value_cents long"
     )
+
+
+class _UnnestTyped:
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): unnests ANY array
+    argument to (pos, val) rows, with the output VALUE TYPE derived from
+    the argument's element type at plan time — one registration serves
+    every array column in the warehouse.  ``analyze`` is the static
+    schema-inference hook the plain ``returnType=`` UDTF
+    (``_SplitExpand``) lacks."""
+
+    @staticmethod
+    def analyze(arg):
+        from pyspark.sql.types import IntegerType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        return AnalyzeResult(
+            schema=StructType()
+            .add("pos", IntegerType())
+            .add("val", arg.dataType.elementType)
+        )
+
+    def eval(self, arr):
+        if arr is None:
+            return
+        for i, v in enumerate(arr):
+            yield i, v
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id,
+               [doc_id, n_chars, doc_id % 7]                  AS nums,
+               string_split(lang || '|' || source, '|')        AS tags
+        FROM documents WHERE doc_id < 30
+    ),
+    n AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(nums, 1) - 1 AS INTEGER) AS pos,
+               CAST(unnest(nums) AS BIGINT) AS num_val
+        FROM arrs
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tags, 1) - 1 AS INTEGER) AS pos,
+               unnest(tags) AS tag_val
+        FROM arrs
+    )
+    SELECT n.doc_id, n.pos, n.num_val, s.tag_val
+    FROM n JOIN s ON n.doc_id = s.doc_id AND n.pos = s.pos
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE polymorphic UDTF called at TWO types in the same query — a
+    bigint array and a string array — with each call site's output
+    schema resolved by the UDTF's ``analyze`` hook at plan time (the
+    Spark 4 API for generic table functions; a ``returnType=`` UDTF
+    would need one registration per element type).  The two lateral
+    expansions are equi-joined back on (doc_id, pos); both arrays have
+    matching positions by construction (3 nums, 2 tags → inner join
+    keeps min(3,2) rows/doc), so the oracle's unnest-join reproduces
+    the rows exactly.
+
+    Scale note: a Python UDTF is a row-at-a-time boundary like
+    udf_python_scalar — the API-surface demo; production unnesting of
+    typed arrays stays with the native ``explode``/``posexplode``
+    (fn_array_explode), which this key's oracle equivalence licenses."""
+    register_views(spark, sf_dir)
+    # analyze-based UDTFs take NO returnType — the wrapped class's
+    # analyze() supplies the schema per call site.
+    spark.udtf.register("unnest_typed", udtf(_UnnestTyped))
+    return spark.sql(
+        """
+        WITH arrs AS (
+            SELECT doc_id,
+                   array(doc_id, n_chars, doc_id % 7)      AS nums,
+                   split(concat(lang, '|', source), '\\\\|') AS tags
+            FROM documents WHERE doc_id < 30
+        )
+        SELECT a.doc_id,
+               n.pos,
+               CAST(n.val AS BIGINT) AS num_val,
+               s.val                 AS tag_val
+        FROM arrs a,
+             LATERAL unnest_typed(a.nums) n,
+             LATERAL unnest_typed(a.tags) s
+        WHERE n.pos = s.pos
+        """
+    )
