@@ -953,3 +953,36 @@ def test_q20_one_exchange_for_group_window_then_distinct(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange rangepartitioning") <= 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_nulls_plans_null_aware_anti_join(spark):
+    # The NOT IN subquery must plan as a NULL-AWARE anti join (the
+    # trailing `true` on the BroadcastHashJoin line is Spark's
+    # isNullAwareAntiJoin flag) — a plain LeftAnti would return the
+    # NULL-key rows and be wrong under three-valued logic.
+    plan = _plan(spark, "join_not_in_nulls")
+    naaj = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+        and ln.rstrip().endswith("true")
+    ]
+    assert naaj, plan
+
+
+def test_regr_slope_single_combinable_shuffle(spark):
+    # Five integer moment sums per group — exactly one exchange, with a
+    # map-side partial aggregate ahead of it.
+    plan = _plan(spark, "agg_regr_slope")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_recursive_cte_equals_pointer_doubling(spark):
+    # The native WITH RECURSIVE and the pointer-doubling loop are twin
+    # implementations of the same closure — row-identical, always.
+    a = engine.QUERIES["graph_recursive_cte_native"](spark, SF_DIR)
+    b = engine.QUERIES["graph_reachability_roots"](spark, SF_DIR)
+    cols = ["doc_id", "root_id", "depth"]
+    ra = sorted(tuple(r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ra == rb and len(ra) > 0
