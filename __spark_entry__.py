@@ -90,7 +90,7 @@ _NEW_THIS_ROUND = frozenset({
     "source_xml_roundtrip", "scan_observe_metrics", "fn_sql_udf",
     "join_not_in_nulls", "stream_rate_limit",
     "graph_recursive_cte_native", "udtf_analyze_polymorphic",
-    "fn_parameterized_sql", "agg_regr_slope",
+    "fn_parameterized_sql", "agg_regr_slope", "source_python_stream",
 })
 
 

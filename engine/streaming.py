@@ -830,3 +830,99 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink).select("batch_id", "n_rows")
+
+
+@query("source_python_stream", oracle=None)  # rows-only: streaming mode
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PYTHON STREAMING DATA SOURCE — the extension point that
+    wraps an external feed (REST poll, message queue, CDC tail) as a
+    first-class streaming source, with OFFSET TRACKING owned by the
+    connector and COMMIT/RESTART owned by Spark's checkpoint.  The feed
+    is a deterministic 500-row integer ledger paged 100 rows per
+    ``read()`` call; a ``SimpleDataSourceStreamReader`` hands Spark
+    (rows, next_offset) pages, and each ``availableNow`` run drains
+    exactly one prefetched page — so the full drain takes FIVE runs
+    over ONE checkpoint, and every run after the first MUST resume from
+    the committed offset, not ``initialOffset``.  That restart
+    continuation (the property a real connector lives or dies by) is
+    what this key exercises; tests pin 5 distinct batch ids and the
+    exact ledger totals.
+
+    Scale notes: the simple-reader variant reads on the driver (fine
+    for control-plane-sized feeds; the partitioned
+    ``streamReader``/``partitions()`` variant is the executor-parallel
+    path, same API family as source_python_datasource).  The
+    foreachBatch parquet sink is the same exactly-once idiom as
+    stream_foreach_batch_sink."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _LedgerStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = int(start["i"])
+            n = min(i + 100, 500)
+            rows = iter(
+                [(j, j % 7, (j * 37) % 1000) for j in range(i, n)]
+            )
+            return rows, {"i": n}
+
+    class _LedgerStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_ledger_stream"
+
+        def schema(self) -> str:
+            return "seq long, grp long, amount long"
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001 — API sig
+            return _LedgerStreamReader()
+
+    configure(spark)
+    marker = "spark.graft.pyds_stream_registered"
+    if spark.conf.get(marker, None) != "true":
+        spark.dataSource.register(_LedgerStreamSource)
+        spark.conf.set(marker, "true")
+    sink = _scratch("python_stream_sink")
+    ckpt = os.path.join(sink, "_checkpoint")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "seq", "grp", "amount",
+        ).write.mode("append").parquet(sink)
+
+    with _stream_shuffle(spark):
+        for _run in range(8):
+            q = (
+                spark.readStream.format("synthetic_ledger_stream").load()
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            try:
+                done = spark.read.parquet(sink).count() >= 500
+            except Exception:
+                done = False
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                "python stream source did not drain 500 rows in 8 "
+                "availableNow runs — offset continuation broken"
+            )
+    return (
+        spark.read.parquet(sink)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("amount").alias("sum_amount"),
+            F.countDistinct("batch_id").alias("n_batches"),
+        )
+    )

@@ -245,3 +245,19 @@ def test_stream_rate_limit_splits_batches(spark):
     )
     assert got == want
     assert len(got) == 5
+
+
+def test_source_python_stream_offset_continuation(spark):
+    # Five availableNow runs over one checkpoint must drain the 500-row
+    # paged feed exactly once: per-group totals equal the closed form
+    # and every group saw all five pages' batch ids.
+    out = engine.QUERIES["source_python_stream"](spark, SF_DIR)
+    got = _rows(out, ["grp", "n", "sum_amount", "n_batches"])
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0])
+    for j in range(500):
+        g = j % 7
+        agg[g][0] += 1
+        agg[g][1] += (j * 37) % 1000
+    want = sorted((g, n, s, 5) for g, (n, s) in agg.items())
+    assert got == want
