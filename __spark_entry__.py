@@ -91,6 +91,7 @@ _NEW_THIS_ROUND = frozenset({
     "join_not_in_nulls", "stream_rate_limit",
     "graph_recursive_cte_native", "udtf_analyze_polymorphic",
     "fn_parameterized_sql", "agg_regr_slope", "source_python_stream",
+    "fn_identifier_clause", "sink_managed_table_ctas",
 })
 
 

@@ -904,3 +904,47 @@ def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residue": 1,
         },
     )
+
+
+@query(
+    "fn_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_price_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 4) — injection-safe DYNAMIC
+    identifiers: table and column names arrive as bound parameters and
+    are resolved as identifiers, not spliced as strings.  This is the
+    templating surface for multi-tenant / per-dataset jobs ("same
+    query, table chosen at runtime") that string concatenation gets
+    wrong (quoting bugs, SQL injection) — the identifier is validated
+    as a single name, so a malicious value cannot smuggle syntax.
+
+    All three identifier positions are dynamic here: the table, the
+    grouping column, and the measure column.  The oracle is the
+    fully-inlined query; the hash match proves identifier binding is
+    pure name resolution with zero semantic effect."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp),
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(IDENTIFIER(:measure) * 100 + 0.5)
+                   AS BIGINT)) AS sum_price_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = 'F'
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "ident_orders",
+            "grp": "o_orderpriority",
+            "measure": "o_totalprice",
+        },
+    )

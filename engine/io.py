@@ -1138,3 +1138,73 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, sum_qty_cents long, n_high_disc long,"
         " n_null_shipdate long",
     )
+
+
+@query(
+    "sink_managed_table_ctas",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_price_cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_managed_table_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANAGED-TABLE lifecycle (the catalog surface): CTAS via
+    ``saveAsTable`` into the session catalog, existence verified
+    through the Catalog API, read back with ``spark.table`` by NAME —
+    no paths anywhere downstream of the write.  This is the warehouse
+    idiom the path-based sink keys don't cover: production tables are
+    catalog entries (metastore/Unity/Glue) with schema, stats, and
+    lineage attached; consumers address names, and the engine resolves
+    storage.  The oracle reads the original parquet — CTAS is proven
+    lossless for the projected columns.
+
+    Integer cents are materialized IN the table (the no-ROUND rule
+    applies at write time, so every reader aggregates exact integers).
+    Scale: saveAsTable is the same distributed parquet write as the
+    path sinks (here overwrite-idempotent); at 100 TB it would add
+    partitioning/bucketing clauses — exercised by the dedicated
+    bucketed/partitioned sink keys."""
+    import shutil
+    from urllib.parse import urlparse
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    tbl = "graft_ctas_orders"
+    # The in-memory session catalog forgets tables between sessions but
+    # their managed LOCATION survives on disk; a fresh session's CTAS
+    # then throws LOCATION_ALREADY_EXISTS.  Drop the catalog entry if
+    # known AND clear the orphan location (our own scratch table only —
+    # a metastore-backed deployment never hits this; DROP TABLE cleans
+    # both there).
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    leftover = os.path.join(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path, tbl
+    )
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+    (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    if not spark.catalog.tableExists(tbl):
+        raise RuntimeError(f"CTAS did not register {tbl} in the catalog")
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+    )
