@@ -248,9 +248,10 @@ def test_stream_rate_limit_splits_batches(spark):
 
 
 def test_source_python_stream_offset_continuation(spark):
-    # Five availableNow runs over one checkpoint must drain the 500-row
+    # Two availableNow runs over one checkpoint must drain the 500-row
     # paged feed exactly once: per-group totals equal the closed form
-    # and every group saw all five pages' batch ids.
+    # and every group saw both pages' batch ids (the second run resumed
+    # from the committed offset).
     out = engine.QUERIES["source_python_stream"](spark, SF_DIR)
     got = _rows(out, ["grp", "n", "sum_amount", "n_batches"])
     import collections
@@ -259,5 +260,5 @@ def test_source_python_stream_offset_continuation(spark):
         g = j % 7
         agg[g][0] += 1
         agg[g][1] += (j * 37) % 1000
-    want = sorted((g, n, s, 5) for g, (n, s) in agg.items())
+    want = sorted((g, n, s, 2) for g, (n, s) in agg.items())
     assert got == want
