@@ -981,7 +981,8 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-aware anti join is only supported with a broadcastable build
     side (single-column, BuildRight) — the extra null bookkeeping is
     the semantic cost of NOT IN and the reason production SQL style
-    guides mandate NOT EXISTS."""
+    guides mandate NOT EXISTS.  ``join_not_in_nulls`` pins the dual
+    corner: NULLs in the OUTER key, with row-level output."""
     from engine.io import register_views
 
     register_views(spark, sf_dir)
@@ -1512,6 +1513,10 @@ def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     The outer key is made nullable on purpose (NULL when
     o_orderkey % 7 = 0): with a provably-non-null key Catalyst degrades
     this to an ordinary left_anti and the null path would go untested.
+    Complement of ``join_not_in_null_semantics``, which pins the OTHER
+    null corner — NULLs in the SUBQUERY column (NOT IN collapses to
+    empty) — as aggregate counts; this key pins row-level output under
+    outer-key NULLs.
 
     Scale: the subquery side (one segment of customers) broadcasts;
     null-aware anti join REQUIRES a broadcastable right side (the
