@@ -343,6 +343,46 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15 OFFSET 40
+    """,
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless PAGINATION — ``ORDER BY … LIMIT k OFFSET n`` (page 4 of
+    a price-ranked listing, 15 rows/page).  The ORDER BY ends in the
+    unique o_orderkey tiebreak per the repo rule, so every page is
+    deterministic on both engines — OFFSET over a non-total order is
+    the classic flaky-pagination bug this key pins against.
+
+    Plan note: Spark executes this as a single-partition
+    CollectLimit/GlobalLimit over the sorted stream — it must DISCARD
+    n rows to serve k, so OFFSET cost grows linearly with page depth.
+    That is inherent to offset pagination on any engine (DuckDB scans
+    n+k too); at 100 TB production paginates by KEYSET instead
+    (WHERE (price, key) < last_seen ORDER BY … LIMIT k — the
+    win_topk_per_group / limit_topk plan shape), which this key's
+    docstring exists to contrast."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(15)
+    )
+
+
+@query(
     "sample_deterministic",
     oracle="""
     SELECT l_returnflag,
