@@ -92,7 +92,8 @@ _NEW_THIS_ROUND = frozenset({
     "graph_recursive_cte_native", "udtf_analyze_polymorphic",
     "fn_parameterized_sql", "agg_regr_slope", "source_python_stream",
     "fn_identifier_clause", "sink_managed_table_ctas",
-    "limit_offset_pagination",
+    "limit_offset_pagination", "fn_map_higher_order",
+    "text_bpe_encode_apply",
 })
 
 

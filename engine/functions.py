@@ -948,3 +948,69 @@ def fn_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure": "o_totalprice",
         },
     )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS INTEGER) * 2 AS doubled_qty,
+           CAST(CAST(l_quantity AS INTEGER) % 2 = 1 AS INTEGER)
+             + CAST(l_linenumber % 2 = 1 AS INTEGER)        AS n_odd,
+           CAST(CAST(l_quantity AS INTEGER) + l_linenumber
+                + CAST(FLOOR(l_discount * 100 + 0.5) AS INTEGER)
+                + CAST(FLOOR(l_tax * 100 + 0.5) AS INTEGER)
+                AS BIGINT)                                  AS zip_total,
+           'LINE,QTY'                                       AS keys_upper
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions — the one lambda family fn_array_
+    higher_order doesn't touch: ``transform_values`` (rescale every
+    entry), ``map_filter`` (keep entries by predicate), ``map_zip_with``
+    (align two maps on keys and combine), ``transform_keys`` +
+    ``map_keys`` (key-space rewrite).  Typed feature-bags stored as
+    map<string,int> are the standard shape for sparse per-row metrics;
+    these five are their entire algebra.
+
+    The map columns stay INTERNAL (driver-safe scalar outputs only —
+    no map in the declared schema): each HOF result collapses to a
+    scalar via element_at / size / aggregate.  The oracle never builds
+    a map at all — it recomputes the same scalars straight from the
+    base columns, so the hash match proves the map algebra is
+    semantically transparent.
+
+    Scale design: pure narrow projection — no shuffle, no UDF; the
+    lambdas are interpreted (not codegen'd) but run ~10 evals/row,
+    far under the ~200/row Arrow-kernel threshold (CLAUDE.md).  The
+    residue filter (l_orderkey % 11) bounds verified output at
+    sf0.01 to ~5.5k rows and is pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    qty = F.col("l_quantity").cast("int")
+    disc_i = F.floor(F.col("l_discount") * 100 + 0.5).cast("int")
+    tax_i = F.floor(F.col("l_tax") * 100 + 0.5).cast("int")
+    m1 = F.create_map(F.lit("qty"), qty, F.lit("line"), F.col("l_linenumber"))
+    m2 = F.create_map(F.lit("qty"), disc_i, F.lit("line"), tax_i)
+    doubled = F.element_at(
+        F.transform_values(m1, lambda _k, v: v * 2), F.lit("qty")
+    )
+    n_odd = F.size(F.map_filter(m1, lambda _k, v: v % 2 == 1))
+    zipped = F.map_zip_with(m1, m2, lambda _k, a, b: a + b)
+    zip_total = F.aggregate(
+        F.map_values(zipped), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    keys_upper = F.array_join(
+        F.sort_array(F.map_keys(F.transform_keys(m1, lambda k, _v: F.upper(k)))),
+        ",",
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        doubled.alias("doubled_qty"),
+        n_odd.cast("int").alias("n_odd"),
+        zip_total.alias("zip_total"),
+        keys_upper.alias("keys_upper"),
+    )

@@ -1741,3 +1741,93 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         winnow, "doc_id long, n_prints long, prints_sum long"
     )
+
+
+# Fixed BPE merge table for the APPLY/encode path (text_bpe_encode_apply).
+# Order matters: later merges consume tokens earlier ones produce
+# ("t h" -> "th" before "th e" -> "the").  The token representation is
+# |c| per token ("the" -> "|t||h||e|"): every token carries its OWN
+# begin/end marker, so (a) a merge pattern "|a||b|" can never match a
+# token SUFFIX ("|the|" does not contain "|e|"), and (b) adjacent
+# occurrences survive non-overlapping replace-all ("|t||h||t||h|" ->
+# "|th||th|") because no separator is shared between matches.  Both
+# pitfalls break the naive space-separated encoding.
+_BPE_APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("r", "e"), ("o", "n"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    chain = "s"
+    for a, b in _BPE_APPLY_MERGES:
+        chain = f"replace({chain}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH norm AS (
+        SELECT doc_id,
+               replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                       ' ', '_') AS w
+        FROM documents
+    ), sp AS (
+        SELECT doc_id, w,
+               regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+        FROM norm
+    ), enc AS (
+        SELECT doc_id, w, {chain} AS e FROM sp
+    )
+    SELECT doc_id,
+           CAST(length(w) AS INTEGER)                        AS n_base,
+           CAST((length(e) - length(w)) // 2 AS INTEGER)     AS n_tokens,
+           CAST(length(w) - (length(e) - length(w)) // 2
+                AS INTEGER)                                  AS n_merges,
+           substr(e, 1, 48)                                  AS sample
+    FROM enc
+    """
+
+
+@query("text_bpe_encode_apply", oracle=_bpe_apply_oracle())
+def text_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the missing half of text_bpe_train_merges
+    (which only TRAINS a merge table): encode every document with a
+    fixed ordered merge list and report exact token accounting
+    (n_base chars -> n_tokens after merges; each applied merge removes
+    exactly one token, so n_merges = n_base - n_tokens).
+
+    Encoding is a chain of LITERAL replace-all passes over a
+    marker-delimited token stream ("|t||h||e|"; see _BPE_APPLY_MERGES
+    for why the per-token markers are load-bearing) — one pass per
+    merge, exactly how production BPE encoders batch-apply a merge
+    rank.  Characters are conserved under merges, so
+    replace(e,'|','') == w and token count falls out of pure length
+    arithmetic — no split, no explode.
+
+    Scale design: narrow projection, zero shuffle, zero UDF — every
+    pass is a codegen'd JVM string op, so this encodes 100 TB of text
+    as a single map-only stage; the merge table is a compile-time
+    constant folded into the plan (the trained-table variant would
+    arrive via collect_model_artifact, same as the PQ codebooks).
+    Normalization ([^a-z ] stripped, spaces -> '_') makes the alphabet
+    ASCII-closed on BOTH engines, so char-length == byte-length and
+    the r7 strlen/octet_length trap cannot bite.
+
+    Dialect traps: DuckDB regexp_replace needs the explicit 'g' flag
+    (Spark is global by default) and backrefs are '\\1' vs Spark '$1'.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.translate(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ", "_"
+    )
+    enc = F.regexp_replace(w, "(.)", r"|$1|")
+    for a, b in _BPE_APPLY_MERGES:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    proj = d.select(
+        "doc_id", w.alias("w"), enc.alias("e")
+    )
+    n_tokens = ((F.length("e") - F.length("w")) / 2).cast("int")
+    return proj.select(
+        "doc_id",
+        F.length("w").cast("int").alias("n_base"),
+        n_tokens.alias("n_tokens"),
+        (F.length("w").cast("int") - n_tokens).alias("n_merges"),
+        F.substring("e", 1, 48).alias("sample"),
+    )
