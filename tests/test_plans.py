@@ -986,3 +986,20 @@ def test_recursive_cte_equals_pointer_doubling(spark):
     ra = sorted(tuple(r) for r in a.select(*cols).collect())
     rb = sorted(tuple(r) for r in b.select(*cols).collect())
     assert ra == rb and len(ra) > 0
+
+
+def test_map_higher_order_pure_map_pushed_residue(spark):
+    # Map-HOF algebra is a narrow projection: the %11 residue reaches the
+    # parquet scan and nothing shuffles.
+    plan = _plan(spark, "fn_map_higher_order")
+    assert "Exchange" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "IsNotNull(l_orderkey)" in pushed
+
+
+def test_bpe_encode_pure_map_no_shuffle_no_python(spark):
+    # The merge chain is literal JVM string ops: single map-only stage,
+    # no Exchange, no Python/Arrow eval in the plan.
+    plan = _plan(spark, "text_bpe_encode_apply")
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
