@@ -955,10 +955,10 @@ def fn_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           CAST(l_quantity AS INTEGER) * 2 AS doubled_qty,
-           CAST(CAST(l_quantity AS INTEGER) % 2 = 1 AS INTEGER)
+           CAST(FLOOR(l_quantity) AS INTEGER) * 2 AS doubled_qty,
+           CAST(CAST(FLOOR(l_quantity) AS INTEGER) % 2 = 1 AS INTEGER)
              + CAST(l_linenumber % 2 = 1 AS INTEGER)        AS n_odd,
-           CAST(CAST(l_quantity AS INTEGER) + l_linenumber
+           CAST(CAST(FLOOR(l_quantity) AS INTEGER) + l_linenumber
                 + CAST(FLOOR(l_discount * 100 + 0.5) AS INTEGER)
                 + CAST(FLOOR(l_tax * 100 + 0.5) AS INTEGER)
                 AS BIGINT)                                  AS zip_total,
@@ -989,7 +989,10 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     residue filter (l_orderkey % 11) bounds verified output at
     sf0.01 to ~5.5k rows and is pushed to the parquet scan."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
-    qty = F.col("l_quantity").cast("int")
+    # FLOOR before the int cast: CAST(double AS INT) rounds in DuckDB but
+    # truncates in ANSI Spark — identical today (quantities are integral)
+    # but the corpus regenerates between rounds; floor is floor everywhere.
+    qty = F.floor("l_quantity").cast("int")
     disc_i = F.floor(F.col("l_discount") * 100 + 0.5).cast("int")
     tax_i = F.floor(F.col("l_tax") * 100 + 0.5).cast("int")
     m1 = F.create_map(F.lit("qty"), qty, F.lit("line"), F.col("l_linenumber"))
