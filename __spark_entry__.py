@@ -93,7 +93,7 @@ _NEW_THIS_ROUND = frozenset({
     "fn_parameterized_sql", "agg_regr_slope", "source_python_stream",
     "fn_identifier_clause", "sink_managed_table_ctas",
     "limit_offset_pagination", "fn_map_higher_order",
-    "text_bpe_encode_apply",
+    "text_bpe_encode_apply", "udf_map_in_arrow",
 })
 
 

@@ -1003,3 +1003,13 @@ def test_bpe_encode_pure_map_no_shuffle_no_python(spark):
     plan = _plan(spark, "text_bpe_encode_apply")
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_map_in_arrow_residue_pushed_below_arrow_exchange(spark):
+    # The %3 residue must reach the parquet scan — filtering AFTER the
+    # Python boundary would ship 3x the rows through Arrow.
+    plan = _plan(spark, "udf_map_in_arrow")
+    assert "MapInArrow" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "IsNotNull(o_orderkey)" in pushed
+    assert "Exchange" not in plan
