@@ -1473,7 +1473,7 @@ def agg_apportion_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT l_returnflag AS flag,
                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
-               CAST(l_quantity AS BIGINT) AS w
+               CAST(FLOOR(l_quantity) AS BIGINT) AS w
         FROM lineitem
     ),
     c AS (
@@ -1522,7 +1522,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
-        F.col("l_quantity").cast("long").alias("w"),
+        F.floor("l_quantity").cast("long").alias("w"),
     ).select("flag", "cents", "w", F.expr("cents div 1048576").alias("bkt"))
     pv = (
         v.repartition("flag", "bkt")

@@ -1220,7 +1220,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
          li AS (
              SELECT l_partkey,
-                    CAST(l_quantity AS BIGINT) AS q,
+                    CAST(FLOOR(l_quantity) AS BIGINT) AS q,
                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
              FROM lineitem JOIN p ON l_partkey = p_partkey
          ),
@@ -1263,7 +1263,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
-            F.col("l_quantity").cast("long").alias("q"),
+            F.floor("l_quantity").cast("long").alias("q"),
             _cents(F.col("l_extendedprice")).alias("price_c"),
         )
     )
@@ -1893,7 +1893,7 @@ def tpch_q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFr
     oracle=f"""
     WITH sp AS (
         SELECT l_partkey, l_suppkey,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_name LIKE 'small%'
           AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1938,7 +1938,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qi"))
+        .select("l_partkey", "l_suppkey", F.floor("l_quantity").cast("long").alias("qi"))
     )
     sp = (
         li.repartition("l_partkey")

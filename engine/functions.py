@@ -445,7 +445,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_quantity = 0 THEN NULL
                 ELSE CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
                      AS BIGINT) END AS unit_cents,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+           CAST(FLOOR(l_quantity) AS BIGINT) % 7 AS qty_mod7
     FROM lineitem
     WHERE l_orderkey % 20 = 0
     """,
@@ -470,7 +470,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_per_prior_line_e4"
         ),
         F.floor(unit * 100 + F.lit(0.5)).cast("long").alias("unit_cents"),
-        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        (F.floor("l_quantity").cast("long") % 7).alias("qty_mod7"),
     )
 
 
