@@ -1557,10 +1557,10 @@ def evt_ewma_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bit when the arithmetic is pinned.
 
     Integer-division dialect trap (measured): DuckDB ``//`` TRUNCATES
-    toward zero (-7 // 2 = -3) while Python ``//`` FLOORS (-4) — the
-    two agree only because event values (and hence every EWMA state)
-    are strictly positive here; a signed-value variant must floor
-    explicitly on the oracle side.  user_id modulo filter bounds
+    toward zero (-7 // 2 = -3) while Python ``//`` FLOORS (-4) — so
+    the fold truncates explicitly (sign-split) instead of relying on
+    event values staying positive across corpus rolls.  user_id
+    modulo filter bounds
     verified rows (budget rule; EWMA depends only on the user's own
     stream, so pre-filtering users is semantics-preserving).
 
@@ -1591,7 +1591,15 @@ def evt_ewma_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         state = None
         for c in pdf["c"].astype("int64"):
-            state = int(c) if state is None else (15 * int(c) + 85 * state) // 100
+            if state is None:
+                state = int(c)
+            else:
+                t = 15 * int(c) + 85 * state
+                # truncate toward zero like DuckDB's `//` (Python's //
+                # FLOORS; they differ on negative states — latent while
+                # event values are positive, but the corpus regenerates
+                # between rounds)
+                state = -((-t) // 100) if t < 0 else t // 100
             out.append(state)
         return pd.DataFrame(
             {
