@@ -29,20 +29,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.QUERIES["agg_groupby_pricing"](spark, _SMOKE_SF_DIR)
 
 
-def _driver_verified() -> set[str]:
-    """Keys already settled by a prior driver round: a green
+def _verified_rounds() -> dict[str, int]:
+    """Latest settled driver round per key: a green
     (rows+schema+hash) row in any committed CORRECTNESS_r*.json, or an
     executed rows-only row (``err == "no_oracle"``).  The driver
     evaluates a ~50-key PREFIX of queries() per round (r2 stopped at
     key #50, r3 checked exactly 50), so settled keys re-verify last and
     never-reached or non-green keys (r3: evt_ab_lift hash mismatch, now
-    fixed) get the window first."""
+    fixed) get the window first.  The round number drives
+    oldest-verified-first refresh within the settled tier (r7 VERDICT:
+    with the backlog drained, the window should re-check r2/r3-era
+    verifications against the current corpus before recent ones)."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    done: set[str] = set()
+    done: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -61,8 +67,13 @@ def _driver_verified() -> set[str]:
                 and row.get("spark_rows", -1) >= 0
             )
             if green or rows_only_ran:
-                done.add(key)
+                done[key] = max(rnd, done.get(key, 0))
     return done
+
+
+def _driver_verified() -> set[str]:
+    """Set view of :func:`_verified_rounds` (membership checks)."""
+    return set(_verified_rounds())
 
 
 def _bench_times() -> dict[str, float]:
@@ -86,14 +97,9 @@ def _bench_times() -> dict[str, float]:
 # this round's additions — earlier rounds' still-waiting keys are
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
-_NEW_THIS_ROUND = frozenset({
-    "source_xml_roundtrip", "scan_observe_metrics", "fn_sql_udf",
-    "join_not_in_nulls", "stream_rate_limit",
-    "graph_recursive_cte_native", "udtf_analyze_polymorphic",
-    "fn_parameterized_sql", "agg_regr_slope", "source_python_stream",
-    "fn_identifier_clause", "sink_managed_table_ctas",
-    "limit_offset_pagination", "fn_map_higher_order",
-    "text_bpe_encode_apply", "udf_map_in_arrow",
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    # round-8 additions (r7's 16 keys all got CORRECTNESS_r07 rows and
+    # drained; populated as round-8 keys are registered)
 })
 
 
@@ -109,7 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already-verified key (union of all committed CORRECTNESS_r*.json)
     re-verifies last.
     """
-    verified = _driver_verified()
+    rounds = _verified_rounds()
+    verified = set(rounds)
     cost = _bench_times()
     order = {k: i for i, k in enumerate(engine.QUERIES)}
     unreached = [k for k in engine.QUERIES if k not in verified]
@@ -133,9 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             order[k],
         )
     )
+    # Settled tier: oldest driver verification first (refresh r2/r3-era
+    # hashes against the current corpus), cheapest-first within a round.
     reached = sorted(
         (k for k in engine.QUERIES if k in verified),
-        key=lambda k: (cost.get(k, 1.0), order[k]),
+        key=lambda k: (rounds[k], cost.get(k, 1.0), order[k]),
     )
     return {k: engine.QUERIES[k] for k in (*unreached, *reached)}
 

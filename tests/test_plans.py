@@ -961,10 +961,12 @@ def test_not_in_nulls_plans_null_aware_anti_join(spark):
     # isNullAwareAntiJoin flag) — a plain LeftAnti would return the
     # NULL-key rows and be wrong under three-valued logic.
     plan = _plan(spark, "join_not_in_nulls")
+    import re
+
     naaj = [
         ln for ln in plan.splitlines()
-        if "BroadcastHashJoin" in ln and "LeftAnti" in ln
-        and ln.rstrip().endswith("true")
+        if "BroadcastHashJoin" in ln
+        and re.search(r"LeftAnti, BuildRight, true\b", ln)
     ]
     assert naaj, plan
 
