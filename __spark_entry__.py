@@ -98,8 +98,9 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-8 additions (r7's 16 keys all got CORRECTNESS_r07 rows and
-    # drained; populated as round-8 keys are registered)
+    # round-8 additions (r7's 16 keys all drained to CORRECTNESS_r07)
+    "fn_pipe_syntax", "udtf_table_arg_partitioned",
+    "stream_rocksdb_state", "dedup_substring_sentence",
 })
 
 

@@ -1132,3 +1132,99 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("kept_tokens"),
     )
+
+
+@query(
+    "dedup_substring_sentence",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(' ' || text || ' ', ' the ') AS frags
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_filter(list_transform(frags, x -> trim(x)),
+                           x -> x <> '') AS sents
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(sents, 1) - 1 AS BIGINT)
+                   AS sent_idx,
+               unnest(sents) AS sent
+        FROM s
+    ),
+    r AS (
+        SELECT doc_id, sent,
+               ROW_NUMBER() OVER (PARTITION BY sent
+                                  ORDER BY doc_id, sent_idx) AS rn
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sents,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(sent, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_substring_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level exact substring dedup — the C4 variant of
+    dedup_chunk_exact on NATURAL span boundaries instead of fixed
+    10-token chunks.  The corpus ships punctuation-free token streams,
+    so the sentence delimiter is content-derived: the high-frequency
+    token ``the`` plays the role newline/period plays in C4 (split on
+    ``' the '`` over the space-padded text, trim, drop empties).  The
+    spans are therefore VARIABLE-LENGTH and content-aligned — a
+    duplicated passage keeps its span identity regardless of its token
+    offset, which is exactly what fixed-width chunking loses (a 1-token
+    prefix shift re-keys every downstream chunk; a sentence split is
+    shift-invariant past the first boundary).
+
+    First occurrence survives (min doc_id, then sent_idx — the C4
+    keep-first rule); per doc the retention report: total spans,
+    surviving spans, surviving token mass.
+
+    Dialect notes: both engines scan-split left-to-right non-overlapping
+    on the literal ``' the '``; Spark split keeps trailing empties
+    (limit -1) where Java's drops them, and DuckDB keeps all — the
+    trim+filter normalizes both.  Empty sentence lists yield zero rows
+    on both sides (posexplode of [] ≡ unnest of []), so all-delimiter
+    docs drop from the report identically.
+
+    Scale: splitting is map-side; the only data shuffles are the
+    first-occurrence rank on the sentence string (at 100 TB: shard on
+    xxhash64(sent), bounded per-sentence groups) and the per-doc
+    rollup — the same two-exchange shape as dedup_chunk_exact."""
+    frags = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the "
+        ).alias("frags"),
+    )
+    sents = frags.select(
+        "doc_id",
+        F.filter(
+            F.transform("frags", lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("sents"),
+    )
+    exploded = sents.select(
+        "doc_id", F.posexplode("sents").alias("sent_idx", "sent")
+    )
+    w = Window.partitionBy("sent").orderBy("doc_id", "sent_idx")
+    ranked = exploded.select(
+        "doc_id", "sent", F.row_number().over(w).alias("rn")
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_sents"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1, F.size(F.split(F.col("sent"), " "))
+            ).otherwise(0)
+        ).cast("long").alias("kept_tokens"),
+    )

@@ -907,6 +907,55 @@ def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_disc_cents
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+    """,
+)
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4 ``|>`` operator chains, from the
+    SQL:2023 / GoogleSQL pipe-query proposal): the query is written as
+    a linear dataflow — ``FROM t |> WHERE … |> EXTEND … |> AGGREGATE …
+    GROUP BY … |> WHERE … |> SELECT`` — instead of the inside-out
+    SELECT block.  Each ``|>`` stage consumes the previous stage's
+    relation, so computed columns (``EXTEND``) are referencable by
+    name in later stages without subquery nesting, and a post-
+    aggregation ``WHERE`` is HAVING without the keyword.
+
+    Catalyst parses pipes into the SAME logical plan as the nested
+    form — the oracle is the equivalent un-piped query, and the hash
+    match proves the chain is pure syntax (pushdown, partial
+    aggregation, and codegen all unchanged).  This is the headline
+    Spark 4 SQL surface: the flagship Q1-shape expressed as a
+    pipeline."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(FLOOR(disc_price * 100 + 0.5) AS BIGINT))
+                         AS sum_disc_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 0
+        |> SELECT l_returnflag, l_linestatus, n, sum_disc_cents
+        """
+    )
+
+
+@query(
     "fn_identifier_clause",
     oracle="""
     SELECT o_orderpriority,

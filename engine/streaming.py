@@ -357,6 +357,77 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_rocksdb_state", oracle=None)  # rows-only: streaming mode
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window stateful agg re-run with the ROCKSDB state
+    store (``spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider``) scoped on for the query.
+
+    Why this matters at 100 TB: the default HDFS-backed provider keeps
+    every state-store version ON THE EXECUTOR HEAP — state volume is
+    capped by JVM memory and GC pauses scale with it.  RocksDB spills
+    state to local SSD with a bounded block cache, so watermark-horizon
+    state (sessionization over millions of users, stream-stream join
+    buffers) scales with disk, not heap.  Same query code — the
+    provider is pure configuration, which is exactly what this key
+    proves: the sink must equal the HDFS-provider twin and the batch
+    twin bit-for-bit (tests/test_streaming.py), and the key itself
+    raises unless the run's progress reports RocksDB custom metrics
+    (so a silently-ignored conf cannot pass).
+
+    The provider conf is read at QUERY START (recorded per checkpoint),
+    so the scoped set/restore cannot leak into other keys' running
+    queries; fresh checkpoint per run keeps provider switches legal."""
+    src = _stage_events_dir(spark, sf_dir)
+    agg = (
+        _events_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
+        )
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, rocksdb)
+    try:
+        qname = f"rocksdb_state_{next(_SINK_IDS)}"
+        with _stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        progress = q.lastProgress or {}
+        ops = progress.get("stateOperators") or []
+        metrics = {k for op in ops for k in (op.get("customMetrics") or {})}
+        if not any("rocksdb" in m.lower() for m in metrics):
+            raise RuntimeError(
+                "RocksDB state store provider did not engage — no "
+                f"rocksdb custom metrics in progress: {sorted(metrics)}"
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return spark.table(qname).select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        "n",
+        "sum_value_cents",
+    )
+
+
 @query("stream_sliding_agg", oracle=None)  # rows-only: streaming mode
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evt_sliding_window executed via Structured Streaming: file-source

@@ -360,6 +360,95 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _RunningTotals:
+    """Per-partition stateful UDTF: running count + running cents sum.
+
+    With ``TABLE(v) PARTITION BY user_id ORDER BY event_id`` Spark
+    instantiates a FRESH instance per partition key group and feeds
+    rows in ORDER BY order, so plain instance attributes are correct
+    per-user accumulators — the table-function analogue of a running
+    window.  The single-key guard raises loudly if the partitioning
+    contract were ever violated (two users in one instance would
+    silently merge their running sums)."""
+
+    def __init__(self):
+        self.key = None
+        self.n = 0
+        self.cents = 0
+
+    def eval(self, row):
+        import math
+
+        uid = row["user_id"]
+        if self.key is None:
+            self.key = uid
+        elif self.key != uid:
+            raise RuntimeError(
+                "PARTITION BY contract violated: one UDTF instance saw "
+                f"user_ids {self.key} and {uid}"
+            )
+        self.n += 1
+        # identical IEEE ops to the SQL FLOOR(value*100 + 0.5) on both
+        # engines (CLAUDE.md rounding rule); value ≥ 0 in this corpus
+        # but math.floor == SQL FLOOR for negatives too.
+        self.cents += int(math.floor(row["value"] * 100 + 0.5))
+        yield uid, row["event_id"], self.n, self.cents
+
+
+@query(
+    "udtf_table_arg_partitioned",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)  AS running_n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT)                      AS running_cents
+    FROM events
+    WHERE user_id % 17 = 3
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def udtf_table_arg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE ARGUMENT + ``PARTITION BY … ORDER BY …``
+    (Spark 4) — the half of the UDTF surface ``analyze()`` polymorphism
+    doesn't cover: the function consumes a whole RELATION, Spark
+    hash-partitions it on the PARTITION BY key, sorts each group by the
+    ORDER BY key, and runs one stateful instance per group.  That is
+    exactly the execution shape of applyInPandasWithState / a window
+    function, but exposed to pure-SQL callers as ``FROM f(TABLE(v)
+    PARTITION BY k ORDER BY o)``.
+
+    The kernel keeps running count + running exact-cents sum per user;
+    the oracle is the equivalent ROW_NUMBER/SUM OVER window, so the
+    hash match proves the per-partition instancing AND the intra-group
+    ordering.  The %17 residue bounds output (~620 rows at sf0.01) and
+    is pushed to the scan before the UDTF exchange.
+
+    Scale: one shuffle on the partition key (same as the window twin);
+    state is O(1) per group instance.  Row-at-a-time Python boundary —
+    API-surface key; hot paths use the native window (win_running_sum)."""
+    register_views(spark, sf_dir)
+    spark.udtf.register(
+        "running_totals",
+        udtf(
+            _RunningTotals,
+            returnType=(
+                "user_id bigint, event_id bigint, "
+                "running_n bigint, running_cents bigint"
+            ),
+        ),
+    )
+    return spark.sql(
+        """
+        SELECT * FROM running_totals(
+            TABLE(SELECT user_id, event_id, value
+                  FROM events WHERE user_id % 17 = 3)
+            PARTITION BY user_id ORDER BY event_id
+        )
+        """
+    )
+
+
 @query(
     "udf_map_in_arrow",
     oracle="""

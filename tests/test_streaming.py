@@ -21,6 +21,16 @@ def test_stream_smoke_tumbling_equals_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_rocksdb_state_equals_batch(spark):
+    # Provider swap is pure config: the RocksDB-backed run must equal
+    # the batch twin exactly (the key itself raises if the provider's
+    # custom metrics are missing from the run's progress).
+    stream = engine.QUERIES["stream_rocksdb_state"](spark, SF_DIR)
+    batch = engine.QUERIES["evt_tumbling_window"](spark, SF_DIR)
+    cols = ["hour_start", "event_type", "n", "sum_value_cents"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_stream_session_window_equals_batch(spark):
     # Native session_window: streaming state-merged sessions must equal
     # the batch twin exactly (complete mode + availableNow full drain).
