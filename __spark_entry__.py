@@ -101,6 +101,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-8 additions (r7's 16 keys all drained to CORRECTNESS_r07)
     "fn_pipe_syntax", "udtf_table_arg_partitioned",
     "stream_rocksdb_state", "dedup_substring_sentence",
+    "fn_aes_roundtrip", "fn_lateral_column_alias",
+    "fn_group_order_by_all", "fn_sql_variable", "fn_execute_immediate",
+    "udf_arrow_optimized", "sink_python_datasource",
+    "stream_state_reader",
 })
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.core import query
-from engine.io import load
+from engine.io import load, register_views
 
 
 def _fix4(col: F.Column) -> F.Column:
@@ -278,6 +278,51 @@ def fn_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text                           AS decrypted,
+           CAST(1 AS INTEGER)             AS roundtrip_ok,
+           CAST((strlen(text) // 16 + 1) * 16 AS BIGINT)
+                                          AS ecb_cipher_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``aes_encrypt`` / ``aes_decrypt`` round-trip — column-level
+    encryption for PII-bearing corpus columns (the at-rest protection a
+    training pipeline applies before staging text to shared storage).
+    Mode ECB is chosen deliberately: it is the DETERMINISTIC mode, so
+    the ciphertext length is a pure function of plaintext length
+    (PKCS7 always pads: (n div 16 + 1)·16 bytes, proven by the hash
+    match) and repeated runs produce identical bytes — the property
+    dedup-after-encryption relies on.  Production
+    would use GCM (random IV, AEAD) when determinism isn't required.
+
+    DuckDB has no AES functions, so the oracle asserts the algebraic
+    round-trip identity instead: decrypt(encrypt(x)) = x, flagged by
+    comparing through the full pipeline on the Spark side and returning
+    the decrypted text itself for hashing.  Binary stays OUT of the
+    declared output (driver-safe scalar set): ciphertext is reported
+    only as its byte LENGTH."""
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    enc = F.aes_encrypt(
+        F.col("text").cast("binary"), key.cast("binary"), F.lit("ECB")
+    )
+    dec = F.aes_decrypt(enc, key.cast("binary"), F.lit("ECB")).cast(
+        "string"
+    )
+    return d.select(
+        "doc_id",
+        dec.alias("decrypted"),
+        (dec == F.col("text")).cast("int").alias("roundtrip_ok"),
+        F.length(enc).cast("long").alias("ecb_cipher_bytes"),
     )
 
 
@@ -904,6 +949,183 @@ def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residue": 1,
         },
     )
+
+
+@query(
+    "fn_lateral_column_alias",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               - CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                      AS BIGINT)                              AS net_cents,
+           CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                - CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                       AS BIGINT) > 10000000 AS INTEGER)      AS is_big
+    FROM lineitem
+    WHERE l_orderkey % 9 = 2
+    """,
+)
+def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIAS (Spark 3.4+): a SELECT-list expression can
+    reference an alias defined EARLIER IN THE SAME SELECT — ``cents``
+    feeds ``net_cents`` feeds ``is_big`` without a subquery or CTE per
+    derivation step.  DuckDB supports the same extension, so the oracle
+    is the fully-inlined expansion; the hash match proves the analyzer
+    rewrites aliases into pure expression substitution (one projection
+    node, no extra plan layers — still whole-stage-codegen'd).
+
+    This is the ergonomics surface that keeps derived-metric chains
+    (raw → adjusted → bucketed) readable in warehouse SQL; at 100 TB it
+    matters that the rewrite is zero-cost, which the identical plan
+    shape guarantees."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lca_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               cents - CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                            AS BIGINT)                    AS net_cents,
+               CAST(net_cents > 10000000 AS INT)          AS is_big
+        FROM lca_lineitem
+        WHERE l_orderkey % 9 = 2
+        """
+    )
+
+
+@query(
+    "fn_group_order_by_all",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 25.0
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def fn_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+/4): the analyzer
+    infers the grouping set as every non-aggregate SELECT item and the
+    total order as the full column list — the DuckDB-originated
+    ergonomic that removes the classic copy-the-select-list-into-
+    group-by bug (add a column, forget the GROUP BY edit, get a
+    silent analysis error or — worse — a changed grain).  Both engines
+    implement the same inference, so the oracle uses the identical
+    syntax; the hash match pins that the inferred grain is
+    (l_returnflag, l_linestatus) on both.
+
+    ORDER BY ALL additionally yields a deterministic total order
+    without naming keys — handy for stable diffable outputs (the
+    engine's own unique-order rule, applied by inference)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+        FROM gba_lineitem
+        WHERE l_quantity > 25.0
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "fn_sql_variable",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_totalprice < 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_sql_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VAR``): typed, session-scoped named values referenced directly in
+    queries — the pure-SQL analogue of parameterized SQL for scripted
+    warehouse workflows (a driver sets the watermark date once; every
+    statement in the session reads it).  Variables resolve to literals
+    at analysis time, so pushdown/folding are unaffected — proven by
+    the hash match against the inlined oracle.
+
+    DECLARE OR REPLACE keeps the key idempotent across invocations in
+    one session."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE cutoff_date TIMESTAMP"
+        " DEFAULT TIMESTAMP '1996-07-01'"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_cap DOUBLE DEFAULT 150000.0"
+    )
+    spark.sql("SET VAR cutoff_date = TIMESTAMP '1996-07-01'")
+    spark.sql("SET VAR price_cap = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS sum_cents
+        FROM var_orders
+        WHERE o_orderdate >= cutoff_date
+          AND o_totalprice < price_cap
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "fn_execute_immediate",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_acctbal_cents
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 0.0
+    GROUP BY n_name
+    """,
+)
+def fn_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4): run a SQL string held in a
+    session variable, with ``USING`` parameter binding — dynamic SQL
+    for scripted workflows (the statement text itself is data: built by
+    a config table, a migration script, an orchestration layer).
+    Parameters bind as typed literals exactly like spark.sql(args=...),
+    so the planned query is identical to the static form — the inlined
+    oracle hash-proves it.
+
+    Combined with fn_sql_variable / fn_identifier_clause this closes
+    the Spark 4 scripting triad: values, identifiers, and whole
+    statements as data — injection-safe in all three positions."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE stmt STRING DEFAULT ''"
+    )
+    spark.sql(
+        """SET VAR stmt =
+        'SELECT n_name,
+                COUNT(*) AS n_suppliers,
+                SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+                    AS sum_acctbal_cents
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_acctbal > ?
+         GROUP BY n_name'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 0.0")
 
 
 @query(

@@ -705,6 +705,114 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource WRITE path — the other half of
+    source_python_datasource: a custom ``DataSourceWriter`` receives
+    each partition's row iterator on an executor, writes a JSONL shard
+    named by its partition id, and returns a commit message; the
+    driver-side ``commit()`` sees every message (the two-phase-commit
+    hook where a production sink would publish a manifest / flip a
+    transaction marker).  A malformed write here would either lose rows
+    or break the JSON — the read-back aggregate hash-matching the
+    ORIGINAL parquet proves the sink faithful end-to-end.
+
+    Scale design: one shard per partition, no driver funnel — writes
+    scale with executors exactly like the built-in file sinks; the
+    commit protocol is the same task-attempt/commit-message shape
+    FileFormatWriter uses, so speculative/retried tasks overwrite their
+    own deterministic shard name idempotently."""
+    import json as _json
+    import shutil as _shutil
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _ShardDone(WriterCommitMessage):
+        def __init__(self, pid: int, n: int):
+            self.pid = pid
+            self.n = n
+
+    class _JsonlDirSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_dir_sink"
+
+        def writer(self, schema, overwrite):  # noqa: ANN001 — API sig
+            return _JsonlDirWriter(self.options["path"])
+
+    class _JsonlDirWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, rows):  # noqa: ANN001 — API signature
+            pid = TaskContext.get().partitionId()
+            n = 0
+            out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            with open(out, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r.asDict()) + "\n")
+                    n += 1
+            return _ShardDone(pid, n)
+
+        def commit(self, messages):  # noqa: ANN001 — API signature
+            total = sum(m.n for m in messages)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(total))
+
+        def abort(self, messages):  # noqa: ANN001 — API signature
+            pass
+
+    configure(spark)
+    marker = "spark.graft.pyds_sink_registered"
+    if spark.conf.get(marker, None) != "true":
+        spark.dataSource.register(_JsonlDirSink)
+        spark.conf.set(marker, "true")
+
+    dst = _scratch_dir("pyds_sink")
+    if os.path.exists(dst):
+        _shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+
+    sample = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    sample.write.format("jsonl_dir_sink").option("path", dst).mode(
+        "append"
+    ).save()
+
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, price_cents long"
+    ).json(os.path.join(dst, "part-*.jsonl"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+@query(
     "source_csv_malformed_permissive",
     oracle="""
     WITH rows AS (

@@ -428,6 +428,78 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_state_reader",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE DATA SOURCE (Spark 4 ``format("statestore")``): read the
+    checkpointed state of a streaming query back as a batch DataFrame —
+    the ops surface for state inspection, debugging, and offline
+    state migration/backfill that a production streaming deployment
+    needs (is a key skewed? what does user X's state hold? seed a new
+    query's state from the old checkpoint).
+
+    The stateful query is a per-user running counter
+    (applyInPandasWithState, user-declared state schema ``n long``) run
+    to completion with an explicit checkpointLocation; the state source
+    then reads that checkpoint's LATEST committed snapshot:
+    key struct → user_id, value struct → n.  Because the drain
+    processed every event exactly once, the final state must equal the
+    batch groupBy count — a full DuckDB HASH verification of a
+    streaming checkpoint's contents (rare for stream keys, possible
+    here precisely because the state schema is user-declared).
+
+    Scale: the state source reads state-store shards in parallel
+    (one task per store partition) straight from the checkpoint —
+    no replay of the source stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = _scratch("state_reader_ckpt")
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = (
+        _events_stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            counted.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # applyInPandasWithState nests the user-declared state struct under
+    # value.groupState (measured: value: struct<groupState: struct<n>>)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").cast("long").alias("n_events"),
+    )
+
+
 @query("stream_sliding_agg", oracle=None)  # rows-only: streaming mode
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evt_sliding_window executed via Structured Streaming: file-source

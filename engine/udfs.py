@@ -49,6 +49,48 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT c_custkey,
+           upper(split_part(c_name, '#', 2)) AS tag,
+           CAST(strlen(c_name) AS BIGINT)    AS name_bytes
+    FROM customer
+    WHERE c_custkey % 2 = 1
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED Python UDF (``@udf(..., useArrow=True)``, Spark
+    3.5+/4): the scalar-UDF signature of udf_python_scalar — the
+    function still receives one Python value per call — but rows cross
+    the boundary in Arrow record batches instead of one pickled row per
+    call, cutting (de)serialization ~2× without rewriting the kernel as
+    pandas.  This is the migration path for existing row-UDF code:
+    flip the flag, keep the function.
+
+    The plan shows ``ArrowEvalPython`` (vs udf_python_scalar's
+    ``BatchEvalPython``) — pinned in tests/test_plans.py.  Kernel:
+    extract-after-# + upper + byte length (pure ASCII corpus names, so
+    DuckDB strlen == Python len; the r7 octet_length trap documented in
+    engine/functions.py).  The %2 residue bounds rows and pushes to the
+    scan below the Python stage."""
+
+    @udf("string", useArrow=True)
+    def tag_of(name: str) -> str:
+        return name.split("#", 1)[1].upper() if "#" in name else ""
+
+    @udf("long", useArrow=True)
+    def byte_len(name: str) -> int:
+        return len(name.encode("utf-8"))
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 1)
+    return c.select(
+        "c_custkey",
+        tag_of("c_name").alias("tag"),
+        byte_len("c_name").alias("name_bytes"),
+    )
+
+
+@query(
     "udf_pandas_scalar",
     oracle="""
     SELECT event_id,

@@ -436,6 +436,16 @@ def test_url_domain_mix_single_shuffle_window_over_aggregate(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_udf_arrow_optimized_plans_arrow_eval(spark):
+    # useArrow=True must plan ArrowEvalPython (batched), never the
+    # pickled row-at-a-time BatchEvalPython, and the residue filter
+    # stays below the Python stage (pushed to the scan).
+    plan = _plan(spark, "udf_arrow_optimized")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters:" in plan
+
+
 def test_pack_firstfit_single_group_shuffle(spark):
     # FFD packing rides one groupBy(source) shuffle into applyInPandas;
     # the Python stage must be FlatMapGroupsInPandas (Arrow), nothing
