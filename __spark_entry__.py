@@ -104,7 +104,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "fn_aes_roundtrip", "fn_lateral_column_alias",
     "fn_group_order_by_all", "fn_sql_variable", "fn_execute_immediate",
     "udf_arrow_optimized", "sink_python_datasource",
-    "stream_state_reader",
+    "stream_state_reader", "mm_phash_bits", "mm_modality_dispatch",
+    "pipeline_tokenize_pack_shard",
 })
 
 

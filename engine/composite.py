@@ -1963,3 +1963,105 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "acctbal_cents")
         .orderBy(F.asc("s_name"))
     )
+
+
+@query(
+    "pipeline_tokenize_pack_shard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(list_sum(list_transform(
+                   regexp_extract_all(lower(text),
+                                      '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+                   x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS start_off
+        FROM t
+    ),
+    chunks AS (
+        SELECT source,
+               start_off // 512 AS chunk_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS chunk_tokens
+        FROM offs GROUP BY source, chunk_id
+    )
+    SELECT CAST((chunk_id * 31 + length(source) * 7
+                 + ord(substring(source, 1, 1))) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT)          AS n_chunks,
+           CAST(SUM(n_docs) AS BIGINT)       AS n_docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk_tokens
+    FROM chunks GROUP BY shard
+    """,
+)
+def pipeline_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dataloader prep: TOKENIZE (BPE-cost estimate, the
+    text_token_bpe_count regex+ceil(len/4) model) → PACK (concatenate
+    per source in doc_id order, cut 512-token contexts — the
+    pack_concat_chunks discipline) → SHARD (assign each chunk to one of
+    8 output shards by a pure hash of its identity, then report the
+    per-shard manifest: chunk/doc/token counts and the largest chunk).
+    This is the whole offline path from raw text to "which shard file
+    does the trainer open", as one lineage — the composite the brief's
+    training-data mandate asks for.
+
+    The shard hash here is a documented toy (chunk_id·31 + source-name
+    arithmetic mod 8) so the oracle can mirror it exactly; production
+    swaps in xxhash64(source, chunk_id) — same single-expression shape,
+    same balance argument (any uniform hash of the chunk identity
+    decorrelates shard from source/position, so shards stay balanced
+    within √-noise regardless of source skew).
+
+    Scale: one window cumsum (partitioned by source — at 100 TB the
+    stratum is (source, date-shard)), one chunk agg that REUSES the
+    window's hash partitioning on source (subset rule: groupBy(source,
+    chunk_id) under a source partitioning adds no exchange), then an
+    8-group rollup.  No joins, nothing driver-side."""
+    from engine.text import _tokens  # noqa: F401  (family dependency)
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    chunks = (
+        offs.withColumn(
+            "chunk_id", (F.col("start_off") / 512).cast("long")
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+        )
+    )
+    shard = (
+        F.col("chunk_id") * 31
+        + F.length("source") * 7
+        + F.ascii(F.substring("source", 1, 1))
+    ) % 8
+    return chunks.groupBy(shard.cast("long").alias("shard")).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("sum_tokens"),
+        F.max("chunk_tokens").cast("long").alias("max_chunk_tokens"),
+    )

@@ -344,3 +344,178 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, src_h long, thumb_h long, "
         "thumb_checksum long, thumb_first long",
     )
+
+
+@query(
+    "mm_phash_bits",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text
+        FROM documents WHERE length(text) >= 256
+    ),
+    cells AS (
+        SELECT m.media_id,
+               CAST(bi.i * 8 + bj.j AS BIGINT) AS k,
+               (  ord(substring(m.text, CAST((2*bi.i)   * 16 + 2*bj.j   + 1 AS INTEGER), 1))
+                + ord(substring(m.text, CAST((2*bi.i)   * 16 + 2*bj.j+1 + 1 AS INTEGER), 1))
+                + ord(substring(m.text, CAST((2*bi.i+1) * 16 + 2*bj.j   + 1 AS INTEGER), 1))
+                + ord(substring(m.text, CAST((2*bi.i+1) * 16 + 2*bj.j+1 + 1 AS INTEGER), 1))
+               ) // 4 AS pooled
+        FROM media m,
+             UNNEST(range(0, 8)) AS bi(i),
+             UNNEST(range(0, 8)) AS bj(j)
+    ),
+    thresh AS (
+        SELECT media_id, SUM(pooled) // 64 AS mean_pooled
+        FROM cells GROUP BY media_id
+    )
+    SELECT c.media_id,
+           CAST(SUM(CASE WHEN c.k < 32 AND c.pooled > t.mean_pooled
+                         THEN CAST(2 AS BIGINT) ** CAST(c.k AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sig_lo,
+           CAST(SUM(CASE WHEN c.k >= 32 AND c.pooled > t.mean_pooled
+                         THEN CAST(2 AS BIGINT) ** CAST(c.k - 32 AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sig_hi,
+           CAST(SUM(CASE WHEN c.pooled > t.mean_pooled THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_set_bits
+    FROM cells c JOIN thresh t USING (media_id)
+    GROUP BY c.media_id
+    """,
+)
+def mm_phash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH signature over binary payloads — the pHash
+    shape (downsample → per-cell vs global mean → 64-bit signature)
+    with the DCT stage stubbed out by the deterministic raster model
+    (no image libs in this container; a real deployment swaps the
+    numpy pooling for cv2/DCT in the SAME Arrow kernel).  Each payload
+    with ≥256 bytes becomes a 16×16 crop, 2×2-average-pooled to 8×8;
+    bit k is set iff cell k exceeds the integer mean of all 64 cells.
+    The signature travels as TWO bigints (lo/hi 32 bits) — packing all
+    64 bits into one signed long would overflow at bit 63 under ANSI
+    mode, and split halves stay in the driver-safe scalar set.
+
+    Near-dup image search then reduces to Hamming distance on the two
+    halves (bit_count(sig^other) ≤ τ) with LSH banding over signature
+    bytes — the same banded architecture as dedup_minhash_near, so the
+    100 TB path is bucket-join, never all-pairs.
+
+    Scale: one map-side Arrow batch per partition, zero shuffles; the
+    whole-batch numpy reshape does 64 integer ops per payload."""
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "sig_lo": [], "sig_hi": [],
+                   "n_set_bits": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b) < 256:
+                    continue
+                grid = b[:256].reshape(16, 16)
+                blocks = grid.reshape(8, 2, 8, 2)
+                pooled = blocks.astype(np.int64).sum(axis=(1, 3)) // 4
+                mean = int(pooled.sum()) // 64
+                bits = (pooled.ravel() > mean)
+                lo = sum(1 << k for k in range(32) if bits[k])
+                hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
+                out["media_id"].append(int(mid))
+                out["sig_lo"].append(lo)
+                out["sig_hi"].append(hi)
+                out["n_set_bits"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    m = _media(spark, sf_dir).filter(F.length("payload") >= 256).select(
+        "media_id", "payload"
+    )
+    return m.mapInPandas(
+        phash,
+        "media_id long, sig_lo long, sig_hi long, n_set_bits long",
+    )
+
+
+@query(
+    "mm_modality_dispatch",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+                   AS media_type,
+               text,
+               length(text) AS n_bytes
+        FROM documents
+    ),
+    bytes AS (
+        SELECT m.media_id, m.media_type, m.n_bytes,
+               CAST(u.i AS BIGINT) AS pos,
+               ord(substring(m.text, CAST(u.i + 1 AS INTEGER), 1)) AS bv
+        FROM media m, UNNEST(range(0, m.n_bytes)) AS u(i)
+    )
+    SELECT media_id,
+           media_type,
+           CAST(CASE media_type
+                WHEN 'image' THEN SUM(bv)
+                WHEN 'audio' THEN SUM(bv * bv) // COUNT(*)
+                ELSE SUM(CASE WHEN pos % 16 = 0 THEN bv ELSE 0 END)
+                END AS BIGINT) AS metric_a,
+           CAST(CASE media_type
+                WHEN 'image' THEN MAX(bv)
+                WHEN 'audio' THEN MAX(bv * bv)
+                ELSE COUNT(*) // 16
+                END AS BIGINT) AS metric_b
+    FROM bytes
+    GROUP BY media_id, media_type
+    """,
+)
+def mm_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODALITY DISPATCH — one Arrow kernel routing each payload to a
+    per-modality feature extractor, the shape of a real multimodal
+    ingest job (one scan, one Python stage, per-type codecs inside):
+    image → (byte sum, max byte) [stand-in for pixel stats],
+    audio → (mean square amplitude, peak square) [PCM energy model],
+    video → (sum of per-frame first bytes, full-frame count) over
+    16-byte frames [keyframe probe model].  The dispatch happens
+    INSIDE the batch loop — no per-type filter+union re-scan of the
+    table, which at 100 TB would triple the read.
+
+    All formulas are exact integers, so the DuckDB twin reproduces
+    them from per-byte ord() expansion; integer division: both `//`
+    operands are non-negative here, so trunc == floor on both engines.
+
+    Scale: map-side only, zero shuffles; numpy does whole-payload
+    vector ops per row, per-batch memory bounded by Arrow batch
+    size."""
+    import numpy as np
+
+    def dispatch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "media_type": [], "metric_a": [],
+                   "metric_b": []}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                if len(b) == 0:
+                    continue
+                if mtype == "image":
+                    a, m2 = int(b.sum()), int(b.max())
+                elif mtype == "audio":
+                    sq = b * b
+                    a, m2 = int(sq.sum()) // len(b), int(sq.max())
+                else:  # video
+                    a = int(b[::16].sum())
+                    m2 = len(b) // 16
+                out["media_id"].append(int(mid))
+                out["media_type"].append(mtype)
+                out["metric_a"].append(a)
+                out["metric_b"].append(m2)
+            yield pd.DataFrame(out)
+
+    m = _media(spark, sf_dir).filter(F.length("payload") > 0)
+    return m.mapInPandas(
+        dispatch,
+        "media_id long, media_type string, metric_a long, metric_b long",
+    )

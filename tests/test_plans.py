@@ -436,6 +436,16 @@ def test_url_domain_mix_single_shuffle_window_over_aggregate(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_tokenize_pack_shard_subset_partitioning(spark):
+    # window partitionBy(source) → groupBy(source, chunk_id) rides the
+    # same exchange (subset rule); only the 8-group shard rollup adds
+    # a second.  No joins, nothing Python.
+    plan = _plan(spark, "pipeline_tokenize_pack_shard")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_udf_arrow_optimized_plans_arrow_eval(spark):
     # useArrow=True must plan ArrowEvalPython (batched), never the
     # pickled row-at-a-time BatchEvalPython, and the residue filter
