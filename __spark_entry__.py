@@ -105,7 +105,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "fn_group_order_by_all", "fn_sql_variable", "fn_execute_immediate",
     "udf_arrow_optimized", "sink_python_datasource",
     "stream_state_reader", "mm_phash_bits", "mm_modality_dispatch",
-    "pipeline_tokenize_pack_shard",
+    "pipeline_tokenize_pack_shard", "stream_join_state_reader",
 })
 
 

@@ -731,14 +731,18 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with executors exactly like the built-in file sinks; the
     commit protocol is the same task-attempt/commit-message shape
     FileFormatWriter uses, so speculative/retried tasks overwrite their
-    own deterministic shard name idempotently."""
+    own deterministic shard name idempotently.  The writer subclasses
+    ``DataSourceArrowWriter`` — batches arrive as Arrow RecordBatches,
+    not per-pickled Rows (measured 15 s → ~1 s for 21k rows at sf0.1:
+    the row-object protocol pays per-row conversion; Arrow pays
+    per-batch)."""
     import json as _json
     import shutil as _shutil
 
     from pyspark import TaskContext
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceWriter,
+        DataSourceArrowWriter,
         WriterCommitMessage,
     )
 
@@ -755,18 +759,19 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def writer(self, schema, overwrite):  # noqa: ANN001 — API sig
             return _JsonlDirWriter(self.options["path"])
 
-    class _JsonlDirWriter(DataSourceWriter):
+    class _JsonlDirWriter(DataSourceArrowWriter):
         def __init__(self, path: str):
             self.path = path
 
-        def write(self, rows):  # noqa: ANN001 — API signature
+        def write(self, batches):  # noqa: ANN001 — API signature
             pid = TaskContext.get().partitionId()
             n = 0
             out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
             with open(out, "w") as f:
-                for r in rows:
-                    f.write(_json.dumps(r.asDict()) + "\n")
-                    n += 1
+                for batch in batches:
+                    for rec in batch.to_pylist():
+                        f.write(_json.dumps(rec) + "\n")
+                        n += 1
             return _ShardDone(pid, n)
 
         def commit(self, messages):  # noqa: ANN001 — API signature

@@ -500,6 +500,89 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_join_state_reader",
+    oracle="""
+    SELECT 'left' AS side,
+           user_id,
+           event_id,
+           CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'right' AS side,
+           user_id,
+           event_id,
+           CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State source over a STREAM-STREAM JOIN checkpoint (``option(
+    "joinSide", "left"/"right")``) — inspecting the join's buffered
+    rows, the state that actually dominates streaming memory in
+    production.  The join here deliberately has NO watermark: Spark
+    permits an unwatermarked inner stream-stream join but must then
+    buffer EVERY row of both sides forever — so after the availableNow
+    drain, each side's state is exactly its full input, and the DuckDB
+    oracle hash-verifies the buffer contents row-for-row (click rows
+    left, view rows right).
+
+    That unbounded buffer is precisely the anti-pattern the
+    watermarked twins (stream_stream_join / _left_outer) exist to
+    avoid at 100 TB — this key makes the cost VISIBLE: the state
+    reader is the tool that tells an operator "your join is buffering
+    the whole stream", before the executor OOMs.  Same reader +
+    RocksDB provider (stream_rocksdb_state) is the remediation pair.
+
+    Scale: state shards read in parallel from the checkpoint; no
+    source replay."""
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = _scratch("join_state_reader_ckpt")
+    clicks = _events_stream(spark, src).filter(
+        "event_type = 'click'"
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = _events_stream(spark, src).filter(
+        "event_type = 'view'"
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = clicks.join(views, F.col("c_user") == F.col("v_user"), "inner")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def side(name: str, user: str, eid: str, ts: str) -> DataFrame:
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", name)
+            .load(ckpt)
+        )
+        return st.select(
+            F.lit(name).alias("side"),
+            F.col(f"value.{user}").alias("user_id"),
+            F.col(f"value.{eid}").alias("event_id"),
+            F.floor(F.unix_micros(F.col(f"value.{ts}")) / 1_000_000.0)
+            .cast("long")
+            .alias("ts_s"),
+        )
+
+    return side("left", "c_user", "click_id", "c_ts").unionAll(
+        side("right", "v_user", "view_id", "v_ts")
+    )
+
+
 @query("stream_sliding_agg", oracle=None)  # rows-only: streaming mode
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evt_sliding_window executed via Structured Streaming: file-source
