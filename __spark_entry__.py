@@ -62,9 +62,14 @@ def _verified_rounds() -> dict[str, int]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
+            # Rows-only evidence settles a key only while the key is
+            # STILL declared rows-only: once an oracle is added (the
+            # round-8 streaming upgrades), the stronger claim is
+            # driver-unverified and the key rejoins the backlog.
             rows_only_ran = (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows", -1) >= 0
+                and key in engine.ROWS_ONLY
             )
             if green or rows_only_ran:
                 done[key] = max(rnd, done.get(key, 0))

@@ -1,11 +1,15 @@
 """Structured Streaming operators (SURVEY.md §2.10, ``stream_*`` keys).
 
-All four keys replay the events parquet through ``readStream`` with an
+All keys replay the events parquet through ``readStream`` with an
 ``availableNow`` trigger and return the materialized sink as a batch
-DataFrame.  No DuckDB oracle can model a stream → all keys are
-rows-only; the real correctness gate is tests/test_streaming.py, which
-asserts each stream result equals (or is the watermark-consistent subset
-of) its batch twin from engine.events.
+DataFrame.  Keys whose drained result is DETERMINISTIC regardless of
+microbatch split (complete-mode aggs, exhaustive dedup, final state)
+carry full DuckDB oracles — the streaming path is hash-verified.  Keys
+whose output depends on the watermark/batch phasing (append-mode late
+drops, stream-stream joins under eviction, rate/offset mechanics) stay
+rows-only; their gate is tests/test_streaming.py, which asserts each
+result equals (or is the watermark-consistent subset of) its batch twin
+from engine.events.
 
 100 TB notes: the same code runs against a continuous file/Kafka source
 by swapping the trigger; state stores (window aggs, dedup state) live on
@@ -135,12 +139,27 @@ def _run_to_memory(agg: DataFrame, mode: str, name: str) -> str:
     return qname
 
 
-@query("stream_smoke_tumbling", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_smoke_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_smoke_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evt_tumbling_window executed via Structured Streaming: file-source
     replay → windowed agg → complete-mode memory sink.  After the
     availableNow drain the sink must equal the batch twin exactly
-    (asserted in tests/test_streaming.py)."""
+    (asserted in tests/test_streaming.py) — and because a complete-mode
+    drain of a bounded replay is DETERMINISTIC regardless of microbatch
+    split, the key carries a full DuckDB oracle (upgraded from
+    rows-only, round 8): the streaming path itself is hash-verified,
+    not merely row-counted."""
     src = _stage_events_dir(spark, sf_dir)
     agg = (
         _events_stream(spark, src)
@@ -158,7 +177,34 @@ def stream_smoke_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session_window", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id % 2 = 0
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) + 1800000000 AS BIGINT) AS window_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native ``session_window`` as a STATEFUL streaming agg:
     file-source replay → per-user session windows (30-min gap) →
@@ -239,7 +285,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dedup_state", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_dedup_state",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+    FROM events
+    """,
+)
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the source directory holds every event
     TWICE (two parquet copies); ``dropDuplicates`` on event_id with a
@@ -266,7 +319,17 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreach_batch_sink", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → foreachBatch → parquet sink: the escape hatch for sinks
     without native streaming writers (JDBC upserts, multi-table fanout).
@@ -300,7 +363,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stateful_counter", oracle=None)  # rows-only: streaming state
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event counts that survive across microbatches (the replay is
@@ -357,7 +428,18 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_rocksdb_state", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_rocksdb_state",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window stateful agg re-run with the ROCKSDB state
     store (``spark.sql.streaming.stateStore.providerClass =
@@ -583,7 +665,17 @@ def stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sliding_agg", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT (epoch_us(e.ts) // 900000000 - s.k) * 900 AS win_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events e, (SELECT unnest(range(0, 4)) AS k) s
+    GROUP BY 1
+    """,
+)
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evt_sliding_window executed via Structured Streaming: file-source
     replay → overlapping 1-hour/15-minute windows → complete-mode memory
@@ -762,7 +854,17 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
-@query("stream_static_enrich", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join — the enrichment pattern every event pipeline
     runs: the unbounded stream joins a bounded dimension (here events ⋈
