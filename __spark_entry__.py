@@ -111,6 +111,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "udf_arrow_optimized", "sink_python_datasource",
     "stream_state_reader", "mm_phash_bits", "mm_modality_dispatch",
     "pipeline_tokenize_pack_shard", "stream_join_state_reader",
+    "evt_rfm_segmentation", "agg_benford_firstdigit",
+    "pack_attention_contamination",
 })
 
 

@@ -1640,3 +1640,66 @@ def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "n", "sx", "sy", "sxy", "sxx",
         F.floor(slope * 1000000 + F.lit(0.5)).cast("long").alias("slope_e6"),
     )
+
+
+@query(
+    "agg_benford_firstdigit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1.0
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM digits)
+    SELECT d.digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / t.n_total * 10000 + 0.5)
+               / 10000 AS observed_pct,
+           FLOOR(log10(1.0 + 1.0 / d.digit) * 10000 + 0.5) / 10000
+               AS benford_pct
+    FROM digits d CROSS JOIN tot t
+    GROUP BY d.digit, t.n_total
+    """,
+)
+def agg_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the forensic data-quality
+    check (fraud screens, synthetic-data detection, ETL sanity) that
+    compares the observed leading-digit distribution of a positive
+    measure against log10(1 + 1/d).  Output: per digit, count,
+    observed share, and the Benford expectation — an analyst eyeballs
+    (or chi-squares) the gap.
+
+    Determinism: the leading digit comes from exact integer string
+    conversion (FLOOR → BIGINT → VARCHAR → first char), never from
+    log-based digit math which could misplace values on power-of-ten
+    boundaries; both shares are floor-pinned to 4 decimals (the log10
+    constants land nowhere near a 1e-4 tie boundary — verified for
+    d=1..9).
+
+    Scale: one map-side-combinable 9-group aggregate over a pure
+    per-row projection; the total arrives via a broadcast single-row
+    cross join, not a second scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count("*").cast("long").alias("n_total"))
+    fix4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n_total")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            fix4(F.col("n").cast("double") / F.col("n_total")).alias(
+                "observed_pct"
+            ),
+            fix4(F.log10(1.0 + 1.0 / F.col("digit"))).alias("benford_pct"),
+        )
+    )

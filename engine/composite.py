@@ -2065,3 +2065,95 @@ def pipeline_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_tokens").cast("long").alias("sum_tokens"),
         F.max("chunk_tokens").cast("long").alias("max_chunk_tokens"),
     )
+
+
+@query(
+    "pack_attention_contamination",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS start_off
+        FROM t
+    )
+    SELECT source,
+           CAST(start_off // 512 AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(n_tok * n_tok) AS BIGINT) AS self_pairs,
+           CAST(SUM(n_tok) * SUM(n_tok) AS BIGINT) AS total_pairs,
+           FLOOR((1.0 - CAST(SUM(n_tok * n_tok) AS DOUBLE)
+                        / (CAST(SUM(n_tok) AS DOUBLE)
+                           * CAST(SUM(n_tok) AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS cross_frac
+    FROM offs
+    GROUP BY source, chunk_id
+    """,
+)
+def pack_attention_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTENTION-CONTAMINATION audit of the packing layout — the metric
+    that tells a pretraining run how much of each packed context's
+    attention mass crosses document boundaries (tokens attending to
+    unrelated neighbor docs).  Per (source, chunk) under the
+    pack_concat_chunks layout: token mass, same-doc attention pairs
+    Σtᵢ², all pairs (Σtᵢ)², and the cross-document fraction
+    1 − Σtᵢ²/(Σtᵢ)² — the number that motivates boundary-respecting
+    packing / attention-mask resets (pack_length_buckets vs concat
+    trade-off, quantified).
+
+    Exact integer pair counts (tᵢ ≤ corpus doc length, Σtᵢ² ≪ 2⁶³ —
+    ANSI-safe) with only the final fraction floor-pinned.
+
+    Scale: identical shape to pack_concat_chunks — window cumsum per
+    source, chunk agg on the same exchange (subset rule), no joins."""
+    from engine.text import _tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    fix4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    g = (
+        offs.withColumn(
+            "chunk_id", (F.col("start_off") / 512).cast("long")
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+            F.sum(F.col("n_tok") * F.col("n_tok")).cast("long").alias(
+                "self_pairs"
+            ),
+        )
+    )
+    total_sq = (F.col("chunk_tokens") * F.col("chunk_tokens")).cast("long")
+    return g.select(
+        "source",
+        "chunk_id",
+        "n_docs",
+        "chunk_tokens",
+        "self_pairs",
+        total_sq.alias("total_pairs"),
+        fix4(
+            1.0
+            - F.col("self_pairs").cast("double")
+            / (
+                F.col("chunk_tokens").cast("double")
+                * F.col("chunk_tokens").cast("double")
+            )
+        ).alias("cross_frac"),
+    )

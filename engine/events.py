@@ -1904,3 +1904,76 @@ def evt_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(z * 1000000 + F.lit(0.5)).cast("long").alias("z_e6"),
         (F.abs(z) > 3.0).cast("int").alias("srm_alarm"),
     )
+
+
+@query(
+    "evt_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '2001-12-31') AS BIGINT) AS r_days,
+               CAST(COUNT(*) AS BIGINT)                     AS f_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)                              AS m_cents
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, r_days, f_orders, m_cents,
+           CAST(NTILE(5) OVER (ORDER BY r_days ASC,  o_custkey) AS BIGINT)
+               AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY f_orders DESC, o_custkey) AS BIGINT)
+               AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey) AS BIGINT)
+               AS m_score
+    FROM rfm
+    """,
+)
+def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value triage (recency /
+    frequency / monetary) every commerce warehouse derives: per
+    customer, days since last order (vs a fixed reference date so the
+    result is corpus-stable), order count, lifetime cents; each metric
+    quintile-scored with NTILE(5) (score 1 = best: most recent, most
+    frequent, highest spend).  Every NTILE order ends in the unique
+    custkey (the engine's determinism rule — ntile over a non-unique
+    order is layout-dependent).
+
+    Scale: one groupBy(custkey) shuffle builds the RFM base; the three
+    ntile windows share ONE global-sort partition each over the
+    customer-cardinality frame (1/1000th of orders) — at 100 TB you'd
+    replace exact ntile with percentile-bucket joins from
+    approx-quantile cutpoints (agg_approx_quantile family) to avoid the
+    single-partition sort; the exact form here is the oracle-provable
+    contract."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-12-31").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("r_days"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("f_orders"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("m_cents"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("m_score"),
+    )
