@@ -154,6 +154,11 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # largest-remainder ranking over the SOURCE ROLLUP — one row
         # per source, bounded by the domain
         ("aggregates.py", "agg_apportion_slots"),
+        # NTILE(5) over the per-CUSTOMER rollup (1/1000th of orders);
+        # exact quintiles are the oracle-provable contract — the
+        # docstring documents the approx-cutpoint join that replaces
+        # the global sort at 100 TB
+        ("events.py", "evt_rfm_segmentation"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
