@@ -113,6 +113,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "pipeline_tokenize_pack_shard", "stream_join_state_reader",
     "evt_rfm_segmentation", "agg_benford_firstdigit",
     "pack_attention_contamination",
+    "agg_chi_square_independence", "agg_welch_ttest",
+    "agg_ols_two_feature", "agg_bitwise_reduce",
 })
 
 

@@ -1703,3 +1703,323 @@ def agg_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix4(F.log10(1.0 + 1.0 / F.col("digit"))).alias("benford_pct"),
         )
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ),
+    rowt AS (SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS row_n
+             FROM cells GROUP BY c_mktsegment),
+    colt AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS col_n
+             FROM cells GROUP BY o_orderpriority),
+    gt AS (SELECT CAST(SUM(n) AS BIGINT) AS grand_n FROM cells)
+    SELECT cells.c_mktsegment, cells.o_orderpriority, cells.n,
+           FLOOR((CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(grand_n AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS expected,
+           FLOOR(((CAST(n AS DOUBLE)
+                   - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                     / CAST(grand_n AS DOUBLE))
+                  * (CAST(n AS DOUBLE)
+                     - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                       / CAST(grand_n AS DOUBLE))
+                  / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                     / CAST(grand_n AS DOUBLE))) * 1000000 + 0.5) / 1000000
+               AS chi2_term
+    FROM cells
+    JOIN rowt USING (c_mktsegment)
+    JOIN colt USING (o_orderpriority)
+    CROSS JOIN gt
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE test of independence — the categorical-association
+    screen (segment × priority here) behind every "is this dimension
+    informative?" audit.  Emits the full contingency diagnostics: per
+    cell, observed count, expected count under independence
+    (row·col/grand), and the chi² contribution ((O−E)²/E); the analyst
+    sums `chi2_term` against a χ² table with (R−1)(C−1) dof.
+
+    Determinism: observed counts are exact BIGINTs; `expected` and
+    `chi2_term` are single double expression trees written identically
+    in both engines (IEEE multiply/divide are correctly rounded),
+    floor-pinned to 4/6 decimals per the no-ROUND rule.
+
+    Scale: the customer join broadcasts nothing here (both sides big)
+    but shuffles once on the join key; the contingency table itself is
+    bounded by the category-domain product (5×5), so the margin
+    re-aggregations and joins below operate on ≤25 rows — broadcast
+    joins over a persisted diamond (the re-derivation rule: `cells`
+    feeds four consumers)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    rowt = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("row_n"))
+    colt = cells.groupBy("o_orderpriority").agg(F.sum("n").alias("col_n"))
+    gt = cells.agg(F.sum("n").alias("grand_n"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    dev = F.col("n").cast("double") - exp
+    return (
+        cells.join(F.broadcast(rowt), "c_mktsegment")
+        .join(F.broadcast(colt), "o_orderpriority")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n",
+            (F.floor(exp * 10000 + F.lit(0.5)) / 10000).alias("expected"),
+            (F.floor((dev * dev / exp) * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)    AS n2,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                    FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS s1,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                    FILTER (o_orderpriority = '5-LOW') AS BIGINT)    AS s2,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                        * CAST(FLOOR(o_totalprice) AS BIGINT))
+                    FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS q1,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                        * CAST(FLOOR(o_totalprice) AS BIGINT))
+                    FILTER (o_orderpriority = '5-LOW') AS BIGINT)    AS q2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    )
+    SELECT n1, n2, s1, s2, q1, q2,
+           FLOOR(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                         / (n1 - 1) / n1
+                         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                           / (n2 - 1) / n2)) * 1000000 + 0.5) / 1000000
+               AS t_stat,
+           FLOOR((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                   / (n1 - 1) / n1
+                   + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                     / (n2 - 1) / n2)
+                  * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     / (n1 - 1) / n1
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                       / (n2 - 1) / n2)
+                  / ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     / (n1 - 1) / n1
+                     * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                        / (n1 - 1) / n1) / (n1 - 1)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                       / (n2 - 1) / n2
+                       * ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                          / (n2 - 1) / n2) / (n2 - 1))) * 10000 + 0.5) / 10000
+               AS welch_dof
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-TEST (unequal-variance two-sample mean comparison) —
+    the default A/B significance test — between URGENT and LOW
+    priority order values, computed from a SINGLE conditional-
+    aggregate scan (no self-join, no two passes): exact integer
+    (whole-dollar) count/sum/sum-of-squares per arm cross the shuffle
+    as six combinable BIGINTs, then one driver-free projection
+    assembles t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) and the Welch–Satterthwaite
+    dof — both as IDENTICAL double expression trees in Spark and the
+    oracle (floor-pinned e6/e4).
+
+    Bit-width proof (ANSI throws on overflow): dollars ≤ 5e5 →
+    square ≤ 2.5e11; Σ over ~3e5 rows/arm at sf100 ≈ 7.5e16 < 2^63 —
+    safe through sf100; beyond that, center on an approximate mean
+    first (documented scale path).
+
+    Scale: one map-side-combinable global aggregate; output is one
+    row."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    d = F.floor(F.col("o_totalprice")).cast("long")
+    arm1 = F.col("o_orderpriority") == "1-URGENT"
+    arm2 = F.col("o_orderpriority") == "5-LOW"
+    m = o.select(d.alias("d"), arm1.alias("a1"), arm2.alias("a2")).agg(
+        F.count(F.when(F.col("a1"), 1)).alias("n1"),
+        F.count(F.when(F.col("a2"), 1)).alias("n2"),
+        F.sum(F.when(F.col("a1"), F.col("d"))).alias("s1"),
+        F.sum(F.when(F.col("a2"), F.col("d"))).alias("s2"),
+        F.sum(F.when(F.col("a1"), F.col("d") * F.col("d"))).alias("q1"),
+        F.sum(F.when(F.col("a2"), F.col("d") * F.col("d"))).alias("q2"),
+    )
+    # per-arm mean-standard-error components, written ONCE and reused so
+    # the Spark expression tree matches the oracle text token-for-token
+    se1 = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    se2 = (
+        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    t = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    ) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return m.select(
+        "n1", "n2", "s1", "s2", "q1", "q2",
+        (F.floor(t * 1000000 + F.lit(0.5)) / 1000000).alias("t_stat"),
+        (F.floor(dof * 10000 + F.lit(0.5)) / 10000).alias("welch_dof"),
+    )
+
+
+@query(
+    "agg_ols_two_feature",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT)      AS sx1,
+               CAST(SUM(x2) AS BIGINT)      AS sx2,
+               CAST(SUM(y) AS BIGINT)       AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT)  AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT)  AS s2y
+        FROM (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)      AS x1,
+                   CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)    AS x2,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx1, sx2, sy,
+           FLOOR((((CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n)
+                   * (CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n)
+                   - (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)
+                     * (CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n))
+                  / ((CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n)
+                     * (CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n)
+                     - (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)
+                       * (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)))
+                 * 1000000 + 0.5) / 1000000 AS b_qty_e6,
+           FLOOR((((CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n)
+                   * (CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n)
+                   - (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)
+                     * (CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n))
+                  / ((CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n)
+                     * (CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n)
+                     - (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)
+                       * (CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)))
+                 * 1000000 + 0.5) / 1000000 AS b_disc_e6
+    FROM m
+    """,
+)
+def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE OLS via the 2×2 NORMAL EQUATIONS — per return
+    flag, regress extended price (cents) on quantity (cents) and
+    discount (basis points) jointly, the "does discount explain price
+    after controlling for quantity" question `agg_regr_slope`'s single
+    feature can't answer.  Nine exact integer moments (n, Σx₁, Σx₂,
+    Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y) are the complete combinable
+    sufficient statistic crossing the shuffle; centered second moments
+    and Cramer's-rule coefficients assemble in ONE double expression
+    tree written identically in the oracle (cross-products like Σx₁²
+    are centered in DOUBLE because (Σx₁)² overflows BIGINT — scalar
+    post-aggregation math, fully deterministic).
+
+    Bit-width proof: x₁ ≤ 5.1e3, x₂ ≤ 1e3, y ≤ 1.05e7 → x₁y ≤ 5.4e10,
+    ≤ 2e6 rows/flag at sf1 keeps every Σ < 1.1e17 < 2^63 (safe ≤ sf50;
+    beyond, pre-center on approximate means — documented scale path).
+
+    Scale: one map-side-combinable groupBy; |flags| rows out; the same
+    nine-moment pattern extends to k features as k(k+3)/2+1 sums."""
+    li = load(spark, sf_dir, "lineitem")
+    x1 = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    x2 = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        li.select(
+            "l_returnflag", x1.alias("x1"), x2.alias("x2"), y.alias("y")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+    )
+    nd = F.col("n")
+    c11 = F.col("s11").cast("double") - F.col("sx1").cast("double") * F.col("sx1") / nd
+    c22 = F.col("s22").cast("double") - F.col("sx2").cast("double") * F.col("sx2") / nd
+    c12 = F.col("s12").cast("double") - F.col("sx1").cast("double") * F.col("sx2") / nd
+    c1y = F.col("s1y").cast("double") - F.col("sx1").cast("double") * F.col("sy") / nd
+    c2y = F.col("s2y").cast("double") - F.col("sx2").cast("double") * F.col("sy") / nd
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    fix6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return m.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        fix6(b1).alias("b_qty_e6"),
+        fix6(b2).alias("b_disc_e6"),
+    )
+
+
+@query(
+    "agg_bitwise_reduce",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n,
+           CAST(BIT_AND(event_id) AS BIGINT) AS band,
+           CAST(BIT_OR(event_id) AS BIGINT)  AS bor,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS bxor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE aggregate reduction (BIT_AND / BIT_OR / BIT_XOR) — the
+    flag-mask rollups behind permission-intersection, capability-union
+    and parity-checksum audits.  All three are commutative/associative,
+    so Spark plans them as partial+final hash aggregates (map-side
+    combine) exactly like SUM; XOR additionally gives an
+    order-independent set checksum (a⊕a=0 — the classic "find the
+    unpaired id" trick).
+
+    Scale: one combinable shuffle, |event_type| rows out, constant
+    state per group — the cheapest aggregate family there is."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+    )
