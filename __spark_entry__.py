@@ -115,6 +115,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "pack_attention_contamination",
     "agg_chi_square_independence", "agg_welch_ttest",
     "agg_ols_two_feature", "agg_bitwise_reduce",
+    "win_sliding_median_exact", "evt_autocorr_daily", "evt_diff_in_diff",
 })
 
 

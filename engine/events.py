@@ -1977,3 +1977,160 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+@query(
+    "evt_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    pairs AS (
+        SELECT event_type, cnt AS x,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS y
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(x) AS BIGINT)        AS sx,
+               CAST(SUM(y) AS BIGINT)        AS sy,
+               CAST(SUM(x * y) AS BIGINT)    AS sxy,
+               CAST(SUM(x * x) AS BIGINT)    AS sxx,
+               CAST(SUM(y * y) AS BIGINT)    AS syy
+        FROM pairs WHERE y IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx, syy,
+           FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+                 * 1000000 + 0.5) / 1000000 AS acf1_e6
+    FROM m
+    """,
+)
+def evt_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of the daily event-count series per event
+    type — the first diagnostic of every time-series workflow (is
+    today's traffic predicted by yesterday's, or is the series white
+    noise?).  Three stages: (1) the corpus-scale work, one combinable
+    groupBy to the per-(type, day) rollup; (2) LAG over the BOUNDED
+    rollup (|types|·|days| rows — the window is partitioned by type,
+    no global sort); (3) Pearson r between the series and its shift
+    from six exact integer moments, assembled in one identical double
+    expression floor-pinned e6.
+
+    Uses the paired-observation ACF convention (moments of the n−1
+    overlapping (x_t, x_{t−1}) pairs), not the population-mean
+    variant — stated so the number is interpretable.
+
+    Scale: stage-1 output is DOMAIN-sized (days × types), so stages
+    2-3 cost nothing at any sf; the exact integer counts keep every
+    moment < 2^63 through sf1e4 (counts ≤ 4e8/day·type → Σx² ≤
+    1.6e17·days ... safe; beyond, center on the series mean)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.lag("cnt").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
+        (F.floor((num / den) * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("acf1_e6"),
+    )
+
+
+@query(
+    "evt_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(COUNT(*) FILTER (user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS n_tp,
+               CAST(COUNT(*) FILTER (user_id % 2 = 0 AND ts <  TIMESTAMP '2024-01-16') AS BIGINT) AS n_tb,
+               CAST(COUNT(*) FILTER (user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS n_cp,
+               CAST(COUNT(*) FILTER (user_id % 2 = 1 AND ts <  TIMESTAMP '2024-01-16') AS BIGINT) AS n_cb,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS s_tp,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (user_id % 2 = 0 AND ts <  TIMESTAMP '2024-01-16') AS BIGINT) AS s_tb,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS s_cp,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (user_id % 2 = 1 AND ts <  TIMESTAMP '2024-01-16') AS BIGINT) AS s_cb
+        FROM events
+    )
+    SELECT n_tp, n_tb, n_cp, n_cb, s_tp, s_tb, s_cp, s_cb,
+           FLOOR((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tb AS DOUBLE) / n_tb
+                  - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_cb AS DOUBLE) / n_cb))
+                 * 10000 + 0.5) / 10000 AS did_cents_e4
+    FROM cells
+    """,
+)
+def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimator for
+    a staggered rollout: (treated post − treated pre) − (control post
+    − control pre) of mean event value, which nets out both the
+    group's level difference and the secular time trend.  Treatment
+    assignment is the deterministic user-id parity split (the same
+    hash-split family as `split_train_holdout`); the policy cutoff is
+    mid-corpus so both periods are populated.
+
+    The whole 2×2 design computes in ONE conditional-aggregate scan —
+    eight exact integer cells (count + cents-sum per quadrant) cross
+    the shuffle as combinable BIGINTs, then the estimate assembles in
+    a single identical double expression (floor-pinned e4 cents).  No
+    self-join, no four passes.
+
+    Scale: map-side combine to 8 numbers — the cheapest possible
+    plan; the same shape extends to per-cohort DiD by adding the
+    cohort key to a groupBy."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    treat = F.col("user_id") % 2 == 0
+    post = F.col("ts") >= cut
+    base = ev.select(
+        cents.alias("cents"), treat.alias("t"), post.alias("p")
+    )
+    quad = {
+        "tp": F.col("t") & F.col("p"),
+        "tb": F.col("t") & ~F.col("p"),
+        "cp": ~F.col("t") & F.col("p"),
+        "cb": ~F.col("t") & ~F.col("p"),
+    }
+    cells = base.agg(
+        *[F.count(F.when(c, 1)).alias(f"n_{k}") for k, c in quad.items()],
+        *[F.sum(F.when(c, F.col("cents"))).alias(f"s_{k}")
+          for k, c in quad.items()],
+    )
+    mean = lambda k: F.col(f"s_{k}").cast("double") / F.col(f"n_{k}")  # noqa: E731
+    did = mean("tp") - mean("tb") - (mean("cp") - mean("cb"))
+    return cells.select(
+        "n_tp", "n_tb", "n_cp", "n_cb", "s_tp", "s_tb", "s_cp", "s_cb",
+        (F.floor(did * 10000 + F.lit(0.5)) / 10000).alias("did_cents_e4"),
+    )

@@ -693,3 +693,65 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         F.sum("cents").over(w2).alias("run_cents"),
     )
+
+
+@query(
+    "win_sliding_median_exact",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT user_id, ts, event_id, cents,
+               list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        FROM cents
+    )
+    SELECT user_id, ts, event_id, cents,
+           CAST(len(win) AS BIGINT) AS win_n,
+           CAST(win[CAST((len(win) + 1) // 2 AS BIGINT)] AS BIGINT)
+               AS med_cents
+    FROM med
+    WHERE user_id % 7 = 0
+    """,
+)
+def win_sliding_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SLIDING MEDIAN over a 5-row trailing frame — the robust
+    smoother (spike rejection) that a moving AVERAGE key can't give
+    you, and a shape Spark has no builtin window function for: median
+    isn't an algebraic aggregate, so the frame is materialized with
+    `collect_list` over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW,
+    sorted, and indexed at the LOWER-median position ⌈n/2⌉ (1-based) —
+    integer-exact, no two-value averaging, tie-safe by construction.
+    The oracle mirrors with DuckDB's `list(...) OVER frame` +
+    `list_sort`.
+
+    The constant frame width bounds per-row state at 5 elements, so the
+    sort is O(1) per row and the whole operator is one shuffle on
+    user_id + a per-partition sort — the same cost as any lag/lead.
+    The residue filter sits POST-window (driver output bound) — every
+    row still sees its true 5-row history.
+
+    Scale: frame width is constant → no quadratic blowup; for wide
+    frames (say 10k rows) the scale path is the two-heap / order-
+    statistic-tree `applyInPandas` kernel, documented not built."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents(F.col("value")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    win = F.sort_array(F.collect_list("cents").over(w))
+    out = ev.select(
+        "user_id", "ts", "event_id", "cents",
+        F.size(win).cast("long").alias("win_n"),
+        F.element_at(
+            win, F.floor((F.size(win) + 1) / 2).cast("int")
+        ).alias("med_cents"),
+    )
+    return out.filter(F.col("user_id") % 7 == 0)
