@@ -116,6 +116,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "agg_chi_square_independence", "agg_welch_ttest",
     "agg_ols_two_feature", "agg_bitwise_reduce",
     "win_sliding_median_exact", "evt_autocorr_daily", "evt_diff_in_diff",
+    "source_binaryfile_scan", "join_strategy_hints",
+    "stream_dropdup_within_watermark",
 })
 
 

@@ -1321,3 +1321,70 @@ def sink_managed_table_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("sum_price_cents"),
         )
     )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS md5_hex
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` SOURCE — Spark's whole-file reader (path,
+    modificationTime, length, content) that every unstructured-media
+    lake ingest starts from: one row per file, the payload as a
+    `binary` column, `pathGlobFilter` pruning non-matching files at
+    LISTING time (no read amplification).  The staged corpus is one
+    `.bin` file per sampled document (UTF-8 text bytes; built once via
+    the staging-marker contract, pyarrow driver-side — bounded by the
+    residue sample, never a Spark collect); a decoy `.tmp` file proves
+    the glob filter excludes it.  doc_id is recovered from the file
+    NAME, and content integrity is proven end-to-end: Spark's
+    md5(content) over raw bytes hash-matches DuckDB's md5(text) over
+    the same UTF-8 string.
+
+    Scale: binaryFile parallelizes one file per task slice and caps
+    single-file size at spark.sql.sources.binaryFile.maxLength (2 GiB);
+    the small-file storm this staging creates is exactly what
+    `sink_compact_small_files` exists to fix — at 100 TB you'd read
+    media payloads from consolidated parquet/sequence containers, with
+    binaryFile reserved for ingest.
+
+    Dialect trap (r7): byte length of a VARCHAR in DuckDB is
+    `strlen` — `length` counts CHARACTERS and `octet_length` only
+    accepts BLOBs."""
+    from engine.core import staged_build_once
+
+    def build(dst: str) -> None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            if doc_id % 10 == 0:
+                with open(os.path.join(dst, f"doc_{doc_id}.bin"), "wb") as f:
+                    f.write(text.encode("utf-8"))
+        with open(os.path.join(dst, "decoy.tmp"), "wb") as f:
+            f.write(b"not a document")
+
+    src = staged_build_once("spark_graft_io", "binaryfiles", sf_dir, build)
+    configure(spark)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(src)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.md5(F.col("content")).alias("md5_hex"),
+    )

@@ -1546,3 +1546,46 @@ def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN STRATEGY HINTS — the physical-plan steering wheel
+    (`SHUFFLE_HASH` here; its siblings BROADCAST / MERGE /
+    SHUFFLE_REPLICATE_NL share the same API).  A strategy hint
+    overrides BOTH the optimizer's size-threshold broadcast choice and
+    the sort-merge default: at this corpus size Spark would broadcast
+    `customer` on its own, but the hinted plan builds a shuffled hash
+    table instead — the right call when the "small" side exceeds the
+    driver/executor broadcast budget yet one side still fits a
+    per-partition hash map, because it skips BOTH sides' sorts that
+    sort-merge would pay.  tests/test_plans.py pins `ShuffledHashJoin`
+    in this plan AND result-equality against the `MERGE`-hinted twin —
+    hints must never change semantics, only strategy.
+
+    Scale: hints are per-query physical overrides, exactly what you
+    reach for at 100 TB when AQE's estimates misfire (e.g. a filtered
+    dimension the stats call big but runtime proves small, or a known
+    skew the broadcast budget can't absorb)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_price_cents"),
+        )
+    )

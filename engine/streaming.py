@@ -1256,3 +1256,76 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("batch_id").alias("n_batches"),
         )
     )
+
+
+@query(
+    "stream_dropdup_within_watermark",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) + 1
+                + (SELECT COUNT(DISTINCT event_id) FROM events
+                   WHERE ts < TIMESTAMP '2024-01-02') AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) + 1 AS BIGINT) AS n_distinct_ids,
+           (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events
+            WHERE ts < TIMESTAMP '2024-01-02') AS n_reemitted
+    FROM events
+    """,
+)
+def stream_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the BOUNDED-STATE dedup
+    (Spark 3.5+) whose contract differs from plain `dropDuplicates`
+    in exactly one way, and this key makes that difference VISIBLE
+    DATA: a key may legitimately re-emit once the watermark passes its
+    first sighting's event time + delay, because its state entry has
+    been evicted.  That eviction is the feature — per-key state no
+    longer grows with the keyspace forever (the unbounded-state
+    anti-pattern `stream_join_state_reader` exposes), it is bounded by
+    the keys seen per watermark horizon.
+
+    Three deterministically ordered microbatches (monotone file
+    mtimes, maxFilesPerTrigger=1): batch 1 replays the corpus TWICE in
+    one file — every in-horizon duplicate is dropped, distinct ids
+    emit exactly once; batch 2 is a single synthetic watermark-ADVANCER
+    row (eviction runs at batch COMMIT, so a same-batch lookup still
+    sees expired entries — measured here: without this batch the
+    shifted replay emitted 0); batch 3 replays the day-1 subset
+    shifted +40 days — every matching state entry was evicted at a
+    prior commit, so each RE-EMITS.  Emitted total = distinct + 1 +
+    |day-1 subset|, a closed form the DuckDB oracle states from the
+    batch table alone — a full hash verification of eviction
+    semantics.
+
+    Scale: state is (key → expiry) pairs evicted by the watermark —
+    the production dedup for at-least-once sources where `distinct`
+    over all history is impossible."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+
+    def build(src: str) -> None:
+        stamped: set[str] = set()
+        ev.unionAll(ev).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 0, stamped)
+        spark.range(1).select(
+            F.lit(100000000).cast("long").alias("event_id"),
+            F.lit("2024-02-01").cast("timestamp").alias("ts"),
+            F.lit("advancer").alias("event_type"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 1, stamped)
+        ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp")).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            "event_type",
+        ).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 2, stamped)
+
+    src = _staged_src("dropdup_within_wm", sf_dir, build)
+    deduped = (
+        _events_stream(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    qname = _run_to_memory(deduped, "append", "dropdup_within_wm")
+    agg = spark.table(qname).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_reemitted"),
+    )
+    return agg

@@ -1040,3 +1040,33 @@ def test_map_in_arrow_residue_pushed_below_arrow_exchange(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "IsNotNull(o_orderkey)" in pushed
     assert "Exchange" not in plan
+
+def test_join_strategy_hints_forces_shuffled_hash(spark):
+    # The SHUFFLE_HASH hint must override the auto-broadcast choice
+    # (customer is far under the broadcast threshold at sf0.01) ...
+    plan = _plan(spark, "join_strategy_hints")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # ... and a strategy hint may steer the physical operator only —
+    # the MERGE-hinted twin must return identical results.
+    from engine.io import load
+
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer").hint("MERGE")
+    import pyspark.sql.functions as F
+
+    twin = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_price_cents"),
+        )
+    )
+    assert "SortMergeJoin" in twin._jdf.queryExecution().executedPlan().toString()
+    hinted = sorted(
+        tuple(r) for r in engine.QUERIES["join_strategy_hints"](spark, SF_DIR).collect()
+    )
+    assert hinted == sorted(tuple(r) for r in twin.collect())
