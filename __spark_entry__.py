@@ -118,6 +118,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "win_sliding_median_exact", "evt_autocorr_daily", "evt_diff_in_diff",
     "source_binaryfile_scan", "join_strategy_hints",
     "stream_dropdup_within_watermark",
+    "fn_xpath_extract", "fn_values_inline_join", "fn_interval_arith",
 })
 
 

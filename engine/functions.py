@@ -1288,3 +1288,155 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         zip_total.alias("zip_total"),
         keys_upper.alias("keys_upper"),
     )
+
+
+@query(
+    "fn_xpath_extract",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio_x,
+           o_orderkey      AS key_x,
+           CAST(2 AS BIGINT) AS n_children
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPATH scalar extraction (`xpath_string` / `xpath_long` /
+    `xpath(...)` node-set counting) — Spark's built-in XML query
+    family for the per-row XML payloads (legacy SOAP bodies, config
+    blobs) that predate the full XML *source*
+    (`source_xml_roundtrip`).  The document is synthesized row-side
+    from base columns, round-tripped through the XPath engine, and the
+    oracle simply restates the base columns — a hash-proof that
+    extraction inverts construction exactly (same discipline as
+    `fn_aes_roundtrip`).
+
+    DuckDB has no XPath family at all (dialect gap, hence the
+    identity-form oracle); `xpath()` itself returns array<string>, so
+    the declared output carries its SIZE (driver-safe scalar), not the
+    array.
+
+    Scale: pure per-row JVM projection — codegen'd, no shuffle; the
+    residue filter sits below the xpath calls and reaches the parquet
+    scan (xpath cost is paid on 1/20th of rows)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_string(xml, F.lit("/o/p")).alias("prio_x"),
+        F.xpath_long(xml, F.lit("/o/k")).alias("key_x"),
+        F.size(F.xpath(xml, F.lit("/o/*"))).cast("long").alias("n_children"),
+    )
+
+
+@query(
+    "fn_values_inline_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           v.sla_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * v.sla_days AS BIGINT) AS order_sla_days
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', CAST(1 AS BIGINT)),
+                 ('2-HIGH', CAST(3 AS BIGINT)),
+                 ('3-MEDIUM', CAST(7 AS BIGINT)),
+                 ('4-NOT SPECIFIED', CAST(14 AS BIGINT)),
+                 ('5-LOW', CAST(30 AS BIGINT)))
+         AS v(o_orderpriority, sla_days)
+      USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, v.sla_days
+    """,
+)
+def fn_values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE `VALUES` TABLE join — the literal lookup table (SLA days
+    per priority here) that analysts embed directly in SQL instead of
+    staging a five-row dimension file; identical `VALUES … AS v(cols)`
+    syntax on both engines.  The engine side goes through `spark.sql`
+    deliberately: the VALUES clause is the surface under test.
+
+    Plan note: a LocalRelation of literals is below every broadcast
+    threshold, so the join plans as a BroadcastHashJoin with zero scan
+    or shuffle for the lookup side — the degenerate-but-common case of
+    the broadcast-dim rule, and the right shape at any corpus scale.
+
+    Scale: the fact side aggregates map-side-combinably on the join
+    key; the VALUES side is O(domain) driver literals — never make
+    this pattern carry more than a few thousand rows (stage a real
+    table instead)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               v.sla_days,
+               COUNT(*) AS n_orders,
+               COUNT(*) * v.sla_days AS order_sla_days
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', CAST(1 AS BIGINT)),
+                     ('2-HIGH', CAST(3 AS BIGINT)),
+                     ('3-MEDIUM', CAST(7 AS BIGINT)),
+                     ('4-NOT SPECIFIED', CAST(14 AS BIGINT)),
+                     ('5-LOW', CAST(30 AS BIGINT)))
+             AS v(o_orderpriority, sla_days)
+          USING (o_orderpriority)
+        GROUP BY o.o_orderpriority, v.sla_days
+        """
+    )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)  AS due_3mo,
+           CAST(o_orderdate + INTERVAL 45 DAY AS DATE)   AS due_45d,
+           o_orderdate + INTERVAL 90 MINUTE              AS ts_90min,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE))
+                AS BIGINT) AS span_days
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL ARITHMETIC — both interval classes in one key:
+    year-month (`+ INTERVAL 3 MONTH`, which must CLAMP to month ends:
+    Jan 31 + 1 month = Feb 29/28, a calendar rule both engines share
+    but naive day-math breaks) and day-time (`+ INTERVAL 45 DAY`,
+    `+ INTERVAL 90 MINUTE` — fixed physical durations), plus the
+    day-span measurement back between the shifted and base dates.
+
+    Dialect notes: Spark needs the quoted-literal form
+    (`INTERVAL '3' MONTH`) in SQL but the F.expr forms below; DuckDB
+    takes bare `INTERVAL 3 MONTH`.  date_diff arg order is the r5 trap
+    (DuckDB: (part, start, end)); timestamps stay TIMESTAMP on both
+    sides, month-shift results are cast to DATE (the date_trunc
+    return-type trap class).
+
+    Scale: pure per-row codegen'd projection under a pushed residue
+    filter — no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL '3' MONTH"))
+        .cast("date")
+        .alias("due_3mo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '45' DAY"))
+        .cast("date")
+        .alias("due_45d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '90' MINUTE")).alias(
+            "ts_90min"
+        ),
+        F.datediff(
+            (F.col("o_orderdate") + F.expr("INTERVAL '3' MONTH")).cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("span_days"),
+    )
