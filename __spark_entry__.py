@@ -119,6 +119,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "source_binaryfile_scan", "join_strategy_hints",
     "stream_dropdup_within_watermark",
     "fn_xpath_extract", "fn_values_inline_join", "fn_interval_arith",
+    "udf_pandas_scalar_iter", "win_interval_merge", "graph_bfs_min_hops",
 })
 
 

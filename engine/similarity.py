@@ -1539,3 +1539,90 @@ def graph_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE node < 5
         """
     )
+
+
+@query(
+    "graph_bfs_min_hops",
+    oracle="""
+    WITH RECURSIVE fp AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_partkey % 4 = 0
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM fp a JOIN fp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    bfs(node, hop) AS (
+        SELECT (SELECT MIN(src) FROM e), 0
+        UNION ALL
+        SELECT e.dst, bfs.hop + 1
+        FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(hop) AS BIGINT) AS hop
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREADTH-FIRST SEARCH minimum hop distance on a CYCLIC graph —
+    the general-graph traversal the forest-shaped
+    `graph_reachability_roots` / `graph_recursive_cte_native` pair
+    can't express (their pointer-jumping assumes one parent per node).
+    Graph: co-purchase edges between residue-sampled parts sharing an
+    order (undirected by construction — both directions emitted);
+    source = the minimum part key; 3 BFS rounds label every node with
+    its first-reached depth.
+
+    The Spark loop is FRONTIER-DEDUPLICATED (each round: frontier ⨝
+    edges → DISTINCT next frontier), so per-round work is bounded by
+    |V|·avg-degree regardless of path multiplicity; the DuckDB twin is
+    the recursive-CTE PATH ENUMERATION with the same hop cap, and
+    GROUP BY MIN(hop) collapses both to the identical labeling — the
+    hash match proves frontier-BFS ≡ path-semantics BFS.  Revisited
+    nodes (cycles!) are handled by the final min-hop rollup, not by
+    mutable visited-set state.
+
+    Scale: k rounds = k join+distinct shuffles over frontier-sized
+    frames (edges persisted once, reused every round — the diamond
+    rule); path enumeration in the oracle is exponential in k and
+    exists only as the sf0.01 proof.  For unbounded-depth reachability
+    the star-contraction CC key is the O(log d) answer."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    frontier = edges.agg(F.min("src").alias("node"))
+    visited = [frontier.select("node", F.lit(0).cast("long").alias("hop"))]
+    for h in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .persist()
+        )
+        visited.append(
+            frontier.select("node", F.lit(h).cast("long").alias("hop"))
+        )
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionAll(v)
+    return out.groupBy("node").agg(F.min("hop").alias("hop"))

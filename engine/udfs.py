@@ -554,3 +554,61 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="o_orderkey long, price_cents long, price_band long, is_high int",
     )
+
+
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    WITH br AS (
+        SELECT CASE WHEN cents >= 50000 THEN 3
+                    WHEN cents >= 20000 THEN 2
+                    WHEN cents >= 5000  THEN 1
+                    ELSE 0 END AS bracket,
+               cents
+        FROM (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+    )
+    SELECT CAST(bracket AS BIGINT) AS bracket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM br GROUP BY bracket
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (`Iterator[pd.Series] →
+    Iterator[pd.Series]`, SCALAR_ITER eval type) — the third Python
+    scalar boundary next to row-UDF and Series→Series, and the one
+    that matters operationally: per-worker INITIALIZATION (model
+    weights, codebooks, tokenizers) runs ONCE before the batch loop
+    instead of per batch, then amortizes across every Arrow batch the
+    task streams.  Here the "model" is a cutpoint table built before
+    the loop; each batch is bucketed vectorized (`np.searchsorted`,
+    side='right' ⇔ the oracle's >= CASE ladder on ascending cuts).
+
+    Exact-integer kernel (cents in, bracket ordinal out) — no float
+    drift can cross the Arrow boundary; the verified output is the
+    bounded per-bracket rollup, proving the classification row-for-row
+    through count AND sum.
+
+    Scale: same Arrow batch transport as any pandas UDF; the iterator
+    form is strictly better whenever setup cost exists — at 100 TB a
+    per-batch 100 ms model load across 10⁶ batches is 28 wasted
+    core-hours, the iterator form pays it once per task."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def bracketize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cuts = np.array([5000, 20000, 50000], dtype=np.int64)  # setup once
+        for cents in batches:
+            yield pd.Series(
+                np.searchsorted(cuts, cents.to_numpy(), side="right")
+            )
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select(cents.alias("cents"))
+        .select(bracketize("cents").alias("bracket"), "cents")
+        .groupBy("bracket")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )

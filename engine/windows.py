@@ -755,3 +755,102 @@ def win_sliding_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("med_cents"),
     )
     return out.filter(F.col("user_id") % 7 == 0)
+
+
+@query(
+    "win_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 600000000 AS e
+        FROM events
+    ),
+    mk AS (
+        SELECT user_id, s, e,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_i,
+               event_id
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(new_i) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM mk
+    ),
+    g AS (
+        SELECT user_id, island,
+               MAX(e) - MIN(s) AS cov_us,
+               COUNT(*) AS n_iv
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_islands,
+           CAST(SUM(cov_us) AS BIGINT) AS covered_us,
+           CAST(MAX(n_iv) AS BIGINT)   AS max_merged
+    FROM g GROUP BY user_id
+    """,
+)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING-INTERVAL MERGE — the classic coalesce of per-entity
+    time spans (each event opens a 10-minute activity interval; an
+    interval that starts before the running maximum end of its
+    predecessors extends the current merged span).  This is the
+    gaps-and-islands pattern generalized to intervals: the
+    new-island flag compares each start against MAX(end) OVER (rows
+    UNBOUNDED PRECEDING .. 1 PRECEDING) — NOT against the previous
+    row's end (lag alone under-merges when an earlier long interval
+    spans past its successor).  Island id = running sum of flags;
+    coverage per island = max(end) − min(start), exact in epoch
+    MICROSECONDS end-to-end (`unix_micros` ⇔ `epoch_us`, both BIGINT —
+    no float time math anywhere).
+
+    Plan: ONE exchange on user_id serves both window passes AND both
+    rollups — groupBy (user_id, island) and then (user_id) are
+    supersets/subsets of the window partitioning (the r7 subset-
+    distribution rule), so Spark plans no further shuffle; per-user
+    output keeps the verified set bounded.
+
+    Scale: per-partition sort + linear scan state — the merged-span
+    count per user is the utilization/billing primitive (machine
+    uptime, session coverage, SLA overlap) at any cardinality."""
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(600000000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    mk = base.select(
+        "user_id", "s", "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_i"),
+        "event_id",
+    )
+    isl = mk.select(
+        "user_id", "s", "e",
+        F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov_us"),
+        F.count("*").alias("n_iv"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("cov_us").alias("covered_us"),
+        F.max("n_iv").alias("max_merged"),
+    )
