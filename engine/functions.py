@@ -177,9 +177,9 @@ def fn_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_timestamp_epoch",
     oracle="""
     SELECT event_id,
-           CAST(epoch_us(ts) // 1000000 AS BIGINT)  AS epoch_s,
+           CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT)  AS epoch_s,
            date_trunc('second', ts)                 AS ts_sec,
-           CAST(CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
+           CAST(CAST(to_timestamp(CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT)) AS TIMESTAMP)
                = date_trunc('second', ts) AS INTEGER) AS roundtrip_ok
     FROM events
     WHERE event_id % 2 = 0

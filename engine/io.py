@@ -282,7 +282,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
-           CAST(SUM(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS BIGINT)  AS sum_epoch_s
+           CAST(SUM(CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT)) AS BIGINT) AS sum_epoch_s
     FROM events
     WHERE event_id % 5 = 0
     GROUP BY event_type
