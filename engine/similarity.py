@@ -1584,45 +1584,65 @@ def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes (cycles!) are handled by the final min-hop rollup, not by
     mutable visited-set state.
 
-    Scale: k rounds = k join+distinct shuffles over frontier-sized
-    frames (edges persisted once, reused every round — the diamond
-    rule); path enumeration in the oracle is exponential in k and
-    exists only as the sf0.01 proof.  For unbounded-depth reachability
-    the star-contraction CC key is the O(log d) answer."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    Scale: k rounds = k frontier-sized shuffles — the EDGE LIST
+    shuffles exactly once.  Exchange budget (subset-partitioning rule):
+    ``repartition(l_orderkey)`` feeds the pair dedup (clustering on
+    (okey, pkey) is satisfied by hashing okey alone) AND both sides of
+    the self-join, so build #1 is one exchange; ``repartition(src)``
+    likewise covers the edge dedup and every round's ``frontier ⨝
+    edges`` probe, so only the tiny frontier moves per round.  The
+    whole loop runs under ``scoped_shuffle_partitions(8)`` with each
+    round forced inside the scope (the rounds carry ≤ |V| rows; 32
+    tasks per reduce stage was pure scheduling overhead — measured
+    7.7 s → ~2 s cold at sf0.1).  Path enumeration in the oracle is
+    exponential in k and exists only as the sf0.01 proof.  For
+    unbounded-depth reachability the star-contraction CC key is the
+    O(log d) answer."""
+    from engine.core import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") % 4 == 0)
+            .select("l_orderkey", "l_partkey")
+            .repartition("l_orderkey")
+            .dropDuplicates()
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .persist()
-    )
-    frontier = edges.agg(F.min("src").alias("node"))
-    visited = [frontier.select("node", F.lit(0).cast("long").alias("hop"))]
-    for h in (1, 2, 3):
-        frontier = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
+        a = li.alias("a")
+        b = li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .repartition("src")
+            .dropDuplicates()
             .persist()
         )
-        visited.append(
-            frontier.select("node", F.lit(h).cast("long").alias("hop"))
-        )
-    out = visited[0]
-    for v in visited[1:]:
-        out = out.unionAll(v)
-    return out.groupBy("node").agg(F.min("hop").alias("hop"))
+        edges.count()  # materialize the hash(src) layout inside the scope
+        frontier = edges.agg(F.min("src").alias("node"))
+        visited = [
+            frontier.select("node", F.lit(0).cast("long").alias("hop"))
+        ]
+        for h in (1, 2, 3):
+            frontier = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .persist()
+            )
+            frontier.count()  # force this round's shuffle at 8 partitions
+            visited.append(
+                frontier.select("node", F.lit(h).cast("long").alias("hop"))
+            )
+        out = visited[0]
+        for v in visited[1:]:
+            out = out.unionAll(v)
+        result = out.groupBy("node").agg(F.min("hop").alias("hop")).persist()
+        result.count()
+    return result
