@@ -1646,3 +1646,139 @@ def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = out.groupBy("node").agg(F.min("hop").alias("hop")).persist()
         result.count()
     return result
+
+
+@query(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS eq, label AS q_label
+        FROM embeddings WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT vec_id AS c_id, embedding AS ec, label AS c_label
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, c.c_id, c.c_label,
+               FLOOR(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_key
+        FROM q, cand c, {{dims}} s
+        GROUP BY q.q_id, q.q_label, c.c_id, c.c_label
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_key DESC, c_id ASC) AS rn
+        FROM scored
+    ),
+    perq AS (
+        SELECT q_id, q_label,
+               CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_top10,
+               CAST(SUM(CASE WHEN c_label = q_label
+                             THEN 1000000 // (rn + 1) ELSE 0 END) AS BIGINT) AS dcg
+        FROM ranked WHERE rn <= 10
+        GROUP BY q_id, q_label
+    ),
+    rel_total AS (
+        SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN cand c ON c.c_label = q.q_label
+        GROUP BY q.q_id
+    ),
+    ideal AS (
+        SELECT rt.q_id,
+               CAST(SUM(1000000 // (r.r + 1)) AS BIGINT) AS idcg
+        FROM rel_total rt JOIN range(1, 11) r(r)
+          ON r.r <= LEAST(rt.n_rel, 10)
+        GROUP BY rt.q_id
+    )
+    SELECT p.q_id AS query_id,
+           CAST(p.q_label AS INTEGER) AS query_label,
+           p.n_rel_top10,
+           p.dcg,
+           i.idcg,
+           p.dcg / i.idcg AS ndcg
+    FROM perq p JOIN ideal i ON i.q_id = p.q_id
+    """.replace("{dims}", _DIMS),
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@10 of cosine retrieval
+    against label relevance, the metric a training-data pipeline runs
+    after every embedding/index change to catch silent recall drift.
+
+    Rank gains use INTEGER harmonic weights ``1000000 div (rank+1)``
+    instead of the classical ``1/log2(rank+1)``: log2 is a libm call
+    with no cross-engine bit guarantee, while integer division is exact
+    on both engines (`div` and `//` both truncate — the measured r7
+    semantics), so DCG/IDCG are exact BIGINTs and the final ratio is
+    one deterministic BIGINT/BIGINT division (→ DOUBLE on both).  The
+    neighbor order rides the pinned 6-decimal cosine + c_id tiebreak.
+
+    Scale: queries broadcast (bounded eval set), candidates never
+    self-join — one scan scores q×cand, one window ranks per query.
+    At 100 TB the candidate side is the LSH/IVF shortlist
+    (sim_ann_lsh_topk / sim_ivf_topk), and this key is the judge that
+    scores those shortlists against the exact baseline."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("label").alias("q_label"),
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ec"),
+        F.col("label").alias("c_label"),
+    )
+    cos_key = F.floor(
+        _dot(F.col("eq"), F.col("ec"))
+        / (_norm(F.col("eq")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_key"), F.asc("c_id")
+    )
+    gain = F.when(
+        F.col("c_label") == F.col("q_label"),
+        F.expr("1000000 div (rn + 1)").cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    perq = (
+        cand.crossJoin(F.broadcast(q))
+        .select("query_id", "q_label", "c_id", "c_label",
+                cos_key.alias("cos_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("gain", gain)
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("long").alias("n_rel_top10"),
+            F.sum("gain").cast("long").alias("dcg"),
+        )
+    )
+    rel_total = (
+        cand.join(F.broadcast(q.select("query_id", "q_label")),
+                  F.col("c_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    ideal = rel_total.select(
+        "query_id",
+        F.expr(
+            "aggregate(sequence(1, CAST(LEAST(n_rel, 10) AS INT)), 0L,"
+            " (acc, r) -> acc + (1000000L div (CAST(r AS LONG) + 1)))"
+        ).alias("idcg"),
+    )
+    return perq.join(F.broadcast(ideal), "query_id").select(
+        "query_id",
+        F.col("q_label").cast("int").alias("query_label"),
+        "n_rel_top10",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )
