@@ -103,23 +103,7 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-8 additions (r7's 16 keys all drained to CORRECTNESS_r07)
-    "fn_pipe_syntax", "udtf_table_arg_partitioned",
-    "stream_rocksdb_state", "dedup_substring_sentence",
-    "fn_aes_roundtrip", "fn_lateral_column_alias",
-    "fn_group_order_by_all", "fn_sql_variable", "fn_execute_immediate",
-    "udf_arrow_optimized", "sink_python_datasource",
-    "stream_state_reader", "mm_phash_bits", "mm_modality_dispatch",
-    "pipeline_tokenize_pack_shard", "stream_join_state_reader",
-    "evt_rfm_segmentation", "agg_benford_firstdigit",
-    "pack_attention_contamination",
-    "agg_chi_square_independence", "agg_welch_ttest",
-    "agg_ols_two_feature", "agg_bitwise_reduce",
-    "win_sliding_median_exact", "evt_autocorr_daily", "evt_diff_in_diff",
-    "source_binaryfile_scan", "join_strategy_hints",
-    "stream_dropdup_within_watermark",
-    "fn_xpath_extract", "fn_values_inline_join", "fn_interval_arith",
-    "udf_pandas_scalar_iter", "win_interval_merge", "graph_bfs_min_hops",
+    # round-9 additions (r8's 35 keys all drained to CORRECTNESS_r08)
 })
 
 
