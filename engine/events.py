@@ -2005,10 +2005,13 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     )
     SELECT event_type, n, sx, sy, sxy, sxx, syy,
-           FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-                  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
-                 * 1000000 + 0.5) / 1000000 AS acf1_e6
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0
+                THEN FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+                      * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS acf1_e6
     FROM m
     """,
 )
@@ -2053,16 +2056,25 @@ def evt_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxy").cast("double")
         - F.col("sx").cast("double") * F.col("sy")
     )
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx").cast("double")
-         - F.col("sx").cast("double") * F.col("sx"))
-        * (F.col("n") * F.col("syy").cast("double")
-           - F.col("sy").cast("double") * F.col("sy"))
+    # Guard the variance product BEFORE the sqrt/divide: a constant (or
+    # 2-day) series gives den = 0 → 0/0 = NaN, and Spark's
+    # floor(double)->long maps NaN to 0 while DuckDB FLOOR propagates
+    # it — the engines would silently diverge on degenerate data.  NULL
+    # (mirrored CASE in the oracle) is also the honest answer: ACF of a
+    # constant series is undefined.
+    den_sq = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * (
+        F.col("n") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
     )
     return m.select(
         "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
-        (F.floor((num / den) * 1000000 + F.lit(0.5)) / 1000000)
-        .alias("acf1_e6"),
+        F.when(
+            den_sq > 0,
+            F.floor((num / F.sqrt(den_sq)) * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("acf1_e6"),
     )
 
 

@@ -736,7 +736,6 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     not per-pickled Rows (measured 15 s → ~1 s for 21k rows at sf0.1:
     the row-object protocol pays per-row conversion; Arrow pays
     per-batch)."""
-    import json as _json
     import shutil as _shutil
 
     from pyspark import TaskContext
@@ -764,14 +763,24 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.path = path
 
         def write(self, batches):  # noqa: ANN001 — API signature
+            # Serialization stays BATCH-priced end-to-end: each Arrow
+            # RecordBatch renders to one JSONL block via pandas'
+            # C-implemented ``to_json(lines=True)`` — no per-row dict
+            # materialization, no per-row ``json.dumps`` call (the r8
+            # shape paid both; at 100 TB that is the difference between
+            # an Arrow-speed sink and a Python-speed one).
             pid = TaskContext.get().partitionId()
             n = 0
             out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
             with open(out, "w") as f:
                 for batch in batches:
-                    for rec in batch.to_pylist():
-                        f.write(_json.dumps(rec) + "\n")
-                        n += 1
+                    if batch.num_rows == 0:
+                        continue
+                    block = batch.to_pandas().to_json(
+                        orient="records", lines=True
+                    )
+                    f.write(block if block.endswith("\n") else block + "\n")
+                    n += batch.num_rows
             return _ShardDone(pid, n)
 
         def commit(self, messages):  # noqa: ANN001 — API signature

@@ -1629,6 +1629,7 @@ def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = [
             frontier.select("node", F.lit(0).cast("long").alias("hop"))
         ]
+        cached_frontiers: list[DataFrame] = []
         for h in (1, 2, 3):
             frontier = (
                 frontier.join(edges, frontier["node"] == edges["src"])
@@ -1637,6 +1638,7 @@ def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .persist()
             )
             frontier.count()  # force this round's shuffle at 8 partitions
+            cached_frontiers.append(frontier)
             visited.append(
                 frontier.select("node", F.lit(h).cast("long").alias("hop"))
             )
@@ -1645,6 +1647,13 @@ def graph_bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.unionAll(v)
         result = out.groupBy("node").agg(F.min("hop").alias("hop")).persist()
         result.count()
+        # Release the loop's executor-memory holds now that the rollup
+        # is materialized: every round's frontier and the edge list are
+        # superseded (at 100 TB those are real storage-pool residents).
+        # The result itself stays cached for the caller.
+        for f in cached_frontiers:
+            f.unpersist()
+        edges.unpersist()
     return result
 
 

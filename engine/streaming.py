@@ -1300,6 +1300,33 @@ def stream_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
 
     def build(src: str) -> None:
+        # The closed-form oracle bakes in three corpus assumptions; a
+        # regenerated testdata drop that violates any of them must fail
+        # LOUDLY here (one bounded agg at build time), not as a silent
+        # driver hash mismatch: (a) the advancer id is absent, (b) every
+        # corpus ts precedes the advancer minus the 1h watermark delay
+        # (so batch 2 evicts ALL batch-1 state), (c) the day-1 replay
+        # subset is nonempty (so re-emission is actually observed).
+        from engine.core import collect_model_artifact
+
+        chk = collect_model_artifact(
+            ev.agg(
+                F.sum((F.col("event_id") == 100000000).cast("long"))
+                .alias("adv"),
+                F.max("ts").alias("max_ts"),
+                F.sum(
+                    (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+                    .cast("long")
+                ).alias("day1"),
+            )
+        )[0]
+        import datetime
+        horizon = datetime.datetime(2024, 2, 1) - datetime.timedelta(hours=1)
+        assert chk["adv"] == 0, "advancer event_id collides with corpus"
+        assert chk["max_ts"] < horizon, (
+            f"corpus max ts {chk['max_ts']} reaches the advancer horizon"
+        )
+        assert chk["day1"] > 0, "pre-2024-01-02 replay subset is empty"
         stamped: set[str] = set()
         ev.unionAll(ev).coalesce(1).write.mode("append").parquet(src)
         _stamp_phase(src, 0, stamped)
