@@ -104,6 +104,9 @@ def _bench_times() -> dict[str, float]:
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-9 additions (r8's 35 keys all drained to CORRECTNESS_r08)
+    "sketch_theta_distinct",
+    "sketch_theta_setops",
+    "sketch_kll_quantiles",
 })
 
 

@@ -24,6 +24,7 @@ _OPTIONAL_MODULES = [
     "streaming",  # §2.10
     "udfs",  # §2.11
     "multimodal",  # beyond §2: binary media columns (north-star mandate)
+    "sketches",  # beyond §2: theta/KLL DataSketches natives (Spark 4.1)
     "composite",  # beyond §2: TPC-H-shaped end-to-end workloads + sketches
 ]
 

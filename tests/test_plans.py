@@ -1070,3 +1070,27 @@ def test_join_strategy_hints_forces_shuffled_hash(spark):
         tuple(r) for r in engine.QUERIES["join_strategy_hints"](spark, SF_DIR).collect()
     )
     assert hinted == sorted(tuple(r) for r in twin.collect())
+
+
+def test_theta_sketch_partial_aggregates_blob_shuffle(spark):
+    """sketch_theta_distinct: the scan's shuffle must carry SKETCH BLOBS,
+    not ids — partial_theta_sketch_agg (map-side combine) below the
+    first exchange, partial_theta_union_agg below the rollup exchange,
+    exactly two exchanges total, and the parquet scan pruned to the
+    three referenced columns."""
+    plan = _plan(spark, "sketch_theta_distinct")
+    assert "partial_theta_sketch_agg" in plan
+    assert "partial_theta_union_agg" in plan
+    assert plan.count("Exchange ") == 2, plan
+    assert "ReadSchema: struct<ts:" in plan and "event_type:string>" in plan
+
+
+def test_kll_sketch_partial_aggregates(spark):
+    """sketch_kll_quantiles: KLL blobs map-side combine the same way —
+    partial_kll_sketch_agg below the daily exchange and
+    partial_kll_merge_agg below the per-type rollup; the exact-audit
+    join broadcasts (5-row exact side)."""
+    plan = _plan(spark, "sketch_kll_quantiles")
+    assert "partial_kll_sketch_agg" in plan
+    assert "partial_kll_merge_agg" in plan
+    assert "BroadcastHashJoin" in plan

@@ -584,3 +584,28 @@ def test_compaction_file_count_contract(spark):
     n_src = load(spark, SF_DIR, "documents").count()
     n_comp = spark.read.parquet(os.path.join(base, "compact_output")).count()
     assert n_src == n_comp
+
+
+def test_kll_quantiles_rank_error_floor(spark):
+    """sketch_kll_quantiles: KLL guarantees RANK-space accuracy (not
+    value space) — for each estimated quantile q̂ at target rank q, the
+    fraction of values ≤ q̂ must lie within 3% of q (k=200's published
+    ~1.65% bound with headroom).  Also: every estimate must be an
+    actual data value (KLL returns retained items) and n must equal the
+    true per-type row count (merging never loses count)."""
+    from engine.io import load
+    from pyspark.sql import functions as F
+
+    est = {
+        r.event_type: r
+        for r in engine.QUERIES["sketch_kll_quantiles"](spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    for etype, row in est.items():
+        vals = ev.filter(F.col("event_type") == etype)
+        n = vals.count()
+        assert row.n == n, f"{etype}: sketch n {row.n} != {n}"
+        for q, col in ((0.5, "p50_kll"), (0.9, "p90_kll"), (0.99, "p99_kll")):
+            qhat = getattr(row, col)
+            rank = vals.filter(F.col("value") <= qhat).count() / n
+            assert abs(rank - q) <= 0.03, f"{etype} {col}: rank {rank} vs {q}"
