@@ -107,6 +107,14 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sketch_theta_distinct",
     "sketch_theta_setops",
     "sketch_kll_quantiles",
+    "stream_rocksdb_state_reader",
+    "stream_listener_metrics",
+    "sink_idempotent_partitions",
+    "evt_max_concurrency",
+    "evt_seasonal_naive_backtest",
+    "fn_convert_timezone_buckets",
+    "fn_url_parse_components",
+    "join_spatial_grid",
 })
 
 

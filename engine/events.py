@@ -2146,3 +2146,165 @@ def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tp", "n_tb", "n_cp", "n_cb", "s_tp", "s_tb", "s_cp", "s_cb",
         (F.floor(did * 10000 + F.lit(0.5)) / 10000).alias("did_cents_e4"),
     )
+
+
+@query(
+    "evt_max_concurrency",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               MIN(epoch_us(ts)) AS t_start,
+               MAX(epoch_us(ts)) AS t_end
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT day, t_start AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        UNION ALL
+        SELECT day, t_end AS t, CAST(-1 AS BIGINT) AS delta FROM sess
+    ),
+    swept AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC)
+                   AS active
+        FROM bounds
+    )
+    SELECT s.day,
+           CAST(n.n_sessions AS BIGINT) AS n_sessions,
+           CAST(MAX(s.active) AS BIGINT) AS max_concurrent
+    FROM swept s
+    JOIN (SELECT day, COUNT(*) AS n_sessions FROM sess GROUP BY day) n
+      USING (day)
+    GROUP BY s.day, n.n_sessions
+    """,
+)
+def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line — the capacity-planning query
+    ("how many sessions were active AT ONCE?") that a naive
+    interval×interval self-join answers quadratically and the sweep
+    answers in one sort: each user-day session [min ts, max ts]
+    contributes a +1 boundary at start and a −1 at end; the running
+    sum of deltas in boundary order is the live-session count, and its
+    per-day MAX is the peak.
+
+    Tie discipline (the correctness subtlety): ends are INCLUSIVE — a
+    session ending at t overlaps one starting at t — so boundaries
+    order by (t, delta DESC): +1s apply before −1s at the same
+    instant.  Both engines' default ordered-window frame is RANGE
+    (peers aggregate together), so equal-(t, delta) rows see identical
+    running sums and the hash matches without a unique tiebreak.
+
+    Scale: one groupBy(user, day) builds intervals (map-side
+    combinable); the sweep is a window PARTITIONED BY DAY — per-day
+    local sorts of 2·sessions boundary rows, never a global sort — and
+    the final per-day MAX rides the same day partitioning (subset
+    rule: no third exchange).  At 100 TB the same plan holds: shuffle
+    volume is two small rows per session, not events."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("t_start"),
+        F.unix_micros(F.max("ts")).alias("t_end"),
+    )
+    bounds = sess.select(
+        "day", F.col("t_start").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        sess.select(
+            "day", F.col("t_end").alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc())
+    swept = bounds.select(
+        "day", F.sum("delta").over(w).alias("active")
+    )
+    per_day = swept.groupBy("day").agg(
+        F.max("active").alias("max_concurrent")
+    )
+    n_sess = sess.groupBy("day").agg(F.count("*").alias("n_sessions"))
+    return per_day.join(n_sess, "day").select(
+        "day", "n_sessions", "max_concurrent"
+    )
+
+
+@query(
+    "evt_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.event_type,
+               a.cents AS actual,
+               f.cents AS forecast
+        FROM daily a
+        JOIN daily f
+          ON f.event_type = a.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(FLOOR(SUM(ABS(actual - forecast))
+                      / CAST(COUNT(*) AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS mae_cents_e2
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    system must beat, and the shape every "did the model help?"
+    evaluation takes: predict each day's revenue as the value seven
+    days earlier and score MAE over all days with a week-old
+    predecessor.  The lag is a DATE-KEYED SELF-JOIN (day − 7), not a
+    LAG(7 rows) window: a gap day would silently misalign a row-offset
+    lag while the join stays calendar-correct — the backtest bug class
+    this key documents.
+
+    Exact-integer discipline: daily revenue is exact cents, the error
+    sum is exact long arithmetic, and only the final MAE does one
+    IEEE division, floor-pinned to e2.
+
+    Scale: the daily rollup is map-side combinable (days·types cells);
+    the self-join runs on the AGGREGATED frame (≈ types×days rows, not
+    events) and co-partitions on event_type — at 100 TB the join input
+    is still only the cell table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    actual = daily.select(
+        "event_type", "day", F.col("cents").alias("actual")
+    )
+    forecast = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    scored = actual.join(forecast, ["event_type", "day"])
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias(
+            "sum_abs_err_cents"
+        ),
+        F.floor(
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.count("*")
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mae_cents_e2"),
+    )

@@ -1440,3 +1440,152 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_days"),
     )
+
+
+@query(
+    "fn_convert_timezone_buckets",
+    oracle="""
+    WITH tzs AS (
+        SELECT unnest(['America/New_York', 'Europe/Berlin', 'Asia/Tokyo'])
+               AS tz
+    ),
+    loc AS (
+        SELECT t.tz,
+               timezone(t.tz, timezone('UTC', e.ts)) AS lts,
+               e.ts
+        FROM events e CROSS JOIN tzs t
+    )
+    SELECT tz,
+           CAST(EXTRACT(hour FROM lts) AS BIGINT) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(lts AS DATE) <> CAST(ts AS DATE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_day_shifted
+    FROM loc
+    GROUP BY tz, EXTRACT(hour FROM lts)
+    """,
+)
+def fn_convert_timezone_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware local-hour bucketing (`convert_timezone`) — the
+    "what does traffic look like in the USER'S clock" rollup every
+    global product runs: UTC instants re-expressed in three IANA zones,
+    bucketed by local hour, with `n_day_shifted` counting events whose
+    LOCAL calendar date differs from the UTC date (the off-by-one-day
+    class of reporting bug this function family exists to prevent).
+
+    Dialect trap (documented because the two APIs point OPPOSITE
+    directions): Spark's `convert_timezone(src, dst, ts)` maps src→dst
+    wall time, while DuckDB's `timezone(tz, ts)` is overloaded by
+    argument type — naive TIMESTAMP is INTERPRETED in tz (local→
+    instant), TIMESTAMPTZ is RENDERED in tz (instant→local) — so
+    UTC→local must compose `timezone(tz, timezone('UTC', ts))`.  Both
+    engines resolve zone rules from the same IANA database, which is
+    what makes the hash comparable at all.
+
+    Scale: the 3-zone explode is a width-3 fanout BEFORE a
+    map-side-combinable count — 72 output cells regardless of input
+    rows; no join, one exchange."""
+    ev = load(spark, sf_dir, "events")
+    fanned = ev.select(
+        "ts",
+        F.explode(
+            F.array(
+                F.lit("America/New_York"),
+                F.lit("Europe/Berlin"),
+                F.lit("Asia/Tokyo"),
+            )
+        ).alias("tz"),
+    )
+    lts = F.convert_timezone(F.lit("UTC"), F.col("tz"), F.col("ts"))
+    return (
+        fanned.select(
+            "tz",
+            F.hour(lts).cast("long").alias("local_hour"),
+            (F.to_date(lts) != F.to_date("ts")).cast("long").alias("shifted"),
+        )
+        .groupBy("tz", "local_hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("shifted").alias("n_day_shifted"),
+        )
+    )
+
+
+@query(
+    "fn_url_parse_components",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END AS proto,
+           'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.'
+               || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                       WHEN doc_id % 3 = 1 THEN 'org'
+                       ELSE 'net' END AS host,
+           'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.'
+               || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                       WHEN doc_id % 3 = 1 THEN 'org'
+                       ELSE 'net' END
+               || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+               AS authority,
+           '/p/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/a' ELSE '' END AS path,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'q=' || CAST(doc_id % 7 AS VARCHAR) || '&lang=' || lang
+                ELSE NULL END AS query,
+           CASE WHEN doc_id % 2 = 0 THEN lang ELSE NULL END AS lang_param,
+           CASE WHEN doc_id % 6 = 0 THEN 'sec' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE NULL END AS fragment
+    FROM documents
+    """,
+)
+def fn_url_parse_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse_url` component extraction (PROTOCOL / HOST / AUTHORITY /
+    PATH / QUERY / per-key QUERY / REF) over URLs synthesized
+    deterministically from doc_id — extraction must INVERT the
+    construction, the identity-form oracle precedented by
+    fn_xpath_extract (DuckDB has no URL parser; a regexp twin would
+    test the regexp, not the contract).  The synthesis deliberately
+    covers the branchy cases: ports (AUTHORITY ⊃ HOST), absent query
+    strings and fragments (parse_url → NULL, not ''), and per-key
+    query lookup (`parse_url(url, 'QUERY', 'lang')`).
+
+    Scale: pure projection — JVM-side, no shuffle, no UDF; the
+    entire key is one whole-stage-codegen map over the scan."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("http")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/a")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?q="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&lang="),
+                F.col("lang"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("AUTHORITY")).alias("authority"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

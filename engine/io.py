@@ -827,6 +827,100 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_idempotent_partitions",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(1 AS BIGINT) AS max_writes_per_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_idempotent_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent per-partition sink — the JDBC-shaped exactly-once
+    recipe for external systems without a transactional commit
+    protocol: make every partition's write a DETERMINISTIC OVERWRITE
+    (hash-partition on the primary key, write one file named by
+    partition id via temp-file + atomic ``os.replace``), and
+    at-least-once execution collapses to exactly-once effect — a task
+    retry or a full job re-run rewrites byte-identical state instead of
+    duplicating rows (the same contract as `INSERT .. ON CONFLICT
+    UPDATE` keyed writes against a database).
+
+    The key PROVES it by running the write action TWICE over the same
+    data, then auditing the sink: ``max_writes_per_key`` counts the
+    occurrences of the most-duplicated primary key in the read-back —
+    the oracle pins it to 1, so a non-idempotent sink (append mode, a
+    nondeterministic partitioner, non-atomic file replace) hash-fails
+    rather than passing with silent double-writes.
+
+    Scale: `repartition(pk)` is the only shuffle; each partition
+    serializes its Arrow batches as one pandas ``to_json(lines=True)``
+    block (batch-priced like the fixed `sink_python_datasource`
+    writer).  At 1000 executors the same shape fans out to 1000
+    independent idempotent writers with no coordination — the commit
+    protocol IS the determinism."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    dst = _scratch_dir("idempotent_sink")
+    if os.path.exists(dst):
+        _shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+
+    upserts = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .repartition(8, "o_orderkey")
+    )
+
+    def write_partition(batches):
+        pdfs = [b for b in batches]
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(dst, f"part-{pid:05d}.jsonl")
+        tmp = out + ".tmp"
+        n = 0
+        with open(tmp, "w") as f:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                block = pdf.to_json(orient="records", lines=True)
+                f.write(block if block.endswith("\n") else block + "\n")
+                n += len(pdf)
+        os.replace(tmp, out)  # atomic: readers never see a partial file
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    writer = upserts.mapInPandas(write_partition, "pid int, n long")
+    writer.count()  # run 1
+    writer.count()  # run 2 — the idempotency trial (full re-execution)
+
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, price_cents long"
+    ).json(os.path.join(dst, "part-*.jsonl"))
+    per_key = back.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count("*").alias("writes"),
+        F.max("price_cents").alias("price_cents"),
+    )
+    assert _glob.glob(os.path.join(dst, "*.tmp")) == []
+    return per_key.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.max("writes").alias("max_writes_per_key"),
+    )
+
+
+@query(
     "source_csv_malformed_permissive",
     oracle="""
     WITH rows AS (

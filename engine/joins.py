@@ -1589,3 +1589,130 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price_cents"),
         )
     )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS key,
+               40.0 + (c_custkey * 7919 % 1000) / 100.0 AS lat,
+               (c_custkey * 104729 % 2000) / 100.0 AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT key, lat, lon,
+               CAST(FLOOR(lat / 0.6) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / 0.6) AS BIGINT) AS cx
+        FROM pts
+    ),
+    probe AS (
+        SELECT c.key, c.lat, c.lon,
+               c.cy + dy.d AS cy, c.cx + dx.d AS cx
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+    ),
+    pairs AS (
+        SELECT p.key AS key_a, h.key AS key_b,
+               p.lat AS lat_a, p.lon AS lon_a,
+               h.lat AS lat_b, h.lon AS lon_b
+        FROM probe p
+        JOIN cells h ON p.cy = h.cy AND p.cx = h.cx AND p.key < h.key
+    )
+    SELECT key_a, key_b,
+           CAST(FLOOR(2 * 6371.0088 * asin(sqrt(
+                sin(radians(lat_b - lat_a) / 2) * sin(radians(lat_b - lat_a) / 2)
+                + cos(radians(lat_a)) * cos(radians(lat_b))
+                  * sin(radians(lon_b - lon_a) / 2)
+                  * sin(radians(lon_b - lon_a) / 2)
+           )) * 10000 + 0.5) AS BIGINT) AS dist_km_e4
+    FROM pairs
+    WHERE CAST(FLOOR(2 * 6371.0088 * asin(sqrt(
+              sin(radians(lat_b - lat_a) / 2) * sin(radians(lat_b - lat_a) / 2)
+              + cos(radians(lat_a)) * cos(radians(lat_b))
+                * sin(radians(lon_b - lon_a) / 2)
+                * sin(radians(lon_b - lon_a) / 2)
+          )) * 10000 + 0.5) AS BIGINT) <= 400000
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join — "all point pairs within
+    40 km" answered WITHOUT the quadratic all-pairs cross join: each
+    point hashes to a 0.6° grid cell, the probe side replicates to its
+    3×3 cell neighborhood (a fixed ×9 fanout), and an ordinary EQUI
+    join on (cell_y, cell_x) produces exactly the candidate set that
+    can be within radius (0.6° ≥ 43 km ≥ radius at every latitude in
+    the synthesized 40-50°N box, so no cross-cell pair escapes).  The
+    haversine residual then keeps true neighbors.  Pair uniqueness is
+    structural, not dedup'd: a pair meets once because the HOME side
+    keeps its single true cell and `key_a < key_b` orients it.
+
+    Coordinates derive from integer keys (key·prime mod range, one
+    exact division — the fn_geo_haversine discipline) so both engines
+    start from bit-identical doubles; the radius filter compares the
+    FLOOR-PINNED e4 integer, not the raw double, keeping the predicate
+    and the output value identically quantized.
+
+    Scale: this is the standard planetary-scale spatial-join shape —
+    shuffle on cell id (bounded ×9 replication), per-cell local pair
+    generation bounded by cell density, never |points|² — and cell
+    size vs radius is the documented knob trading replication against
+    candidate count."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("key"),
+        (F.lit(40.0) + (F.col("c_custkey") * 7919 % 1000) / 100.0).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 104729 % 2000) / 100.0).alias("lon"),
+    )
+    cells = pts.select(
+        "key", "lat", "lon",
+        F.floor(F.col("lat") / 0.6).alias("cy"),
+        F.floor(F.col("lon") / 0.6).alias("cx"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probe = (
+        cells.select(
+            "key", "lat", "lon", "cy", "cx", F.explode(off).alias("dy")
+        )
+        .select(
+            "key", "lat", "lon",
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "cx",
+            F.explode(off).alias("dx"),
+        )
+        .select(
+            F.col("key").alias("key_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "cy",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+        )
+    )
+    home = cells.select(
+        F.col("key").alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy", "cx",
+    )
+    pairs = probe.join(
+        home,
+        ["cy", "cx"],
+    ).filter(F.col("key_a") < F.col("key_b"))
+    dla = F.radians(F.col("lat_b") - F.col("lat_a"))
+    dlo = F.radians(F.col("lon_b") - F.col("lon_a"))
+    hav = (
+        F.sin(dla / 2) * F.sin(dla / 2)
+        + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b"))
+        * F.sin(dlo / 2) * F.sin(dlo / 2)
+    )
+    dist_e4 = (
+        F.floor(2 * 6371.0088 * F.asin(F.sqrt(hav)) * 10000 + F.lit(0.5))
+        .cast("long")
+    )
+    return (
+        pairs.select("key_a", "key_b", dist_e4.alias("dist_km_e4"))
+        .filter(F.col("dist_km_e4") <= 400000)
+    )

@@ -583,6 +583,105 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_rocksdb_state_reader",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_rocksdb_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State source over a ROCKSDB-provider checkpoint — the join of the
+    two round-8 keys: `stream_rocksdb_state` proved the provider swap is
+    pure configuration; `stream_state_reader` proved checkpointed state
+    reads back as a batch DataFrame.  This key proves both AT ONCE,
+    which is the combination production actually runs: at 100 TB state
+    lives in RocksDB (disk-backed, bounded heap), and the offline
+    inspection / migration / backfill tooling must read THAT on-disk
+    format (SST files + changelog, not the HDFS provider's snapshot
+    layout) — an operator who validates the state reader only against
+    the default provider has not validated their production path.
+
+    The stateful query is a per-user (count, sum-of-cents) accumulator
+    (applyInPandasWithState, user-declared two-field state struct, so
+    the read-back schema is contract not internals); the run must
+    report RocksDB custom metrics (a silently-ignored provider conf
+    cannot pass), and the state source then reads the checkpoint's
+    final snapshot: exact-integer cents, full DuckDB hash against the
+    batch groupBy.
+
+    Scale: state shards read in parallel straight from the checkpoint;
+    no source replay, no raw-event shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = _scratch("rocksdb_state_reader_ckpt")
+
+    def accumulate(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100 + 0.5).floordiv(1).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cents": [cents]}
+        )
+
+    acc = (
+        _events_stream(spark, src)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            accumulate,
+            outputStructType="user_id long, n long, cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, rocksdb)
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                acc.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        progress = q.lastProgress or {}
+        ops = progress.get("stateOperators") or []
+        metrics = {k for op in ops for k in (op.get("customMetrics") or {})}
+        if not any("rocksdb" in m.lower() for m in metrics):
+            raise RuntimeError(
+                "RocksDB state store provider did not engage — no "
+                f"rocksdb custom metrics in progress: {sorted(metrics)}"
+            )
+        state = spark.read.format("statestore").load(ckpt)
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").cast("long").alias("n_events"),
+        F.col("value.groupState.cents").cast("long").alias("sum_value_cents"),
+    )
+
+
+@query(
     "stream_join_state_reader",
     oracle="""
     SELECT 'left' AS side,
@@ -1356,3 +1455,102 @@ def stream_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         (F.count("*") - F.countDistinct("event_id")).alias("n_reemitted"),
     )
     return agg
+
+
+@query(
+    "stream_listener_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input_rows,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_state_rows,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks
+    FROM events
+    """,
+)
+def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`StreamingQueryListener` observability — the metrics bus a
+    production streaming platform actually monitors (rows/sec, state
+    size, watermark lag land in dashboards through QueryProgressEvent,
+    not through ad-hoc lastProgress polling).  A listener subscribes
+    BEFORE the query starts, accumulates every progress event's
+    `numInputRows` and the final state operator's `numRowsTotal`, and
+    the key RETURNS THE METRICS THEMSELVES, hash-verified: total input
+    rows must equal the corpus row count exactly (availableNow drains
+    exactly once), state rows must equal the group count, and a sink-
+    side audit column (clicks counted in the sink table) pins that the
+    metrics describe the same run the sink saw.
+
+    Delivery discipline: progress events arrive on the listener bus
+    ASYNCHRONOUSLY after awaitTermination — the key polls bounded
+    (≤15 s) until the terminal event lands, then unsubscribes inside a
+    finally so no listener leaks into other keys' queries.
+
+    Scale: listener cost is per-microbatch, not per-row — the
+    observability path adds zero work to the data plane."""
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    src = _stage_events_dir(spark, sf_dir)
+
+    class _Capture(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.state_rows = 0
+            self.terminated = False
+            self.query_ids = set()
+
+        def onQueryStarted(self, event):
+            self.query_ids.add(str(event.id))
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if str(p.id) not in self.query_ids:
+                return  # another key's concurrent query — not ours
+            self.rows += p.numInputRows
+            for op in p.stateOperators:
+                self.state_rows = max(self.state_rows, op.numRowsTotal)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) in self.query_ids:
+                self.terminated = True
+
+    cap = _Capture()
+    spark.streams.addListener(cap)
+    try:
+        agg = (
+            _events_stream(spark, src)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        qname = f"listener_metrics_{next(_SINK_IDS)}"
+        with _stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        deadline = _time.time() + 15
+        while not cap.terminated and _time.time() < deadline:
+            _time.sleep(0.2)
+        if not cap.terminated:
+            raise RuntimeError(
+                "listener never observed QueryTerminatedEvent within 15 s"
+            )
+    finally:
+        spark.streams.removeListener(cap)
+    sink = spark.table(qname)
+    clicks = sink.filter(F.col("event_type") == "click").select(
+        F.sum("n").cast("long").alias("n_clicks")
+    )
+    return clicks.select(
+        F.lit(cap.rows).cast("long").alias("n_input_rows"),
+        F.lit(cap.state_rows).cast("long").alias("n_state_rows"),
+        "n_clicks",
+    )
