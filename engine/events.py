@@ -2202,12 +2202,16 @@ def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: no third exchange).  At 100 TB the same plan holds: shuffle
     volume is two small rows per session, not events."""
     ev = load(spark, sf_dir, "events")
+    # Diamond: `sess` feeds the two boundary branches AND the per-day
+    # session count — unpersisted, the events scan + groupBy would
+    # re-derive 3× (measured 3 scans / 6 exchanges).  The persisted
+    # frame is the AGGREGATED interval table (sessions, not events).
     sess = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
         F.unix_micros(F.min("ts")).alias("t_start"),
         F.unix_micros(F.max("ts")).alias("t_end"),
-    )
+    ).persist()
     bounds = sess.select(
         "day", F.col("t_start").alias("t"), F.lit(1).cast("long").alias("delta")
     ).unionAll(
@@ -2277,6 +2281,8 @@ def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events) and co-partitions on event_type — at 100 TB the join input
     is still only the cell table."""
     ev = load(spark, sf_dir, "events")
+    # Diamond: `daily` is both join sides — persist the aggregated cell
+    # table (types×days rows) so the events scan + rollup runs once.
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
@@ -2284,7 +2290,7 @@ def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
             "cents"
         )
-    )
+    ).persist()
     actual = daily.select(
         "event_type", "day", F.col("cents").alias("actual")
     )

@@ -1094,3 +1094,37 @@ def test_kll_sketch_partial_aggregates(spark):
     assert "partial_kll_sketch_agg" in plan
     assert "partial_kll_merge_agg" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_grid_equi_join_never_nested_loop(spark):
+    """join_spatial_grid: the radius join must plan as a HASH EQUI join
+    on the grid cell (broadcast locally; SMJ at scale) — never a
+    nested-loop/cartesian all-pairs — with the ×9 probe replication
+    visible as Generate (explode) nodes."""
+    plan = _plan(spark, "join_spatial_grid")
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("Generate explode") >= 2, plan
+
+
+def test_max_concurrency_persisted_interval_diamond(spark):
+    """evt_max_concurrency: the session-interval frame feeds three
+    consumers (start bounds, end bounds, per-day session count) — all
+    three must read the persisted frame, so the events scan runs once
+    at execution.  NOTE: the printed plan embeds the InMemoryRelation's
+    child (with its FileScan) once per consumer, so we count the cache
+    READS, not the printed FileScan substrings (CLAUDE.md
+    print-instability note)."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "evt_max_concurrency")
+    assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_seasonal_backtest_persisted_daily_diamond(spark):
+    """evt_seasonal_naive_backtest: both join sides read the persisted
+    daily rollup — one events scan, and the date-keyed self-join is an
+    equi join (broadcast at this size), never a nested loop."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "evt_seasonal_naive_backtest")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
