@@ -115,6 +115,12 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "fn_convert_timezone_buckets",
     "fn_url_parse_components",
     "join_spatial_grid",
+    "feat_target_encode_loo",
+    "feat_quantile_binning",
+    "feat_woe_iv",
+    "evt_xcorr_lagged",
+    "pipeline_cdc_apply_changes",
+    "dq_rule_violations",
 })
 
 

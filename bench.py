@@ -69,19 +69,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Only these keys persist() relations (MinHash shingle diamond, CC
-    # edge list).  Evict right after each so leaked blocks don't occupy
-    # executor memory for the rest of the loop.  A blanket per-key
-    # clearCache() measured ~0.2 s of catalog/py4j overhead per call
-    # (141 keys: 107 s -> 135 s total) — keep it targeted.
-    _PERSISTING = {
-        "dedup_minhash_near",
-        "dedup_jaccard_verify",
-        "dedup_connected_components",
-        "pipeline_corpus_clean",
-        "pipeline_embedding_dedup",
-        "sim_pq_adc_topk",
-    }
+    # Many keys persist() diamond relations (MinHash shingles, CC edge
+    # list, rollup diamonds...).  Evict right after each so leaked
+    # blocks don't occupy executor memory for the rest of the loop.  A
+    # blanket per-key clearCache() measured ~0.2 s of catalog/py4j
+    # overhead per call (141 keys: 107 s -> 135 s total), and a
+    # hardcoded key set rotted twice — probe the CacheManager instead
+    # (one cheap py4j boolean per key) and clear only when non-empty.
+    _cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     only = os.environ.get("SPARK_GRAFT_KEYS")
     keys = sorted(only.split(",")) if only else sorted(engine.QUERIES)
 
@@ -106,7 +101,7 @@ def main() -> None:
             "overwrite"
         ).save()
         el = round(time.perf_counter() - t0, 3)
-        if key in _PERSISTING:
+        if not _cache_mgr.isEmpty():
             spark.catalog.clearCache()
         return el
 

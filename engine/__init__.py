@@ -25,6 +25,7 @@ _OPTIONAL_MODULES = [
     "udfs",  # §2.11
     "multimodal",  # beyond §2: binary media columns (north-star mandate)
     "sketches",  # beyond §2: theta/KLL DataSketches natives (Spark 4.1)
+    "features",  # beyond §2: training-data feature engineering
     "composite",  # beyond §2: TPC-H-shaped end-to-end workloads + sketches
 ]
 

@@ -2157,3 +2157,231 @@ def pack_attention_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cross_frac"),
     )
+
+
+@query(
+    "pipeline_cdc_apply_changes",
+    oracle="""
+    WITH feed AS (
+        SELECT user_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+               ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val_cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, op, val_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_changes,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+        FROM feed
+    )
+    SELECT user_id, op AS last_op, val_cents AS last_val_cents,
+           n_changes, n_deletes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def pipeline_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES: reduce an out-of-order change feed
+    (insert/update/delete ops with a total sequence order) to the
+    current table state — the ingestion step every warehouse mirror of
+    an OLTP source runs, and the batch twin of `sink_merge_upsert`
+    (which applies ONE deduplicated batch; this collapses the full
+    multi-op history per key, honoring trailing tombstones).
+
+    The events table stands in as the feed: op is derived from
+    event_type (signup->I, error->D, else U); the sequence key is
+    (ts, event_id) — unique by construction, so `last per key` is
+    deterministic.  A key whose LATEST op is a delete is absent from
+    the output (tombstone wins); per-key audit counts ride along.
+
+    Scale shape: ONE shuffle on user_id serves the ranking window and
+    both per-key audit counts (same partitioning, subset rule); no
+    self-join against the feed.  At 100 TB the feed partitions by key
+    exactly as a MERGE shuffle would — this is the minimal-movement
+    plan for full-history compaction."""
+    ev = load(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("val_cents"),
+    )
+    w = Window.partitionBy("user_id")
+    wseq = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = feed.select(
+        "user_id",
+        "op",
+        "val_cents",
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("val_cents").alias("last_val_cents"),
+            "n_changes",
+            "n_deletes",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "dq_rule_violations",
+    oracle="""
+    WITH scan AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS checked,
+            CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                          OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                AS qty_range,
+            CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                          OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS disc_range,
+            CAST(SUM(CASE WHEN l_extendedprice IS NULL
+                          OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS price_positive,
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS shipdate_null
+        FROM lineitem
+    ),
+    orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    dupes AS (
+        SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v FROM (
+            SELECT COUNT(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber
+        ) g WHERE c > 1
+    )
+    SELECT rule_id, violations, checked,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS ok
+    FROM (
+        SELECT 'quantity_in_1_50' AS rule_id, qty_range AS violations,
+               checked FROM scan
+        UNION ALL
+        SELECT 'discount_in_0_0.1', disc_range, checked FROM scan
+        UNION ALL
+        SELECT 'extendedprice_positive', price_positive, checked FROM scan
+        UNION ALL
+        SELECT 'shipdate_not_null', shipdate_null, checked FROM scan
+        UNION ALL
+        SELECT 'orderkey_references_orders', o.v, s.checked
+        FROM orphans o, scan s
+        UNION ALL
+        SELECT 'line_pk_unique', d.v, s.checked FROM dupes d, scan s
+    ) ORDER BY rule_id
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite (the great-expectations shape): a fixed
+    rulebook evaluated into ONE long-form violations report — range
+    checks, null checks, referential integrity, and primary-key
+    uniqueness, each with its violation count and a pass flag.
+
+    Scale shape: all four column rules reduce in a SINGLE
+    map-side-combinable pass over the fact scan (conditional sums — not
+    one scan per rule); referential integrity is a LEFT ANTI join
+    against the broadcast-able key side counted to one row; uniqueness
+    reduces per (orderkey, linenumber) then counts surplus rows.  The
+    final report union is |rules| rows.  `ok` is INT (driver-safe
+    scalar set: no boolean outputs)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    scan = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("qty_range"),
+        F.sum(
+            F.when(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("disc_range"),
+        F.sum(
+            F.when(
+                F.col("l_extendedprice").isNull()
+                | (F.col("l_extendedprice") <= 0),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("price_positive"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("shipdate_null"),
+    ).persist()  # 1-row diamond: six consumers (4 rule rows + 2 checked joins)
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dupes = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("v"))
+    )
+    rows = []
+    for rule, col in [
+        ("quantity_in_1_50", "qty_range"),
+        ("discount_in_0_0.1", "disc_range"),
+        ("extendedprice_positive", "price_positive"),
+        ("shipdate_not_null", "shipdate_null"),
+    ]:
+        rows.append(
+            scan.select(
+                F.lit(rule).alias("rule_id"),
+                F.col(col).alias("violations"),
+                "checked",
+            )
+        )
+    rows.append(
+        orphans.crossJoin(scan.select("checked")).select(
+            F.lit("orderkey_references_orders").alias("rule_id"),
+            F.col("v").alias("violations"),
+            "checked",
+        )
+    )
+    rows.append(
+        dupes.crossJoin(scan.select("checked")).select(
+            F.lit("line_pk_unique").alias("rule_id"),
+            F.col("v").alias("violations"),
+            "checked",
+        )
+    )
+    report = rows[0]
+    for r in rows[1:]:
+        report = report.unionAll(r)
+    return report.select(
+        "rule_id",
+        "violations",
+        "checked",
+        F.when(F.col("violations") == 0, 1).otherwise(0).cast("int").alias("ok"),
+    ).orderBy("rule_id")

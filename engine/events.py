@@ -2314,3 +2314,105 @@ def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mae_cents_e2"),
     )
+
+
+@query(
+    "evt_xcorr_lagged",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    x AS (SELECT day, c FROM daily WHERE event_type = 'click'),
+    y AS (SELECT day, c FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(7)),
+    p AS (
+        SELECT l.lag, x.c AS xv, y.c AS yv
+        FROM x CROSS JOIN lags l JOIN y ON y.day = x.day + l.lag
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+               CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+               CAST(SUM(yv * yv) AS BIGINT) AS syy,
+               CAST(SUM(xv * yv) AS BIGINT) AS sxy
+        FROM p GROUP BY lag
+    )
+    SELECT lag, n,
+           CASE WHEN SQRT(((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * sx))
+                      * ((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy))) > 0
+           THEN CAST(FLOOR(
+               ((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))
+               / SQRT(((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * sx))
+                      * ((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy)))
+               * 10000 + 0.5) AS BIGINT) END AS xcorr_e4
+    FROM s ORDER BY lag
+    """,
+)
+def evt_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams' daily volumes
+    (does `click` activity LEAD `purchase` activity by k days?) — the
+    lead-lag diagnostic behind marketing attribution and capacity
+    forecasting.  corr(x_t, y_{t+lag}) for lag 0..6.
+
+    Exactness: the daily counts are exact integers, so all six power
+    sums per lag are exact BIGINTs (order-independent) and the closing
+    Pearson formula is one fixed IEEE sequence — the `agg_corr_exact`
+    sufficient-statistics discipline — floor-pinned e4.
+
+    Scale shape: events reduce to |types|x|days| rows BEFORE any join
+    (map-side-combinable groupBy); the lag expansion crosses that tiny
+    series with a 7-row broadcast frame, never the raw events.  `daily`
+    feeds both series legs — persisted so the events scan runs once
+    (diamond rule).  Days missing from either series drop via the inner
+    join; n per lag reflects the actual aligned-pair count."""
+    ev = load(spark, sf_dir, "events")
+    # Diamond: both series legs slice this aggregate — persist the
+    # (type x day) rollup, not the events scan.
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    x = daily.where(F.col("event_type") == "click").select("day", "c")
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("c").alias("yv")
+    )
+    lags = spark.range(7).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("yday", F.date_add("day", F.col("lag")))
+        .join(y, "yday")
+        .select("lag", F.col("c").alias("xv"), "yv")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "lag",
+        "n",
+        # den = 0 (a constant aligned series) would make the ratio NaN,
+        # and Spark's floor(NaN)->0 diverges from DuckDB's NaN
+        # propagation — guard mirrored in the oracle.
+        F.when(
+            den > 0,
+            F.floor(num / den * 10000 + F.lit(0.5)).cast("long"),
+        ).alias("xcorr_e4"),
+    ).orderBy("lag")

@@ -1,0 +1,249 @@
+"""Training-data feature engineering — the tabular-ML prep operators a
+100 TB pipeline runs between raw facts and a trainer (beyond SURVEY §2,
+same mandate as the dedup/similarity/packing families).
+
+Three classics, each expressed as ONE fact scan plus tiny broadcast
+state — never a per-row Python UDF, never a global sort:
+
+- leave-one-out target encoding (`feat_target_encode_loo`): per-category
+  sufficient statistics (sum, count) via a map-side-combinable groupBy,
+  broadcast back to the fact rows; the per-row encode is pure JVM
+  arithmetic.  The usual window-over-category formulation shuffles the
+  whole fact table onto |categories| partitions (5 keys here — a skew
+  cliff at 100 TB); the agg+broadcast shape keeps the fact scan
+  shuffle-free.
+- equal-frequency binning (`feat_quantile_binning`): decile EDGES from
+  the exact `percentile` aggregate (map-side partials; the
+  `agg_percentile` precedent hash-matches DuckDB's PERCENTILE_CONT
+  bit-for-bit), broadcast as one 9-value row; bin assignment is a fixed
+  chain of comparisons.  No global ntile — a window over an empty
+  PARTITION BY collapses 100 TB onto one task.
+- weight of evidence (`feat_woe_iv`): exact integer good/bad counts per
+  category, closed with a FIXED sequence of IEEE ops (one division, one
+  ln) so the doubles are bit-identical across engines, floor-pinned e6.
+
+Determinism discipline (README "Design rules"): money pinned to integer
+cents via floor(x*100+0.5); integer division is `div` (Spark) / `//`
+(DuckDB) — both truncate toward zero and every dividend here is
+provably non-negative; no float SUM ever crosses the hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.core import query
+from engine.io import load
+
+
+def _cents(col: str) -> F.Column:
+    """Half-up integer cents — the repo-wide exact-money pin."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+@query(
+    "feat_target_encode_loo",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS grp_sum,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS target_cents,
+           s.grp_n,
+           CASE WHEN s.grp_n > 1 THEN
+               (s.grp_sum - CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               // (s.grp_n - 1)
+           END AS loo_cents
+    FROM orders o JOIN stats s USING (o_orderpriority)
+    WHERE o.o_orderkey % 37 = 0
+    ORDER BY o.o_orderkey
+    """,
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``o_orderpriority`` against the
+    order value: each row's encode is the category mean EXCLUDING the row
+    itself — the standard leakage guard for mean/target encoding of a
+    categorical feature.
+
+    Scale shape: the category stats frame is |categories| rows (bounded
+    by construction), broadcast to the fact scan — ONE shuffle total
+    (the tiny groupBy), no window over a 5-key partitioning.  Exactness:
+    encode = (S - x) div (n - 1) on integer cents; S ≥ x (cents are
+    non-negative) so truncation-toward-zero equals floor on both
+    engines; n = 1 degenerates to NULL, mirrored in the oracle.  The
+    verified output is residue-bounded (o_orderkey % 37, oracle-mirrored)
+    per the driver row-budget rule."""
+    orders = load(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.sum(_cents("o_totalprice")).alias("grp_sum"),
+        F.count(F.lit(1)).alias("grp_n"),
+    )
+    enc = orders.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents("o_totalprice").alias("target_cents"),
+        "grp_n",
+        F.when(
+            F.col("grp_n") > 1,
+            F.expr(
+                "(grp_sum - CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+                " div (grp_n - 1)"
+            ),
+        ).alias("loo_cents"),
+    )
+    return enc.where(F.col("o_orderkey") % 37 == 0).orderBy("o_orderkey")
+
+
+@query(
+    "feat_quantile_binning",
+    oracle="""
+    WITH edges AS (
+        SELECT
+            PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY c_acctbal) AS e1,
+            PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY c_acctbal) AS e2,
+            PERCENTILE_CONT(0.3) WITHIN GROUP (ORDER BY c_acctbal) AS e3,
+            PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY c_acctbal) AS e4,
+            PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS e5,
+            PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY c_acctbal) AS e6,
+            PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY c_acctbal) AS e7,
+            PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY c_acctbal) AS e8,
+            PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS e9
+        FROM customer
+    ),
+    binned AS (
+        SELECT CAST(1 + (c_acctbal > e1)::INT + (c_acctbal > e2)::INT
+                      + (c_acctbal > e3)::INT + (c_acctbal > e4)::INT
+                      + (c_acctbal > e5)::INT + (c_acctbal > e6)::INT
+                      + (c_acctbal > e7)::INT + (c_acctbal > e8)::INT
+                      + (c_acctbal > e9)::INT AS BIGINT) AS bin,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer CROSS JOIN edges
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(bal_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(bal_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_cents
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of account balance — the
+    quantile-bucketing step of feature discretization — with per-bin
+    audit stats.
+
+    Scale shape: the 9 decile EDGES come from the exact ``percentile``
+    aggregate (map-side-combinable; `agg_percentile` proves the
+    interpolated doubles hash-match DuckDB's PERCENTILE_CONT), broadcast
+    as ONE row; bin assignment is a fixed comparison chain per row.
+    This is the distributed-safe formulation — `ntile(10)` over an
+    unpartitioned window (the textbook version) collapses the whole
+    table onto one task.  A value exactly equal to an edge lands in the
+    lower bin on both engines (strict `>`)."""
+    cust = load(spark, sf_dir, "customer")
+    edges = cust.agg(
+        *[
+            F.percentile("c_acctbal", q / 10.0).alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for q in range(1, 10):
+        bin_col = bin_col + (F.col("c_acctbal") > F.col(f"e{q}")).cast("int")
+    binned = cust.join(F.broadcast(edges)).select(
+        bin_col.cast("long").alias("bin"),
+        _cents("c_acctbal").alias("bal_cents"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal_cents").alias("min_cents"),
+            F.max("bal_cents").alias("max_cents"),
+            F.sum("bal_cents").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "feat_woe_iv",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS good,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT o_orderpriority, good, bad,
+               SUM(good) OVER () AS g_tot, SUM(bad) OVER () AS b_tot
+        FROM counts
+    )
+    SELECT o_orderpriority, good, bad,
+           CAST(FLOOR(LN((CAST(good * b_tot AS DOUBLE))
+                         / (CAST(bad * g_tot AS DOUBLE))) * 1000000 + 0.5)
+                AS BIGINT) AS woe_e6,
+           CAST(FLOOR(((CAST(good AS DOUBLE) / g_tot)
+                       - (CAST(bad AS DOUBLE) / b_tot))
+                      * LN((CAST(good * b_tot AS DOUBLE))
+                           / (CAST(bad * g_tot AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS iv_contrib_e6
+    FROM tot ORDER BY o_orderpriority
+    """,
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information-value contribution per category
+    — the classic credit-scoring feature-selection statistic for a
+    categorical feature against a binary label (here label = order
+    finalized, ``o_orderstatus = 'F'``).
+
+    Exactness: good/bad are exact integer counts (one map-side-
+    combinable scan); woe = ln(good·B / (bad·G)) is exact integer
+    products closed by ONE division and ONE ln — a fixed IEEE sequence,
+    bit-identical across engines (`agg_entropy` precedent), floor-pinned
+    e6.  The iv contribution is likewise a fixed op chain per category;
+    the across-category IV SUM is deliberately NOT emitted (a float sum
+    over pinned terms would re-order).  The global totals window runs
+    over the |categories|-row AGGREGATED frame, not the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("long")
+        .alias("good"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("bad"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    tot = counts.select(
+        "o_orderpriority",
+        "good",
+        "bad",
+        F.sum("good").over(w).alias("g_tot"),
+        F.sum("bad").over(w).alias("b_tot"),
+    )
+    woe = F.log(
+        (F.col("good") * F.col("b_tot")).cast("double")
+        / (F.col("bad") * F.col("g_tot")).cast("double")
+    )
+    iv = (
+        F.col("good").cast("double") / F.col("g_tot")
+        - F.col("bad").cast("double") / F.col("b_tot")
+    ) * woe
+    return tot.select(
+        "o_orderpriority",
+        "good",
+        "bad",
+        F.floor(woe * 1000000 + F.lit(0.5)).cast("long").alias("woe_e6"),
+        F.floor(iv * 1000000 + F.lit(0.5)).cast("long").alias("iv_contrib_e6"),
+    ).orderBy("o_orderpriority")

@@ -1128,3 +1128,57 @@ def test_seasonal_backtest_persisted_daily_diamond(spark):
     plan = _plan(spark, "evt_seasonal_naive_backtest")
     assert plan.count("InMemoryTableScan") == 2, plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_target_encode_loo_broadcasts_stats(spark):
+    """feat_target_encode_loo: category stats come back to the fact rows
+    via BROADCAST hash join — never a shuffle join on the 5-key category
+    (skew cliff) and never a window over a 5-partition shuffle."""
+    plan = _plan(spark, "feat_target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_quantile_binning_no_global_window(spark):
+    """feat_quantile_binning: bin assignment must be the broadcast-edges
+    comparison chain — no ntile/Window (single-task collapse at scale)
+    and no shuffle join; the only join is the 1-row edge broadcast."""
+    plan = _plan(spark, "feat_quantile_binning")
+    # no Window ⇒ no ntile (the plan's `percentile` agg contains the
+    # substring "ntile", so match the node kind, not the function name)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cdc_apply_changes_single_key_shuffle(spark):
+    """pipeline_cdc_apply_changes: the ranking window and both per-key
+    audit counts share ONE hashpartitioning(user_id) exchange (subset
+    rule) — the only other exchange is the final presentation sort."""
+    plan = _plan(spark, "pipeline_cdc_apply_changes")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_dq_rule_violations_single_pass_rules(spark):
+    """dq_rule_violations: the four column rules must read the PERSISTED
+    one-row conditional-sum aggregate (6 cache consumers total with the
+    two checked joins), and referential integrity plans as a broadcast
+    anti join, never a nested loop over facts."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "dq_rule_violations")
+    assert plan.count("InMemoryTableScan") == 6, plan
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+
+
+def test_xcorr_lagged_persisted_series_diamond(spark):
+    """evt_xcorr_lagged: both series legs read the persisted daily
+    rollup; the lag expansion is a 7-row broadcast, and the series
+    alignment is a hash equi join."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "evt_xcorr_lagged")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
