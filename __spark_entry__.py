@@ -121,6 +121,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "evt_xcorr_lagged",
     "pipeline_cdc_apply_changes",
     "dq_rule_violations",
+    "evt_survival_km",
+    "stat_crosstab_pairs",
 })
 
 

@@ -2023,3 +2023,37 @@ def agg_bitwise_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("event_id").alias("bor"),
         F.bit_xor("event_id").alias("bxor"),
     )
+
+
+@query(
+    "stat_crosstab_pairs",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS P
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def stat_crosstab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the pandas-style contingency-table API
+    (the `DataFrameStatFunctions` namespace, sibling of freqItems /
+    approxQuantile / sampleBy, which have dedicated keys elsewhere).
+
+    Semantics note: crosstab computes the pair counts DISTRIBUTEDLY
+    (one groupBy over the scan) and materializes only the
+    |levels_a| x |levels_b| table — bounded by construction (15 cells
+    here), the same boundedness contract as `collect_model_artifact`.
+    Column names are data values; the corpus pins them to F/O/P, and
+    the oracle mirrors Spark's `<col1>_<col2>` header convention."""
+    orders = load(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+        F.col("P").cast("long").alias("P"),
+    ).orderBy("o_orderpriority_o_orderstatus")

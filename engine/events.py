@@ -2416,3 +2416,128 @@ def evt_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / den * 10000 + F.lit(0.5)).cast("long"),
         ).alias("xcorr_e4"),
     ).orderBy("lag")
+
+
+
+
+@query(
+    "evt_survival_km",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    seq AS (
+        SELECT user_id, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    gaps AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (epoch_us(nxt) - epoch_us(ts)) // 3600000000
+                    ELSE (epoch_us((SELECT max_ts FROM mx)) - epoch_us(ts))
+                         // 3600000000 END AS d,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM seq
+    ),
+    rollup AS (
+        SELECT CAST(d AS BIGINT) AS d,
+               CAST(SUM(observed) AS BIGINT) AS d_i,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps GROUP BY d
+    ),
+    risk AS (
+        SELECT d, d_i,
+               CAST(SUM(c) OVER (ORDER BY d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM rollup
+    ),
+    km AS (
+        SELECT d, d_i, n_risk,
+               SUM(CASE WHEN d_i > 0 AND d_i < n_risk
+                        THEN LN(1.0 - CAST(d_i AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY d ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lsum
+        FROM risk
+    )
+    SELECT d, n_risk, d_i,
+           CAST(FLOOR(EXP(lsum) * 1000000 + 0.5) AS BIGINT) AS surv_e6
+    FROM km WHERE d_i > 0 AND d_i < n_risk ORDER BY d
+    """,
+)
+def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over TIME-TO-NEXT-EVENT with
+    right censoring — "what fraction of inter-event waits survive past
+    h hours?", the churn-hazard curve behind re-engagement triggers.
+    Each consecutive event pair per user contributes an OBSERVED gap;
+    each user's open-ended final wait (last event → corpus end) is
+    CENSORED: it shrinks the risk set without counting as an event —
+    dropping censored waits (the naive mistake) biases survival low.
+    S(h) = prod_{d<=h}(1 - d_i / n_i) over event gaps d in whole hours.
+
+    (A user-LIFETIME survival framing is vacuous on this corpus — every
+    synthetic user stays active to the final week, so lifetimes are all
+    censored and the curve has zero events; gap survival has ~10k
+    observations and genuine censoring.)
+
+    Exactness: gap hours are exact integer epoch-µs division (both
+    engines truncate toward zero; deltas are non-negative by the LEAD
+    ordering); d_i and the reverse-cumsum risk set are exact BIGINTs;
+    the KM product closes as a RUNNING SUM of ln terms over the gap
+    rollup — a running frame accumulates in row order on both engines,
+    one fixed IEEE chain — then one exp, floor-pinned e6.  The
+    d_i = n_risk corner (the largest gap bucket, everyone at risk
+    exits) is excluded on both sides rather than emitting ln(0).
+
+    Scale shape: ONE shuffle on user_id for the LEAD sequence, then a
+    map-side-combinable rollup to |distinct gap hours| rows — bounded
+    by the corpus time span, so the two unpartitioned running windows
+    (allow-listed) never see event-scale input."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", F.lead("ts").over(w_seq).alias("nxt")
+    ).join(F.broadcast(mx))
+    gaps = seq.select(
+        F.expr(
+            "CASE WHEN nxt IS NOT NULL"
+            " THEN (unix_micros(nxt) - unix_micros(ts)) div 3600000000"
+            " ELSE (unix_micros(max_ts) - unix_micros(ts)) div 3600000000"
+            " END"
+        ).alias("d"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    rollup = gaps.groupBy("d").agg(
+        F.sum("observed").cast("long").alias("d_i"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_desc = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = rollup.select(
+        "d", "d_i", F.sum("c").over(w_desc).cast("long").alias("n_risk")
+    )
+    w_asc = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        (F.col("d_i") > 0) & (F.col("d_i") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d_i").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.select(
+        "d", "d_i", "n_risk", F.sum(term).over(w_asc).alias("lsum")
+    )
+    return (
+        km.where((F.col("d_i") > 0) & (F.col("d_i") < F.col("n_risk")))
+        .select(
+            "d",
+            "n_risk",
+            "d_i",
+            F.floor(F.exp("lsum") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("surv_e6"),
+        )
+        .orderBy("d")
+    )

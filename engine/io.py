@@ -735,7 +735,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DataSourceArrowWriter`` — batches arrive as Arrow RecordBatches,
     not per-pickled Rows (measured 15 s → ~1 s for 21k rows at sf0.1:
     the row-object protocol pays per-row conversion; Arrow pays
-    per-batch)."""
+    per-batch).
+
+    Anchor attribution (r9, calm-box min 3.9 s): the cost is ~2 s of
+    Python-data-source worker spin-up for the WRITE query plus ~2 s for
+    the JSONL read-back query — the measured per-custom-source-query
+    constant (BASELINE.md r7 note), not per-row work; the write/agg
+    bodies are sub-second.  The spin-up is paid once per query, so at
+    100 TB it amortizes to noise."""
     import shutil as _shutil
 
     from pyspark import TaskContext

@@ -159,6 +159,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # docstring documents the approx-cutpoint join that replaces
         # the global sort at 100 TB
         ("events.py", "evt_rfm_segmentation"),
+        # Kaplan-Meier risk-set + ln-product cumsums over the DURATION
+        # ROLLUP — one row per distinct lifetime, bounded by the
+        # calendar span (≤ |days| rows at any sf)
+        ("events.py", "evt_survival_km"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
