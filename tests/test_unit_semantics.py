@@ -609,3 +609,44 @@ def test_kll_quantiles_rank_error_floor(spark):
             qhat = getattr(row, col)
             rank = vals.filter(F.col("value") <= qhat).count() / n
             assert abs(rank - q) <= 0.03, f"{etype} {col}: rank {rank} vs {q}"
+
+
+def test_survival_km_curve_invariants(spark):
+    """evt_survival_km: the KM curve must be a valid survival function —
+    strictly within (0, 1], NON-INCREASING in gap hours, with a
+    positive-event risk set that never grows as d increases, and at
+    least one genuinely censored observation (n_risk at d=0 exceeds the
+    total event count, else the censoring plumbing silently died).
+    Oracle-independent: guards a corpus roll that makes the curve
+    degenerate (the user-lifetime framing was vacuous — 0 rows — on
+    this corpus; this pins the gap framing stays populated)."""
+    rows = engine.QUERIES["evt_survival_km"](spark, SF_DIR).collect()
+    assert len(rows) >= 10, f"KM curve degenerate: {len(rows)} event rows"
+    total_events = sum(r.d_i for r in rows)
+    assert rows[0].n_risk > total_events, "no censored mass in the risk set"
+    prev_s, prev_n = 1_000_001, None
+    for r in rows:
+        assert 0 < r.surv_e6 < prev_s, f"survival not decreasing at d={r.d}"
+        assert 0 < r.d_i < r.n_risk
+        if prev_n is not None:
+            assert r.n_risk < prev_n, f"risk set grew at d={r.d}"
+        prev_s, prev_n = r.surv_e6, r.n_risk
+
+
+def test_quantile_binning_equal_frequency(spark):
+    """feat_quantile_binning: deciles must actually be equal-frequency —
+    10 bins covering every row, each within 2% of N/10 (exact
+    percentile edges can only deviate via ties at an edge), and bin
+    ranges must be disjoint and ordered (max of bin k < min of bin
+    k+1, modulo edge ties sharing a cent)."""
+    rows = engine.QUERIES["feat_quantile_binning"](spark, SF_DIR).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    n_total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n - n_total / 10) <= max(2, 0.02 * n_total / 10), (
+            f"bin {r.bin} holds {r.n} of {n_total}"
+        )
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_cents <= hi.min_cents, (
+            f"bins {lo.bin}/{hi.bin} overlap: {lo.max_cents} > {hi.min_cents}"
+        )
