@@ -103,26 +103,7 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-9 additions (r8's 35 keys all drained to CORRECTNESS_r08)
-    "sketch_theta_distinct",
-    "sketch_theta_setops",
-    "sketch_kll_quantiles",
-    "stream_rocksdb_state_reader",
-    "stream_listener_metrics",
-    "sink_idempotent_partitions",
-    "evt_max_concurrency",
-    "evt_seasonal_naive_backtest",
-    "fn_convert_timezone_buckets",
-    "fn_url_parse_components",
-    "join_spatial_grid",
-    "feat_target_encode_loo",
-    "feat_quantile_binning",
-    "feat_woe_iv",
-    "evt_xcorr_lagged",
-    "pipeline_cdc_apply_changes",
-    "dq_rule_violations",
-    "evt_survival_km",
-    "stat_crosstab_pairs",
+    # round-10 additions (r9's 19 keys all drained to CORRECTNESS_r09)
 })
 
 
