@@ -188,14 +188,16 @@ def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     )
     SELECT o_orderpriority, good, bad,
+           CASE WHEN good > 0 AND bad > 0 THEN
            CAST(FLOOR(LN((CAST(good * b_tot AS DOUBLE))
                          / (CAST(bad * g_tot AS DOUBLE))) * 1000000 + 0.5)
-                AS BIGINT) AS woe_e6,
+                AS BIGINT) END AS woe_e6,
+           CASE WHEN good > 0 AND bad > 0 THEN
            CAST(FLOOR(((CAST(good AS DOUBLE) / g_tot)
                        - (CAST(bad AS DOUBLE) / b_tot))
                       * LN((CAST(good * b_tot AS DOUBLE))
                            / (CAST(bad * g_tot AS DOUBLE)))
-                      * 1000000 + 0.5) AS BIGINT) AS iv_contrib_e6
+                      * 1000000 + 0.5) AS BIGINT) END AS iv_contrib_e6
     FROM tot ORDER BY o_orderpriority
     """,
 )
@@ -240,10 +242,17 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("good").cast("double") / F.col("g_tot")
         - F.col("bad").cast("double") / F.col("b_tot")
     ) * woe
+    # Degenerate-category guard (r9 ADVICE): a category with zero good
+    # or zero bad rows makes ln(0)/x·0 engine-divergent (Spark log
+    # returns NULL, DuckDB LN(0) is -inf); emit NULL on both sides —
+    # the den_sq>0 pattern from evt_autocorr_daily.
+    defined = (F.col("good") > 0) & (F.col("bad") > 0)
     return tot.select(
         "o_orderpriority",
         "good",
         "bad",
-        F.floor(woe * 1000000 + F.lit(0.5)).cast("long").alias("woe_e6"),
-        F.floor(iv * 1000000 + F.lit(0.5)).cast("long").alias("iv_contrib_e6"),
+        F.when(defined, F.floor(woe * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("woe_e6"),
+        F.when(defined, F.floor(iv * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("iv_contrib_e6"),
     ).orderBy("o_orderpriority")

@@ -208,7 +208,15 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_exact",
             "p99_kll",
             "p99_exact",
-            (F.col("p50_kll") - F.col("p50_exact")).alias("p50_abs_err"),
+            # floor-pinned e6 (r9 VERDICT): every declared double in the
+            # repo is pinned; keeps this key upgrade-ready should the
+            # exact audit columns ever gain an oracle twin.
+            F.floor(
+                F.abs(F.col("p50_kll") - F.col("p50_exact")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p50_abs_err_e6"),
         )
         .orderBy("event_type")
     )

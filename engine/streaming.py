@@ -1501,7 +1501,12 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.query_ids = set()
 
         def onQueryStarted(self, event):
-            self.query_ids.add(str(event.id))
+            # Deliberately empty (r9 ADVICE): subscribing here would
+            # capture EVERY query started while the listener is live
+            # (e.g. a parallel pytest session's), polluting the
+            # metrics.  The owner pins query_ids to its own query id
+            # immediately after start() instead.
+            pass
 
         def onQueryProgress(self, event):
             p = event.progress
@@ -1535,6 +1540,7 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
+            cap.query_ids = {str(q.id)}  # scope capture to THIS query
             q.awaitTermination()
         deadline = _time.time() + 15
         while not cap.terminated and _time.time() < deadline:
