@@ -104,6 +104,12 @@ def _bench_times() -> dict[str, float]:
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-10 additions (r9's 19 keys all drained to CORRECTNESS_r09)
+    "dedup_simhash_polyhash",
+    "text_quality_classifier",
+    "join_runtime_bloom",
+    "udf_cogroup_in_pandas",
+    "feat_standard_scaler",
+    "feat_one_hot",
 })
 
 

@@ -68,6 +68,24 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set(key, prev)
 
 
+@contextlib.contextmanager
+def scoped_sql_conf(spark: SparkSession, confs: dict):
+    """Temporarily set runtime SQL confs around an EAGERLY-EXECUTED job
+    (a write, an iterative loop) — the generalization of
+    :func:`scoped_shuffle_partitions`.  Plans that execute AFTER the
+    block see the caller's settings, so any key using this must
+    materialize inside the scope (sink-key shape: write, then return a
+    read-back frame)."""
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 _MODEL_ARTIFACT_MAX_ROWS = 4096
 
 

@@ -30,7 +30,7 @@ provably non-negative; no float SUM ever crosses the hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import query
@@ -256,3 +256,180 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(defined, F.floor(iv * 1000000 + F.lit(0.5)).cast("long"))
         .alias("iv_contrib_e6"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "feat_standard_scaler",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    stats AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT)        AS n,
+               CAST(SUM(bal_cents) AS BIGINT)  AS s1,
+               CAST(SUM(bal_cents * bal_cents) AS BIGINT) AS s2
+        FROM cents GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.bal_cents,
+           CASE WHEN s.n > 1
+                 AND (CAST(s.s2 AS DOUBLE)
+                      - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                     / (s.n - 1) > 0
+           THEN FLOOR((c.bal_cents - CAST(s.s1 AS DOUBLE) / s.n)
+                      / SQRT((CAST(s.s2 AS DOUBLE)
+                              - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                                / s.n)
+                             / (s.n - 1))
+                      * 10000 + 0.5) / 10000
+           END AS z
+    FROM cents c JOIN stats s USING (c_mktsegment)
+    """,
+)
+def feat_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARD SCALER (z-score fit/transform) — the ML-preprocessing
+    shape: FIT is one map-side-combinable groupBy producing per-segment
+    sufficient statistics (n, Σx, Σx²) as exact integers over pinned
+    cents; TRANSFORM broadcasts that |segments|-row artifact back and
+    standardizes each row with pure JVM arithmetic.  Never a window
+    over the fact table (the per-category window shuffles all facts
+    onto |segments| partitions — the feat_target_encode_loo skew note).
+
+    Exactness: the moments are exact longs (Σx² ≤ 1.2e12·n — inside
+    int64 through SF ~10; Σx·Σx is closed in DOUBLE to dodge the ANSI
+    int64 overflow at n ≥ ~3000); mean/var/σ/z are then a FIXED IEEE
+    chain (mul/div/sub/sqrt are all correctly-rounded) — bit-identical
+    across engines, floor-pinned e4 (agg_stats precedent).  Degenerate
+    guard: a constant or singleton segment emits NULL z on both sides.
+
+    Scale: one fact scan + one 5-row broadcast; the transform is
+    embarrassingly map-side.  At 100 TB the fit is the only shuffle and
+    it moves three longs per segment per partition."""
+    cents = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents")
+    )
+    stats = cents.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("bal_cents").alias("s1"),
+        F.sum(F.col("bal_cents") * F.col("bal_cents")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mu = s1d / F.col("n")
+    z = (F.col("bal_cents") - mu) / F.sqrt(var)
+    defined = (F.col("n") > 1) & (var > 0)
+    return (
+        cents.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "bal_cents",
+            F.when(defined, F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
+        )
+    )
+
+
+@query(
+    "feat_one_hot",
+    oracle="""
+    WITH seg_vocab AS (
+        SELECT c_mktsegment AS cat,
+               CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+                   AS idx
+        FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    ),
+    n_seg AS (SELECT CAST(COUNT(*) AS BIGINT) AS offs FROM seg_vocab),
+    nat_vocab AS (
+        SELECT cat,
+               (SELECT offs FROM n_seg)
+               + CAST(DENSE_RANK() OVER (ORDER BY cat) - 1 AS BIGINT) AS idx
+        FROM (SELECT DISTINCT n.n_name AS cat
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    )
+    SELECT c.c_custkey, f.feature, f.idx AS feature_idx,
+           CAST(1 AS BIGINT) AS v
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN seg_vocab s ON c.c_mktsegment = s.cat
+    JOIN nat_vocab nv ON n.n_name = nv.cat,
+    LATERAL (VALUES ('seg=' || c.c_mktsegment, s.idx),
+                    ('nat=' || n.n_name, nv.idx)) AS f(feature, idx)
+    WHERE c.c_custkey % 3 = 0
+    """,
+)
+def feat_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-HOT ENCODER over two categoricals with a shared feature
+    namespace (the sklearn OneHotEncoder fit/transform shape): FIT
+    derives each column's vocabulary from the data (distinct values,
+    alphabetically dense-ranked) and offsets the second column's index
+    space by the first's cardinality; TRANSFORM emits the LONG-FORM
+    (row, feature, feature_idx, 1) encoding — the only formulation that
+    scales (a wide 0/1 matrix materializes |vocab| columns per row and
+    dies at real vocabularies; long form is exactly the sparse COO the
+    trainer wants).
+
+    The dense_rank windows run over the DISTINCT-VALUE frames (5 and
+    ≤25 rows — bounded by construction), never over the fact table; the
+    vocabularies and the offset row broadcast back, so the transform is
+    one fact scan with map-side lookups and the verified output is
+    residue-bounded (c_custkey % 3, oracle-mirrored).  Unseen-category
+    behavior is inner-join drop, matching the oracle."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.orderBy("cat")
+    seg_vocab = (
+        cust.select(F.col("c_mktsegment").alias("cat"))
+        .distinct()
+        .select("cat", (F.dense_rank().over(w) - 1).cast("long").alias("idx"))
+    )
+    n_seg = seg_vocab.agg(F.count("*").alias("offs"))
+    nat_vocab = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("cat"))
+        .distinct()
+        .select("cat", (F.dense_rank().over(w) - 1).cast("long").alias("ridx"))
+        .crossJoin(F.broadcast(n_seg))
+        .select("cat", (F.col("offs") + F.col("ridx")).alias("idx"))
+    )
+    enc = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(seg_vocab.withColumnRenamed("idx", "seg_idx")),
+            F.col("c_mktsegment") == F.col("cat"),
+        )
+        .drop("cat")
+        .join(
+            F.broadcast(nat_vocab.withColumnRenamed("idx", "nat_idx")),
+            F.col("n_name") == F.col("cat"),
+        )
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("seg="), F.col("c_mktsegment")).alias(
+                            "feature"
+                        ),
+                        F.col("seg_idx").alias("feature_idx"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("nat="), F.col("n_name")).alias(
+                            "feature"
+                        ),
+                        F.col("nat_idx").alias("feature_idx"),
+                    ),
+                )
+            ).alias("f"),
+        )
+        .select(
+            "c_custkey",
+            F.col("f.feature").alias("feature"),
+            F.col("f.feature_idx").alias("feature_idx"),
+            F.lit(1).cast("long").alias("v"),
+        )
+    )
+    return enc.where(F.col("c_custkey") % 3 == 0)

@@ -1633,6 +1633,122 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_M31 = (1 << 31) - 1
+_QC_D = 1024  # hashed feature dimension (shared with text_hashing_tf)
+
+
+def _qc_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic 'trained' linear-model weight artifact: one integer
+    weight per hashed feature slot, w(slot) ∈ [-1000, 1000] from the
+    repo's Knuth-multiplier mix — BOUNDED BY CONSTRUCTION (D = 1024
+    rows), generated engine-side with ``spark.range`` (no external
+    file), and always handed to the scorer via broadcast."""
+    return spark.range(_QC_D).select(
+        F.col("id").alias("slot"),
+        (((F.col("id") * 2654435761 + 12345) % _QC_M31) % 2001 - 1000)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH weights AS (
+        SELECT CAST(i AS BIGINT) AS slot,
+               CAST(((i * 2654435761 + 12345) % {_QC_M31}) % 2001 - 1000
+                    AS BIGINT) AS w
+        FROM range({_QC_D}) t(i)
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_transform({_TOKENS_SQL.format(c="text")},
+                   t -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split_regex(t, ''),
+                                                   c -> CAST(ascii(c) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % {_FP_MOD}) % {_QC_D}) AS su
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, f.x['u'] AS u, f.x['b'] AS b
+        FROM tok, UNNEST(list_transform(range(1, len(su) + 1),
+             i -> {{'u': su[CAST(i AS INTEGER)],
+                    'b': CASE WHEN i < len(su)
+                              THEN (su[CAST(i AS INTEGER)] * 31
+                                    + su[CAST(i AS INTEGER) + 1]) % {_QC_D}
+                         END}})) AS f(x)
+    )
+    SELECT feat.doc_id,
+           CAST(COUNT(*) + COUNT(b) AS BIGINT) AS n_features,
+           CAST(SUM(wu.w) + COALESCE(SUM(wb.w), 0) AS BIGINT) AS logit,
+           CAST(CASE WHEN SUM(wu.w) + COALESCE(SUM(wb.w), 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS label
+    FROM feat JOIN weights wu ON feat.u = wu.slot
+              LEFT JOIN weights wb ON feat.b = wb.slot
+    GROUP BY feat.doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER INFERENCE (r9 VERDICT #4) — the standard
+    LLM-pipeline document-filtering stage: a fastText-shaped linear
+    model scores every document from hashed n-gram features (unigram +
+    token-bigram slots in a fixed D = 1024 space, the `text_hashing_tf`
+    trick — no vocabulary pass) against a BROADCAST weight table;
+    logit = Σ_occurrences w(slot), label = logit > 0 (as int).
+
+    Integer-exact end to end: slots are the Karp-Rabin char fold mod D,
+    bigram slot = (uᵢ·31 + uᵢ₊₁) mod D from two lead-free unigram slots
+    (one window lead, no second char fold per bigram), weights are
+    deterministic integers in [-1000, 1000] — no float ever appears, so
+    Spark and DuckDB agree bit-for-bit.
+
+    Scale: the weight table is the canonical broadcast dim (D rows
+    regardless of corpus size; at fastText's D = 2M × 100 classes it
+    would still broadcast at ~MBs) — the per-token frame joins it twice
+    map-side, and the whole key runs ONE exchange: the bigram lead
+    window partitions by doc_id and the final groupBy(doc_id) reuses
+    that HashPartitioning (subset rule).  tests/test_plans.py pins
+    2 broadcast joins and the single shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    u = (
+        F.aggregate(
+            F.split(F.col("tok"), ""),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
+        )
+        % _QC_D
+    )
+    slots = tok.select("doc_id", "pos", u.alias("u"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    feat = slots.select(
+        "doc_id",
+        "u",
+        ((F.col("u") * 31 + F.lead("u", 1).over(w)) % _QC_D).alias("b"),
+    )
+    weights = _qc_weights(spark)
+    wu = F.broadcast(weights.select(F.col("slot").alias("u"), F.col("w").alias("wu")))
+    wb = F.broadcast(weights.select(F.col("slot").alias("b"), F.col("w").alias("wb")))
+    scored = (
+        feat.join(wu, "u")
+        .join(wb, "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + F.count("b")).alias("n_features"),
+            (F.sum("wu") + F.coalesce(F.sum("wb"), F.lit(0))).alias("logit"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "logit",
+        F.when(F.col("logit") > 0, 1).otherwise(0).cast("long").alias("label"),
+    )
+
+
 @query(
     "text_winnowing_fingerprint",
     oracle=f"""

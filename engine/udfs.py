@@ -187,6 +187,115 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_cogroup_in_pandas",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.ts <= p.ts
+                      AND c.ts >= p.ts - INTERVAL 1 HOUR)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.ts <= p.ts
+                      AND c.ts >= p.ts - INTERVAL 1 HOUR)
+                THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
+    FROM p GROUP BY p.user_id
+    """,
+)
+def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas — the two-sided Arrow boundary
+    (``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas``): both
+    relations shuffle on user_id once and each group lands in Python as
+    a PAIR of pandas frames, here driving ``pd.merge_asof`` — the
+    canonical cogroup kernel (per-purchase backward as-of match against
+    that user's clicks within a 1 h tolerance) that plain
+    ``applyInPandas`` cannot express without a pre-join.  Outputs are
+    integer-exact (counts + attributed cents), so the correlated-EXISTS
+    oracle hash-matches bit-for-bit; the only float (value→cents) is
+    floor-pinned JVM-side BEFORE the boundary.
+
+    Scale: the shuffle is the same two-sided hashpartitioning a join
+    would pay; per-group memory is one user's events (bounded by the
+    session model), and the kernel is vectorized numpy/pandas — never
+    per-row Python.  The engine's batch as-of joins (`join_asof`,
+    `join_asof_nearest`) remain the 100 TB default; this key proves the
+    escape hatch for kernels with no DataFrame equivalent."""
+    # Per-side column names MUST be distinct (p_ts / c_ts): both sides
+    # derive from one scan, and with a shared name the analyzer's
+    # attribute dedup + downstream column pruning (any later
+    # select/reorder — e.g. the driver's sorted-column projection)
+    # prunes the right side's 'ts' out from under the Python worker
+    # (KeyError in the kernel; caught by the fresh-default-session
+    # verify, masked by a bare .collect()).
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+
+    def attribute(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            # users with clicks but no purchases emit nothing (the
+            # oracle aggregates purchases only)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_attributed": pd.Series([], dtype="int64"),
+                    "attributed_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        import numpy as np
+
+        p = purch.sort_values("p_ts").reset_index(drop=True)
+        if clk.empty:
+            hit = np.zeros(len(p), dtype=bool)
+        else:
+            merged = pd.merge_asof(
+                p,
+                clk.sort_values("c_ts")[["c_ts"]],
+                left_on="p_ts",
+                right_on="c_ts",
+                direction="backward",
+                tolerance=pd.Timedelta(hours=1),
+            )
+            hit = merged["c_ts"].notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [int(purch["user_id"].iloc[0])],
+                "n_purchases": [len(p)],
+                "n_attributed": [int(hit.sum())],
+                "attributed_cents": [int(p["cents"].to_numpy()[hit].sum())],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema="user_id long, n_purchases long, n_attributed long, "
+            "attributed_cents long",
+        )
+    )
+
+
+@query(
     "udf_map_in_pandas",
     oracle="""
     SELECT event_id,

@@ -113,8 +113,15 @@ def test_parity(key, spark, duck):
             f"serialize them (array_join / to_json / cast-to-int)"
         )
 
-    spark_rows = [tuple(r) for r in df.collect()]
-    spark_cols = df.columns
+    # Collect THROUGH a sorted-column projection — the driver does, and
+    # the projection changes the optimized plan (r10: column pruning
+    # through a self-cogroup dropped the right side's ts and the
+    # Python kernel KeyError'd only under the driver's shape; a bare
+    # collect masked it).  Local green ⇔ driver green requires the
+    # same plan.
+    proj = df.select(*sorted(df.columns))
+    spark_rows = [tuple(r) for r in proj.collect()]
+    spark_cols = proj.columns
 
     if key in engine.ROWS_ONLY:
         assert len(spark_rows) >= 0  # rows-only: executes without error

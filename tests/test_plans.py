@@ -163,6 +163,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # ROLLUP — one row per distinct lifetime, bounded by the
         # calendar span (≤ |days| rows at any sf)
         ("events.py", "evt_survival_km"),
+        # dense_rank over the DISTINCT-VALUE vocabularies (5 segments /
+        # ≤25 nations — bounded by the categorical domains, never the
+        # fact table); the encoder's fact scan is window-free
+        ("features.py", "feat_one_hot"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
@@ -1186,3 +1190,46 @@ def test_xcorr_lagged_persisted_series_diamond(spark):
     assert plan.count("InMemoryTableScan") == 2, plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_broadcast_weights_one_shuffle(spark):
+    """text_quality_classifier: both weight lookups must be broadcast
+    hash joins (the weight artifact never shuffles), and the whole key
+    runs ONE data exchange — the bigram lead window's
+    hashpartitioning(doc_id), which the final groupBy(doc_id) reuses
+    (subset rule)."""
+    plan = _plan(spark, "text_quality_classifier")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_simhash_polyhash_persisted_signature_diamond(spark):
+    """dedup_simhash_polyhash: both sides of the band self-join must
+    read the persisted signature frame (the tokenize→fold→window→32-sum
+    subtree runs once), and candidates come from the band-bucket equi
+    join, never a cartesian."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "dedup_simhash_polyhash")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom: under the key's scoped confs the optimizer
+    must plant the runtime bloom filter (bloom_filter_agg creation-side
+    subquery + might_contain on the fact side) and the join must be the
+    shuffle shape the filter exists for — never a broadcast of the dim
+    (which would make the runtime filter pointless and is disabled in
+    scope)."""
+    from engine.core import scoped_sql_conf
+    from engine.joins import _RUNTIME_BLOOM_CONFS, _runtime_bloom_join
+
+    with scoped_sql_conf(spark, _RUNTIME_BLOOM_CONFS):
+        df = _runtime_bloom_join(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in opt, opt
+    assert "might_contain" in opt, opt
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
