@@ -225,13 +225,19 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-matches bit-for-bit; the only float (value→cents) is
     floor-pinned JVM-side BEFORE the boundary.
 
-    Scale: the shuffle is the same two-sided hashpartitioning a join
-    would pay; per-group memory is one user's events (bounded by the
-    session model), and the kernel is vectorized numpy/pandas — never
-    per-row Python.  The engine's batch as-of joins (`join_asof`,
-    `join_asof_nearest`) remain the 100 TB default; this key proves the
-    escape hatch for kernels with no DataFrame equivalent."""
-    # Per-side column names MUST be distinct (p_ts / c_ts): both sides
+    Scale: the cogroup key is a HASH BUCKET (user_id mod 64), not the
+    raw user_id — per-entity groups mean one Arrow batch pair and one
+    kernel invocation PER USER (10⁸ tiny batches at cluster scale;
+    measured 9 s vs 2.6 s at sf0.1 for the same result), while bucketed
+    cogroup amortizes the boundary to |buckets| invocations and
+    ``merge_asof(by="user_id")`` keeps the per-user semantics VECTORIZED
+    inside each bucket.  The shuffle is the same two-sided
+    hashpartitioning either way.  The engine's batch as-of joins
+    (`join_asof`, `join_asof_nearest`) remain the 100 TB default; this
+    key proves the escape hatch for kernels with no DataFrame
+    equivalent."""
+    # Per-side column names MUST be distinct (p_ts/c_ts, user_id/c_uid —
+    # only the grouping key may repeat): both sides
     # derive from one scan, and with a shared name the analyzer's
     # attribute dedup + downstream column pruning (any later
     # select/reorder — e.g. the driver's sorted-column projection)
@@ -245,12 +251,12 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("c_ts")
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
     )
 
     def attribute(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
         if purch.empty:
-            # users with clicks but no purchases emit nothing (the
+            # buckets with clicks but no purchases emit nothing (the
             # oracle aggregates purchases only)
             return pd.DataFrame(
                 {
@@ -266,27 +272,48 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         if clk.empty:
             hit = np.zeros(len(p), dtype=bool)
         else:
+            # merge_asof sorts on the ON key globally; by="user_id"
+            # scopes each match to its user — one vectorized call for
+            # the whole bucket.
             merged = pd.merge_asof(
                 p,
-                clk.sort_values("c_ts")[["c_ts"]],
+                clk.sort_values("c_ts")[["c_uid", "c_ts"]],
                 left_on="p_ts",
                 right_on="c_ts",
+                left_by="user_id",
+                right_by="c_uid",
                 direction="backward",
                 tolerance=pd.Timedelta(hours=1),
             )
             hit = merged["c_ts"].notna().to_numpy()
-        return pd.DataFrame(
+        out = (
+            p.assign(
+                _hit=hit.astype("int64"),
+                _hc=np.where(hit, p["cents"].to_numpy(), 0),
+            )
+            .groupby("user_id", sort=False)
+            .agg(
+                n_purchases=("cents", "size"),
+                n_attributed=("_hit", "sum"),
+                attributed_cents=("_hc", "sum"),
+            )
+            .reset_index()
+        )
+        return out.astype(
             {
-                "user_id": [int(purch["user_id"].iloc[0])],
-                "n_purchases": [len(p)],
-                "n_attributed": [int(hit.sum())],
-                "attributed_cents": [int(p["cents"].to_numpy()[hit].sum())],
+                "user_id": "int64",
+                "n_purchases": "int64",
+                "n_attributed": "int64",
+                "attributed_cents": "int64",
             }
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.withColumn("bucket", F.col("user_id") % 64)
+        .groupBy("bucket")
+        .cogroup(
+            clicks.withColumn("bucket", F.col("c_uid") % 64).groupBy("bucket")
+        )
         .applyInPandas(
             attribute,
             schema="user_id long, n_purchases long, n_attributed long, "

@@ -1233,3 +1233,13 @@ def test_runtime_bloom_filter_injected(spark):
     assert "might_contain" in opt, opt
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_cogroup_buckets_not_per_user_groups(spark):
+    """udf_cogroup_in_pandas: the cogroup must key on the 64-bucket
+    hash, not raw user_id — per-entity groups mean one Arrow batch pair
+    and one kernel call per user (measured 9 s vs 1.4 s warm at sf0.1).
+    Both sides shuffle once on the bucket."""
+    plan = _plan(spark, "udf_cogroup_in_pandas")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning(bucket") == 2, plan
