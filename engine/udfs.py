@@ -243,7 +243,7 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # select/reorder — e.g. the driver's sorted-column projection)
     # prunes the right side's 'ts' out from under the Python worker
     # (KeyError in the kernel; caught by the fresh-default-session
-    # verify, masked by a bare .collect()).
+    # verify, masked by a projection-free collect).
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
