@@ -110,6 +110,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "udf_cogroup_in_pandas",
     "feat_standard_scaler",
     "feat_one_hot",
+    "dedup_setsim_prefix_filter",
 })
 
 

@@ -1243,3 +1243,14 @@ def test_cogroup_buckets_not_per_user_groups(spark):
     plan = _plan(spark, "udf_cogroup_in_pandas")
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert plan.count("hashpartitioning(bucket") == 2, plan
+
+
+def test_setsim_prefix_filter_broadcast_verify_no_cartesian(spark):
+    """dedup_setsim_prefix_filter: candidates come from the prefix
+    equi-join (never a cartesian), and the exact-intersection verify
+    reads the per-doc array dim via broadcast joins — the pair table
+    never re-explodes to (pair × set) rows through a shuffle."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "dedup_setsim_prefix_filter")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -664,3 +664,17 @@ def test_quantile_binning_equal_frequency(spark):
         assert lo.max_cents <= hi.min_cents, (
             f"bins {lo.bin}/{hi.bin} overlap: {lo.max_cents} > {hi.min_cents}"
         )
+
+
+def test_setsim_prefix_filter_exact_recall(spark):
+    """The prefix-filter set-similarity join is EXACT — every planted
+    near-copy pair (Jaccard ≈ n/(n+2) ≥ 0.8 at ≥ 5 tokens) must appear,
+    all 500/500, unlike the probabilistic MinHash/SimHash floors; and
+    every emitted pair must actually clear the 0.8 gate."""
+    rows = engine.QUERIES["dedup_setsim_prefix_filter"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    missing = [d for d in range(500) if (d, d + 100_000) not in pairs]
+    assert not missing, f"prefix filter dropped planted pairs: {missing[:10]}"
+    assert all(
+        r.n_common * 10 >= 8 * (r.n_a + r.n_b - r.n_common) for r in rows
+    )
