@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "feat_standard_scaler",
     "feat_one_hot",
     "dedup_setsim_prefix_filter",
+    "udf_pandas_window",
 })
 
 

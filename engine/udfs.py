@@ -748,3 +748,53 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bracket")
         .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
     )
+
+
+@query(
+    "udf_pandas_window",
+    oracle="""
+    SELECT event_id, roll_cents FROM (
+        SELECT event_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_cents
+        FROM events
+    ) WHERE event_id % 3 = 0
+    """,
+)
+def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS UDF AS A WINDOW FUNCTION — the third pandas execution
+    path next to grouped-agg and grouped-map (plans as ArrowWindowPython / WindowInPandas):
+    a grouped-agg-shaped UDF evaluated once per row over its BOUNDED
+    window frame, here a 3-row rolling sum of integer cents per user.
+    The frame slice Spark hands the kernel IS the window semantics —
+    the Python side just reduces it, so the SQL-window oracle
+    hash-matches exactly (integer sums; the float→cents pin happens
+    JVM-side before the boundary).
+
+    Scale: the bounded-frame window-Python node ships each frame slice as Arrow
+    batches per partition — cost is O(rows · frame), fine for small
+    fixed frames; unbounded frames degrade to whole-partition transfer,
+    which is why the engine's running sums (win_running_sum) stay
+    JVM-side.  The residue filter bounds verified rows AFTER the
+    window (full-data frames; engine/io.py note)."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def frame_sum(cents: pd.Series) -> int:
+        return int(np.int64(cents.to_numpy().sum()))
+
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    out = ev.select(
+        "event_id", frame_sum(cents).over(w).alias("roll_cents")
+    )
+    return out.filter(F.col("event_id") % 3 == 0)

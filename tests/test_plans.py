@@ -1254,3 +1254,12 @@ def test_setsim_prefix_filter_broadcast_verify_no_cartesian(spark):
     plan = _plan(spark, "dedup_setsim_prefix_filter")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pandas_window_udf_plans_arrow_window(spark):
+    """udf_pandas_window: must plan the dedicated window-Python node
+    (ArrowWindowPython in Spark 4.1; WindowInPandas in older tags) with
+    the bounded row frame — never a whole-partition grouped-map."""
+    plan = _plan(spark, "udf_pandas_window")
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan
