@@ -759,7 +759,7 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS roll_cents
-        FROM events
+        FROM events WHERE user_id % 4 = 0
     ) WHERE event_id % 3 = 0
     """,
 )
@@ -777,15 +777,20 @@ def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches per partition — cost is O(rows · frame), fine for small
     fixed frames; unbounded frames degrade to whole-partition transfer,
     which is why the engine's running sums (win_running_sum) stay
-    JVM-side.  The residue filter bounds verified rows AFTER the
-    window (full-data frames; engine/io.py note)."""
+    JVM-side.  And the node calls Python ONCE PER ROW (a 3-element
+    Series per call — ~4 s for 100k rows at sf0.1), so the key bounds
+    the windowed input by WHOLE USERS (user_id % 4, oracle-mirrored):
+    every kept user's frames stay complete, and the per-row-call cost
+    scales with the audited subset, not the corpus.  The event_id
+    residue still bounds the verified output AFTER the window
+    (engine/io.py note)."""
     import numpy as np
 
     @pandas_udf("long")
     def frame_sum(cents: pd.Series) -> int:
         return int(np.int64(cents.to_numpy().sum()))
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
     from pyspark.sql import Window as W
 
     w = (
