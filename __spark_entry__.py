@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "feat_one_hot",
     "dedup_setsim_prefix_filter",
     "udf_pandas_window",
+    "agg_mann_whitney",
 })
 
 

@@ -2057,3 +2057,141 @@ def stat_crosstab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("long").alias("O"),
         F.col("P").cast("long").alias("P"),
     ).orderBy("o_orderpriority_o_orderstatus")
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH pooled AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               CAST(event_type = 'click' AS INTEGER) AS is1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    roll AS (
+        SELECT c,
+               CAST(SUM(is1) AS BIGINT) AS m1,
+               CAST(COUNT(*) - SUM(is1) AS BIGINT) AS m2,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pooled GROUP BY c
+    ),
+    ranked AS (
+        SELECT *,
+               COALESCE(SUM(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS nbefore
+        FROM roll
+    ),
+    agg AS (
+        SELECT CAST(SUM(m1) AS BIGINT) AS n1,
+               CAST(SUM(m2) AS BIGINT) AS n2,
+               CAST(SUM(m1 * (2 * nbefore + cnt + 1)) AS BIGINT) AS r1_x2,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        FROM ranked
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           tie_cubes,
+           CAST(FLOOR(
+               (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                - CAST(n1 AS DOUBLE) * n2 / 2)
+               / SQRT((CAST(n1 AS DOUBLE) * n2 / 12)
+                      * ((n1 + n2 + 1)
+                         - CAST(tie_cubes AS DOUBLE)
+                           / ((n1 + n2) * (n1 + n2 - 1))))
+               * 1000000 + 0.5) AS BIGINT) AS z_e6
+    FROM agg
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) between click and purchase
+    event values — the nonparametric two-sample location test
+    completing the hypothesis-test family (Welch t, chi-square, KS):
+    no normality assumption, driven entirely by pooled ranks.
+
+    Exact-integer ranks: with values pinned to cents, the doubled
+    average rank of a tie group is 2·(#smaller) + cnt + 1 — an integer
+    — so 2·R₁ = Σ m₁(v)·rank₂(v) and 2·U₁ = 2R₁ − n₁(n₁+1) are exact
+    longs the driver hash-proves (r1_x2 ≤ n₁·2N ≈ 8e9 ≪ 2⁶³), along
+    with the tie-correction power sum Σ(t³−t).  Only the closing
+    normal-approximation z is floating point — one fixed IEEE chain
+    from those integers, floor-pinned e6.
+
+    Scale — the agg_ks_drift two-phase prefix sum: per-value counts
+    shuffle once on the value, within-bucket cumsums partition by
+    bucket (cents div 1024 — value-domain/1024 buckets), cross-bucket
+    offsets take the only unpartitioned window over that BOUNDED
+    rollup, and the final reduce is a 1-row aggregate.  No global
+    sort ever touches the event stream."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    roll = (
+        ev.select(
+            c.alias("c"),
+            (F.col("event_type") == "click").cast("long").alias("is1"),
+        )
+        .groupBy("c")
+        .agg(
+            F.sum("is1").alias("m1"),
+            (F.count("*") - F.sum("is1")).alias("m2"),
+            F.count("*").alias("cnt"),
+        )
+        .select("c", "m1", "m2", "cnt", F.expr("c div 1024").alias("bucket"))
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = roll.select(
+        "bucket",
+        "c",
+        "m1",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("before_l"),
+    ).persist()
+    bk = cum.groupBy("bucket").agg(
+        (F.max(F.col("before_l") + F.col("cnt"))).alias("bsum")
+    )
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = bk.select(
+        "bucket", F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off")
+    )
+    agg = (
+        cum.join(F.broadcast(off), "bucket")
+        .select(
+            "m1",
+            "cnt",
+            (F.col("off") + F.col("before_l")).alias("nbefore"),
+        )
+        .agg(
+            F.sum("m1").alias("n1"),
+            (F.sum("cnt") - F.sum("m1")).alias("n2"),
+            F.sum(
+                F.col("m1") * (2 * F.col("nbefore") + F.col("cnt") + 1)
+            ).alias("r1_x2"),
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias("tie_cubes"),
+        )
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    nn = F.col("n1") + F.col("n2")
+    z = (
+        u1_x2.cast("double") / 2 - n1d * F.col("n2") / 2
+    ) / F.sqrt(
+        (n1d * F.col("n2") / 12)
+        * (
+            (nn + 1)
+            - F.col("tie_cubes").cast("double") / (nn * (nn - 1))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        "tie_cubes",
+        F.floor(z * 1000000 + F.lit(0.5)).cast("long").alias("z_e6"),
+    )

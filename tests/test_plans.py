@@ -167,6 +167,11 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # ≤25 nations — bounded by the categorical domains, never the
         # fact table); the encoder's fact scan is window-free
         ("features.py", "feat_one_hot"),
+        # rank-sum cross-bucket offsets over the BUCKET rollup (cents
+        # div 1024 — value-domain-sized, ~55 rows at any sf); the
+        # per-value cumsum is partitioned by bucket (agg_ks_drift
+        # two-phase prefix-sum pattern)
+        ("aggregates.py", "agg_mann_whitney"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):

@@ -678,3 +678,24 @@ def test_setsim_prefix_filter_exact_recall(spark):
     assert all(
         r.n_common * 10 >= 8 * (r.n_a + r.n_b - r.n_common) for r in rows
     )
+
+
+def test_mann_whitney_matches_bruteforce_pairs(spark):
+    """U from the distributed rank-sum formula must equal the O(n1·n2)
+    brute-force definition U1 = #(a>b) + ties/2 computed in numpy on
+    the same sf0.01 data — proves the two-phase prefix-sum ranking and
+    the tie handling end to end."""
+    import numpy as np
+
+    row = engine.QUERIES["agg_mann_whitney"](spark, SF_DIR).first()
+    ev = load(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pdf = ev.select(cents.alias("c"), "event_type").toPandas()
+    a = pdf.loc[pdf.event_type == "click", "c"].to_numpy()
+    b = pdf.loc[pdf.event_type == "purchase", "c"].to_numpy()
+    wins = (a[:, None] > b[None, :]).sum()
+    ties = (a[:, None] == b[None, :]).sum()
+    assert row.n1 == len(a) and row.n2 == len(b)
+    assert row.u1_x2 == 2 * int(wins) + int(ties)
