@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_setsim_prefix_filter",
     "udf_pandas_window",
     "agg_mann_whitney",
+    "sink_jdbc_roundtrip",
 })
 
 

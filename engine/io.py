@@ -1498,3 +1498,83 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("byte_len"),
         F.md5(F.col("content")).alias("md5_hex"),
     )
+
+
+@query(
+    "sink_jdbc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0 AND l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + source roundtrip against EMBEDDED DERBY (the JDBC
+    jars Spark ships for its Hive metastore double as a real RDBMS) —
+    the relational-database boundary every Spark deployment crosses:
+    write a lineitem sample through the JDBC batch-insert path
+    (explicit VARCHAR column type for the flag — Derby's default
+    string mapping is CLOB, which breaks comparisons), then read it
+    back as a PARALLEL PARTITIONED scan (partitionColumn/numPartitions
+    = 4 → four range-predicate queries, the mechanism that keeps a
+    100 TB JDBC ingest from serializing through one connection) with a
+    quantity predicate PUSHED DOWN into the remote SQL.  The oracle
+    reads the original parquet — equality proves the roundtrip is
+    lossless through Derby's type system and that the pushed filter
+    dropped nothing.
+
+    Embedded Derby is single-JVM — at cluster scale the same code
+    points at a networked RDBMS; the partitioned-read shape and
+    pushdown semantics are identical."""
+    import shutil
+
+    sample = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 11 == 0
+    ).select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    db = _scratch_dir("derby_lineitem")
+    shutil.rmtree(db, ignore_errors=True)
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        sample.write.format("jdbc")
+        .option("url", f"jdbc:derby:{db};create=true")
+        .option("dbtable", "li")
+        .option("driver", driver)
+        .option(
+            "createTableColumnTypes",
+            "l_returnflag VARCHAR(1)",
+        )
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("dbtable", "li")
+        .option("driver", driver)
+        .option("partitionColumn", "l_orderkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "700000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        back.filter(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

@@ -1268,3 +1268,14 @@ def test_pandas_window_udf_plans_arrow_window(spark):
     plan = _plan(spark, "udf_pandas_window")
     assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_jdbc_read_partitioned_and_pushed(spark):
+    """sink_jdbc_roundtrip: the JDBC read-back must be the 4-way
+    partitioned scan (four range queries, not one connection) and the
+    quantity predicate must be pushed into the remote SQL."""
+    plan = _plan(spark, "sink_jdbc_roundtrip")
+    assert "numPartitions=4" in plan, plan
+    assert "PushedFilters" in plan and "LessThan(L_QUANTITY,30" in plan.replace(
+        "l_quantity", "L_QUANTITY"
+    ), plan
