@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "udf_pandas_window",
     "agg_mann_whitney",
     "sink_jdbc_roundtrip",
+    "text_bigram_lm_nll",
 })
 
 

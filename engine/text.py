@@ -1947,3 +1947,98 @@ def text_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("w").cast("int") - n_tokens).alias("n_merges"),
         F.substring("e", 1, 48).alias("sample"),
     )
+
+
+@query(
+    "text_bigram_lm_nll",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, ts[CAST(i AS INTEGER)] AS tok, i AS pos
+        FROM (SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS ts
+              FROM documents) d,
+             UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ),
+    big AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    uni AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM tok GROUP BY tok),
+    bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vs FROM tok)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(-LN(CAST(c12 + 1 AS DOUBLE) / (c1 + vs))
+                                * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_nll_e4,
+           CAST(SUM(CAST(FLOOR(-LN(CAST(c12 + 1 AS DOUBLE) / (c1 + vs))
+                                * 10000 + 0.5) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS avg_nll_e4
+    FROM bg JOIN uni USING (w1) JOIN bic USING (w1, w2) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM (Markov) language-model scoring with add-1 smoothing —
+    the conditional step up from `text_unigram_logprob`: fit
+    p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) on the corpus, score every doc by
+    total and average negative log-likelihood over its bigrams — the
+    perplexity-proxy quality filter in its n-gram form (fluent word
+    ORDER scores low; shuffled or garbled text scores high even when
+    its unigrams are common).
+
+    Determinism: the per-bigram NLL is pinned to integer e4-nats
+    immediately after the single ln (`text_unigram_logprob`
+    discipline) — the per-doc totals are then exact long sums
+    (order-independent across partial aggs) and the average is integer
+    `div` (non-negative → truncation agrees across engines).
+
+    Scale: both model tables are map-side-combinable counts bounded by
+    vocabulary (V and ≤V² rows ≪ corpus) and BROADCAST into the
+    (doc, w₁, w₂) stream — the corpus-sized side never shuffles for
+    the model join; the only corpus shuffle is the bigram window's
+    doc_id exchange, which the per-doc groupBy reuses (subset rule).
+    At web scale the tables get frequency-truncated with <unk>, same
+    shape."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    uni = tok.groupBy(F.col("tok").alias("w1")).agg(F.count("*").alias("c1"))
+    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v = tok.agg(F.countDistinct("tok").alias("vs"))
+    term = F.floor(
+        -F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vs"))
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bg.join(F.broadcast(uni), "w1")
+        .join(F.broadcast(bic), ["w1", "w2"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(term).alias("total_nll_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_nll_e4",
+            F.expr("total_nll_e4 div n_bigrams").cast("long").alias("avg_nll_e4"),
+        )
+    )
