@@ -115,6 +115,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "agg_mann_whitney",
     "sink_jdbc_roundtrip",
     "text_bigram_lm_nll",
+    "evt_holt_linear",
 })
 
 

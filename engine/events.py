@@ -2541,3 +2541,112 @@ def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "evt_holt_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT list_transform(
+                   list_sort(list({'day': day, 'y': y})),
+                   r -> CAST(r.y AS DOUBLE)) AS ys
+        FROM daily
+    ),
+    folded AS (
+        -- state as [l, b, sse]: a LIST accumulator, not a struct —
+        -- DuckDB list_reduce mis-evaluates struct accumulators across
+        -- steps (fields see stale/partial state from step 2 on;
+        -- probed r10), while the homogeneous list fold is exact.
+        SELECT len(ys) AS n_days,
+               list_reduce(
+                   list_prepend([ys[1], ys[2] - ys[1], 0.0],
+                                list_transform(ys[3:], v -> [v])),
+                   (acc, x) -> [
+                       0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                               - acc[1]) + 0.75 * acc[2],
+                       acc[3] + (x[1] - (acc[1] + acc[2]))
+                                * (x[1] - (acc[1] + acc[2]))
+                   ]) AS st
+        FROM series
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(FLOOR(st[1] * 1000000 + 0.5) AS BIGINT) AS level_e6,
+           CAST(FLOOR(st[2] * 1000000 + 0.5) AS BIGINT) AS trend_e6,
+           CAST(FLOOR(st[3] * 100 + 0.5) AS BIGINT) AS sse_e2,
+           CAST(FLOOR((st[1] + st[2]) * 1000000 + 0.5) AS BIGINT)
+               AS forecast_e6
+    FROM folded
+    """,
+)
+def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND exponential smoothing over the daily click
+    series — a COUPLED-STATE RECURRENCE (lₜ, bₜ each depend on both
+    previous states), the class no window frame can express (EWMA's
+    single state unrolls into a weighted window sum —
+    `evt_ewma_integer`; Holt does not).  The Spark-first answer for a
+    BOUNDED series: reduce the corpus to the per-day rollup (calendar-
+    sized by construction), pack it into ONE ordered array, and run
+    the recurrence as an in-array `F.aggregate` fold with a struct
+    accumulator — sequential semantics, zero driver-side iteration,
+    and the corpus-scale work (the daily rollup) stays a one-pass
+    map-side-combinable aggregate.
+
+    α = 1/2, β = 1/4 (dyadic — every smoothing multiply is exact in
+    binary); the fold's float ops run in ONE fixed sequential order on
+    both engines (DuckDB list_reduce mirrors the same struct fold, with
+    state and elements sharing one struct type since its accumulator
+    must match the element type), so level/trend/SSE/one-step forecast
+    pin bit-identically.  Interpreted-HOF cost is |days| lambda evals —
+    nothing (the >200/row rule governs per-ROW folds, not one bounded
+    series).
+
+    At 100 TB: the rollup is still |days| rows; thousands of PARALLEL
+    series (per segment/region) fold independently inside a groupBy —
+    this single-series key is the degenerate case of that shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    series = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda r: r.getField("y").cast("double"),
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    zero = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    rest = F.slice(ys, 3, F.greatest(F.size(ys) - 2, F.lit(0)))
+
+    def step(acc, y):
+        l, b, sse = acc.getField("l"), acc.getField("b"), acc.getField("sse")
+        l_new = y * 0.5 + (l + b) * 0.5
+        return F.struct(
+            l_new.alias("l"),
+            ((l_new - l) * 0.25 + b * 0.75).alias("b"),
+            (sse + (y - (l + b)) * (y - (l + b))).alias("sse"),
+        )
+
+    st = F.aggregate(rest, zero, step)
+    folded = series.select(F.size(ys).cast("long").alias("n_days"), st.alias("st"))
+    l, b, sse = (
+        F.col("st").getField("l"),
+        F.col("st").getField("b"),
+        F.col("st").getField("sse"),
+    )
+    return folded.select(
+        "n_days",
+        F.floor(l * 1000000 + F.lit(0.5)).cast("long").alias("level_e6"),
+        F.floor(b * 1000000 + F.lit(0.5)).cast("long").alias("trend_e6"),
+        F.floor(sse * 100 + F.lit(0.5)).cast("long").alias("sse_e2"),
+        F.floor((l + b) * 1000000 + F.lit(0.5)).cast("long").alias("forecast_e6"),
+    )
