@@ -116,6 +116,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sink_jdbc_roundtrip",
     "text_bigram_lm_nll",
     "evt_holt_linear",
+    "source_glob_filter",
+    "set_union_by_name_evolve",
 })
 
 

@@ -1578,3 +1578,68 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "source_glob_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+)
+def source_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware directory ingestion: stage orders into NESTED
+    per-priority subdirectories (prio=X/part...parquet — a lake layout
+    without Hive-style partition discovery), then read back ONLY the
+    urgent tiers via ``recursiveFileLookup`` + ``pathGlobFilter`` —
+    file-level pruning that never opens the excluded files (the option
+    pair every lake reader leans on when directory layout, not a
+    partition column, encodes the split).  Staged once per corpus via
+    the staged_build_once fingerprint; oracle filters the original
+    parquet by the same priorities — equality proves the glob selected
+    exactly the right files.
+
+    pathGlobFilter matches FILE names (not directories), so the stage
+    embeds the priority tier into each file's name; recursiveFileLookup
+    walks the nesting without partition inference."""
+    from engine.core import staged_build_once
+
+    def build(root: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        for tier in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]:
+            tag = tier.split("-")[0]
+            sub = os.path.join(root, f"prio={tag}")
+            (
+                orders.filter(F.col("o_orderpriority").startswith(tag))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(sub, "_tmp"))
+            )
+            # one deterministic file name per tier, nested one level
+            os.makedirs(sub, exist_ok=True)
+            for f in os.listdir(os.path.join(sub, "_tmp")):
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(sub, "_tmp", f),
+                        os.path.join(sub, f"orders_p{tag}.parquet"),
+                    )
+            import shutil
+
+            shutil.rmtree(os.path.join(sub, "_tmp"), ignore_errors=True)
+
+    root = staged_build_once("spark_graft_io", "glob_orders", sf_dir, build)
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "orders_p[12].parquet")
+        .parquet(root)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("sum_cents"),
+    )

@@ -825,3 +825,57 @@ def sample_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_cents_ppm"),
     )
+
+
+@query(
+    "set_union_by_name_evolve",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_custkey AS id,
+               c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               CAST(NULL AS BIGINT) AS order_cents
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL BY NAME
+        SELECT o_custkey AS id,
+               CAST(NULL AS VARCHAR) AS segment,
+               CAST(NULL AS BIGINT) AS bal_cents,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    """,
+)
+def set_union_by_name_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLVING UNION (`unionByName(allowMissingColumns=True)`)
+    — combining relations whose column sets drifted (an old and a new
+    snapshot of a feed): columns align BY NAME, not position, and each
+    side's missing columns fill with NULL — the safe evolution
+    semantics positional UNION silently corrupts (`set_union_all`
+    would zip mismatched columns together).  Oracle is DuckDB's
+    `UNION ALL BY NAME`, the same semantics; the Spark side passes two
+    genuinely different schemas and lets the API do the padding.
+
+    Scale: a union is plan-level concatenation — no shuffle, no data
+    movement; the NULL padding is a projection on each side."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 53 == 0)
+        .select(
+            F.col("o_custkey").alias("id"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("order_cents"),
+        )
+    )
+    return cust.unionByName(orders, allowMissingColumns=True)
