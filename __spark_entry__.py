@@ -103,21 +103,7 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-10 additions (r9's 19 keys all drained to CORRECTNESS_r09)
-    "dedup_simhash_polyhash",
-    "text_quality_classifier",
-    "join_runtime_bloom",
-    "udf_cogroup_in_pandas",
-    "feat_standard_scaler",
-    "feat_one_hot",
-    "dedup_setsim_prefix_filter",
-    "udf_pandas_window",
-    "agg_mann_whitney",
-    "sink_jdbc_roundtrip",
-    "text_bigram_lm_nll",
-    "evt_holt_linear",
-    "source_glob_filter",
-    "set_union_by_name_evolve",
+    # round-11 additions (r10's 14 keys all drained to CORRECTNESS_r10)
 })
 
 
