@@ -721,9 +721,9 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; prefix extraction is a doc_id window over the already
     doc_id-partitioned frame; candidate volume is bounded by prefix
     bucket sizes (rare shingles — planted copies + hash-collision
-    noise), and the exact-intersection verify joins the persisted
-    shingle table against the BROADCAST candidate set
-    (minhash_near_pairs discipline)."""
+    noise), and the exact-intersection verify broadcasts per-doc
+    shingle arrays for CANDIDATE doc_ids only (left_semi-pruned), so
+    the broadcast scales with |candidates|, not |corpus|."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
@@ -766,16 +766,28 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()  # diamond: feeds the id-prune AND both verify joins
     )
     # Exact-intersection verify via BROADCAST per-doc shingle arrays +
     # array_intersect: the exploded form (shingle table ⋈ candidate set
     # ⋈ shingle table, then a pair groupBy) materializes |pairs|·|set|
     # ≈ 9.4M rows through a shuffle; the array form joins 178k pair rows
-    # against a ~4.5 MB broadcast dim twice and intersects JVM-side in
-    # codegen — the set payload per doc is bounded by doc length, so the
-    # dim broadcasts at any corpus scale where per-doc sets stay small.
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("arr"), F.count("*").alias("n")
+    # against a broadcast dim twice and intersects JVM-side in codegen.
+    # The dim is left_semi-PRUNED to candidate doc_ids first (r10
+    # verdict): an unpruned broadcast grows with CORPUS doc count — a
+    # multi-GB driver killer at 100× — whereas candidate doc_ids are
+    # bounded by true pairs + prefix collisions regardless of corpus
+    # size.  (Beyond ~10M candidate docs the exploded shuffle verify is
+    # the fallback; at every tested scale the pruned dim is ≤ a few MB.)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("arr"), F.count("*").alias("n"))
     )
     out = (
         cand.join(

@@ -2620,9 +2620,15 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ys")
     )
     ys = F.col("ys")
+    # try_element_at, not element_at: ANSI element_at THROWS
+    # INVALID_ARRAY_INDEX on a <2-day series while DuckDB ys[2] yields
+    # NULL — the guarded form makes both engines emit NULL state on a
+    # degenerate corpus (r10 ADVICE).
     zero = F.struct(
-        F.element_at(ys, 1).alias("l"),
-        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+        F.try_element_at(ys, F.lit(1)).alias("l"),
+        (F.try_element_at(ys, F.lit(2)) - F.try_element_at(ys, F.lit(1))).alias(
+            "b"
+        ),
         F.lit(0.0).alias("sse"),
     )
     rest = F.slice(ys, 3, F.greatest(F.size(ys) - 2, F.lit(0)))

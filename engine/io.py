@@ -1544,6 +1544,18 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     db = _scratch_dir("derby_lineitem")
+    # Embedded Derby keeps the DB BOOTED in the JVM after the first run
+    # (r10 ADVICE): rmtree on a live store deletes files the engine
+    # still holds open.  Shut it down first — Derby signals a SUCCESSFUL
+    # shutdown by throwing SQLException 08006, so the except is the
+    # expected path; a "not booted" failure is equally fine.
+    if os.path.isdir(db):
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{db};shutdown=true"
+            )
+        except Exception:
+            pass
     shutil.rmtree(db, ignore_errors=True)
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     (

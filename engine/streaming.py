@@ -1494,34 +1494,43 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_events_dir(spark, sf_dir)
 
     class _Capture(StreamingQueryListener):
+        """Buffers EVERY progress event tagged by query id; the owner
+        filters to its own id at READ time, after awaitTermination.
+        Filtering at delivery time against a set populated post-start()
+        raced a fast availableNow batch whose progress fired in the gap
+        (r10 ADVICE) — buffer-then-filter cannot drop the owner's
+        events, and other keys' concurrent queries are excluded by the
+        read-time id filter instead."""
+
         def __init__(self):
-            self.rows = 0
-            self.state_rows = 0
-            self.terminated = False
-            self.query_ids = set()
+            self.progress = []  # (query_id, numInputRows, max state rows)
+            self.terminated_ids = set()
 
         def onQueryStarted(self, event):
             # Deliberately empty (r9 ADVICE): subscribing here would
             # capture EVERY query started while the listener is live
             # (e.g. a parallel pytest session's), polluting the
-            # metrics.  The owner pins query_ids to its own query id
-            # immediately after start() instead.
+            # metrics.  The read-time filter scopes to the owner's id.
             pass
 
         def onQueryProgress(self, event):
             p = event.progress
-            if str(p.id) not in self.query_ids:
-                return  # another key's concurrent query — not ours
-            self.rows += p.numInputRows
-            for op in p.stateOperators:
-                self.state_rows = max(self.state_rows, op.numRowsTotal)
+            self.progress.append(
+                (
+                    str(p.id),
+                    p.numInputRows,
+                    max(
+                        (op.numRowsTotal for op in p.stateOperators),
+                        default=0,
+                    ),
+                )
+            )
 
         def onQueryIdle(self, event):
             pass
 
         def onQueryTerminated(self, event):
-            if str(event.id) in self.query_ids:
-                self.terminated = True
+            self.terminated_ids.add(str(event.id))
 
     cap = _Capture()
     spark.streams.addListener(cap)
@@ -1540,23 +1549,26 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            cap.query_ids = {str(q.id)}  # scope capture to THIS query
+            qid = str(q.id)
             q.awaitTermination()
         deadline = _time.time() + 15
-        while not cap.terminated and _time.time() < deadline:
+        while qid not in cap.terminated_ids and _time.time() < deadline:
             _time.sleep(0.2)
-        if not cap.terminated:
+        if qid not in cap.terminated_ids:
             raise RuntimeError(
                 "listener never observed QueryTerminatedEvent within 15 s"
             )
     finally:
         spark.streams.removeListener(cap)
+    mine = [e for e in cap.progress if e[0] == qid]
+    total_rows = sum(e[1] for e in mine)
+    state_rows = max((e[2] for e in mine), default=0)
     sink = spark.table(qname)
     clicks = sink.filter(F.col("event_type") == "click").select(
         F.sum("n").cast("long").alias("n_clicks")
     )
     return clicks.select(
-        F.lit(cap.rows).cast("long").alias("n_input_rows"),
-        F.lit(cap.state_rows).cast("long").alias("n_state_rows"),
+        F.lit(total_rows).cast("long").alias("n_input_rows"),
+        F.lit(state_rows).cast("long").alias("n_state_rows"),
         "n_clicks",
     )

@@ -1254,11 +1254,14 @@ def test_setsim_prefix_filter_broadcast_verify_no_cartesian(spark):
     """dedup_setsim_prefix_filter: candidates come from the prefix
     equi-join (never a cartesian), and the exact-intersection verify
     reads the per-doc array dim via broadcast joins — the pair table
-    never re-explodes to (pair × set) rows through a shuffle."""
+    never re-explodes to (pair × set) rows through a shuffle.  The r10
+    verdict fix: the array dim must be LeftSemi-pruned to candidate
+    doc_ids before broadcast (an unpruned dim grows with corpus size)."""
     spark.catalog.clearCache()
     plan = _plan(spark, "dedup_setsim_prefix_filter")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_pandas_window_udf_plans_arrow_window(spark):
