@@ -836,6 +836,179 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash universal-hash family over KR shingles — same (a, b)
+# construction as minhash_near_pairs' local family (one xxhash64-free
+# chain end-to-end so DuckDB can replay it); module-level because the
+# oracle SQL is built at decorator time.
+_MH_A = [(2654435761 * (2 * i + 1)) % _M31 or 1 for i in range(_N_HASHES)]
+_MH_B = [(40503 * i * i + 987654321 + i) % _M31 for i in range(_N_HASHES)]
+
+
+def _mh_band_fold_sql(b: int) -> str:
+    """Base-131 mod-M31 fold of band b's 4 consecutive min-hashes —
+    the integer band key both engines compute bit-identically."""
+    i0, i1, i2, i3 = (b * _BAND_SIZE + j for j in range(4))
+    return (
+        f"((((m{i0} * 131 + m{i1}) % {_M31}) * 131 + m{i2}) % {_M31}"
+        f" * 131 + m{i3}) % {_M31}"
+    )
+
+
+_MH_MINS_SQL = ",\n           ".join(
+    f"MIN((sh * {_MH_A[i]} + {_MH_B[i]}) % {_M31}) AS m{i}"
+    for i in range(_N_HASHES)
+)
+_MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band, {_mh_band_fold_sql(b)} AS band_key FROM mins"
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@query(
+    "dedup_minhash_polyhash",
+    oracle=f"""
+    WITH {_KR_SHINGLES_SQL},
+    mins AS (
+        SELECT doc_id,
+           {_MH_MINS_SQL}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+               AS jac_e6
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE n_common * 2 >= (sa.n + sb.n - n_common)
+    """,
+)
+def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup, HASH-VERIFIED end-to-end (r10
+    VERDICT #4, completing the r10 SimHash precedent): identical
+    16-hash / 4×4-band construction to ``minhash_near_pairs`` with
+    every non-deterministic-across-engines hash replaced by the repo's
+    Karp-Rabin chain — KR 3-token shingles (:func:`_kr_shingles`),
+    min-hashes from the mod-M31 universal family (the `% M` is REQUIRED
+    or banding degenerates to 1-hash LSH — r2 ADVICE), and band keys as
+    a base-131 mod-M31 integer fold of 4 consecutive min-hashes instead
+    of xxhash64-of-concat.  The DuckDB oracle replays the FULL pipeline
+    (shingle → min → band → bucket join → exact-Jaccard verify), so the
+    driver hash-proves candidate generation AND verification; recall vs
+    the planted copies is floor-pinned in tests/test_unit_semantics.py.
+
+    Shuffle discipline (minhash_near_pairs shape): the persisted
+    (doc_id, sh) diamond feeds signatures and both verify sides; the
+    16 mins reduce COLUMNAR in one map-side-combinable groupBy (no 16×
+    row explosion); the band self-join is bucket-local, never
+    all-pairs; the exact-intersection verify joins the shingle table
+    against the BROADCAST bounded candidate set.  ANSI overflow bounds:
+    sh < 2³¹ and a_i < M31 keep a_i·sh + b_i < 2⁶²; band folds stay
+    < 2³⁸ between reductions."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    sh = _kr_shingles(corpus).persist()
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("sh") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_M31))
+            .alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+
+    def band_fold(b: int):
+        i0, i1, i2, i3 = (b * _BAND_SIZE + j for j in range(4))
+        return (
+            (
+                ((F.col(f"m{i0}") * 131 + F.col(f"m{i1}")) % _M31) * 131
+                + F.col(f"m{i2}")
+            )
+            % _M31
+            * 131
+            + F.col(f"m{i3}")
+        ) % _M31
+
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_fold(b) for b in range(_N_HASHES // _BAND_SIZE)])
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.withColumnRenamed("doc_id", "doc_a")
+    sh_b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
+    )
+    inter = (
+        sh_a.join(F.broadcast(cand), "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("sh") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * 2 >= F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jac_e6"),
+        )
+    )
+
+
 _COS_BLOCK = 100
 # The synthetic embeddings are weakly clustered (best cosines ≈ 0.4);
 # a production near-dup gate would sit at ≥ 0.9.

@@ -211,6 +211,23 @@ def test_simhash_polyhash_recall_on_planted_pairs(spark):
     assert all(r.hamming <= 3 for r in rows)
 
 
+def test_minhash_polyhash_recall_on_planted_pairs(spark):
+    """The oracle-able Karp-Rabin MinHash+LSH (dedup_minhash_polyhash)
+    recalls the planted near-copies (d, d+100000) at 499/500 measured —
+    the one miss is doc 74 (8 shingles, J=0.8 after the 2-token append;
+    per-pair miss probability (1-J⁴)⁴ ≈ 0.12 at that length, and this
+    family's fixed draw lands on it, unlike the xxhash sibling's).
+    Floor pinned at 490: a degenerate family (dropped % M31, monotone
+    band fold) collapses recall to ~J·500 or explodes candidates."""
+    rows = engine.QUERIES["dedup_minhash_polyhash"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    recall = sum((d, d + 100_000) in pairs for d in range(500))
+    assert recall >= 490, f"KR MinHash LSH recall collapsed: {recall}/500"
+    assert len(rows) <= 1500, f"candidate explosion: {len(rows)} pairs"
+    # every surfaced pair passed the exact-Jaccard >= 0.5 verify
+    assert all(2 * r.n_common >= r.n_a + r.n_b - r.n_common for r in rows)
+
+
 def test_mm_simhash_bytes_recall_on_planted_payloads(spark):
     """Byte-gram SimHash over binary payloads recalls the planted
     6-bytes-appended copies; measured 457/500 at 12-byte grams — floor
