@@ -105,6 +105,7 @@ def _bench_times() -> dict[str, float]:
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-11 additions (r10's 14 keys all drained to CORRECTNESS_r10)
     "dedup_minhash_polyhash",
+    "sim_ivf_fixed_topk",
 })
 
 

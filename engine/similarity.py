@@ -498,6 +498,125 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+@query(
+    "sim_ivf_fixed_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ec FROM embeddings
+        WHERE vec_id < {_IVF_K}
+    ),
+    ac AS (
+        SELECT e.vec_id, c.cid,
+               FLOOR(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE)
+                                   * CAST(c.ec[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_key
+        FROM embeddings e, cents c, {_DIMS} s
+        GROUP BY e.vec_id, c.cid
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_key DESC, cid ASC) AS crn
+        FROM ac
+    ),
+    inv AS (SELECT vec_id AS neighbor_id, cid AS list_id FROM ranked
+            WHERE crn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS list_id FROM ranked
+               WHERE crn <= {_IVF_PROBES} AND vec_id < 5),
+    cand AS (
+        SELECT p.q_id, i.neighbor_id,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(eq.embedding[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(en.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS ne2
+        FROM probes p
+        JOIN inv i ON i.list_id = p.list_id AND i.neighbor_id <> p.q_id
+        JOIN embeddings eq ON eq.vec_id = p.q_id
+        JOIN embeddings en ON en.vec_id = i.neighbor_id,
+        {_DIMS} s
+        GROUP BY p.q_id, i.neighbor_id
+    ),
+    scored AS (
+        SELECT q_id, neighbor_id,
+               FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000
+                   AS cosine
+        FROM cand
+    )
+    SELECT q_id, neighbor_id, cosine, rn
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF 2-probe ANN with DETERMINISTIC FIXED centroids (the 16
+    lowest-vec_id embeddings) — the hash-verifiable twin of
+    ``sim_ivf_topk`` (r10 VERDICT #7): dropping the Lloyd iterations
+    makes assignment + probe + re-rank pure relational algebra, so the
+    DuckDB oracle replays the ENTIRE index build and search and the
+    driver hash-proves an ANN pipeline end-to-end (candidate
+    generation, list membership, exact re-rank, top-5).
+
+    Assignment ranks centroids on the PINNED 6-decimal cosine with a
+    cid tiebreak (sim_label_knn_accuracy discipline — identical argmax
+    on both engines even where raw doubles differ in the last ulp);
+    each vector's rn=1 centroid is its inverted list, queries probe
+    their rn≤2 lists.  A neighbor lives in exactly ONE list (rn=1), so
+    the probe join cannot duplicate pairs — no distinct needed.
+
+    Scale shape: the 16-row centroid side BROADCASTS to the assignment
+    scan (map-only per vector, one window shuffle on vec_id); the
+    5-query probe side BROADCASTS into the inverted-list join, which
+    touches only the 2 probed lists' occupancy (~2N/K candidates per
+    query), never all-pairs.  The assignment diamond (inverted lists +
+    probes) is persisted with rn≤2 rows only."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    cos_key = F.floor(
+        _dot(F.col("embedding"), F.col("ec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _IVF_PROBES)
+        .persist()  # diamond: feeds inverted lists AND probes
+    )
+    inv = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("cid").alias("list_id"),
+    )
+    probes = ranked.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.col("cid").alias("list_id"),
+    )
+    cos = _dot(F.col("eq"), F.col("e_emb")) / (
+        _norm(F.col("eq")) * _norm(F.col("e_emb"))
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", _fix(cos, 10000).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
 _PQ_M = 8  # subspaces (64 dims / 8)
 _PQ_SUB = 8  # dims per subspace
 _PQ_K = 32  # codewords per subspace

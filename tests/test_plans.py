@@ -1264,6 +1264,20 @@ def test_setsim_prefix_filter_broadcast_verify_no_cartesian(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_ivf_fixed_assignment_broadcast_probe_local(spark):
+    """sim_ivf_fixed_topk: the 16-row centroid side reaches the
+    assignment scan via broadcast (BNLJ for the crossJoin — intended:
+    16 rows/vector, map-side), the probe side joins the inverted lists
+    via BroadcastHashJoin on list_id (bucket-local candidates), and
+    nothing plans a shuffle join or an unbroadcast cartesian."""
+    spark.catalog.clearCache()  # key persists a diamond (print-stability)
+    plan = _plan(spark, "sim_ivf_fixed_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_pandas_window_udf_plans_arrow_window(spark):
     """udf_pandas_window: must plan the dedicated window-Python node
     (ArrowWindowPython in Spark 4.1; WindowInPandas in older tags) with
