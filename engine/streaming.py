@@ -4,12 +4,14 @@ All keys replay the events parquet through ``readStream`` with an
 ``availableNow`` trigger and return the materialized sink as a batch
 DataFrame.  Keys whose drained result is DETERMINISTIC regardless of
 microbatch split (complete-mode aggs, exhaustive dedup, final state)
-carry full DuckDB oracles — the streaming path is hash-verified.  Keys
-whose output depends on the watermark/batch phasing (append-mode late
-drops, stream-stream joins under eviction, rate/offset mechanics) stay
-rows-only; their gate is tests/test_streaming.py, which asserts each
-result equals (or is the watermark-consistent subset of) its batch twin
-from engine.events.
+carry full DuckDB oracles — the streaming path is hash-verified; so do
+keys whose watermark phasing is FIXED by explicit staged mtimes +
+maxFilesPerTrigger (``stream_watermark_late``: the emitted append-mode
+set is a pure function of the staging).  Keys whose output genuinely
+depends on runtime batch boundaries (stream-stream joins under
+eviction, rate/offset mechanics) stay rows-only; their gate is
+tests/test_streaming.py, which asserts each result equals (or is the
+watermark-consistent subset of) its batch twin from engine.events.
 
 100 TB notes: the same code runs against a continuous file/Kafka source
 by swapping the trigger; state stores (window aggs, dedup state) live on
@@ -229,16 +231,35 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_watermark_late",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics on a 4-phase replay: three time-ordered batches
     advance the watermark; a fourth batch replays the FIRST quarter's
     events (late beyond the 1-hour watermark) — they must be dropped.
 
-    Append mode emits only watermark-finalized windows; the test asserts
-    the emitted set equals the batch aggregation of the on-time phases
-    for every window the watermark passed — proving the late replay
-    changed nothing.
+    Append mode emits only watermark-finalized windows — so the drained
+    sink is a PURE FUNCTION of the staging (r11 oracle upgrade, the r8
+    precedent): phases replay oldest-mtime-first with explicit monotone
+    stamps and maxFilesPerTrigger=1, the final watermark is
+    max(on-time ts) − 1h (the late replay never raises it — its events
+    sit a quarter-span below), and the emitted set is exactly the hour
+    windows whose END has been passed by that watermark, counted over
+    the on-time phases (= all original events; phases 0-2 partition the
+    corpus).  The late batch lands entirely below the then-current
+    watermark and is dropped rowwise, so it contributes to no window —
+    which is precisely what the oracle's ignore-the-replay form proves.
+    The ≤-boundary convention is unobservable at µs timestamp
+    precision (max ts on an exact hour boundary).
     """
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     us = F.unix_micros(F.col("ts"))
