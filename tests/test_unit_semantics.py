@@ -716,3 +716,136 @@ def test_mann_whitney_matches_bruteforce_pairs(spark):
     ties = (a[:, None] == b[None, :]).sum()
     assert row.n1 == len(a) and row.n2 == len(b)
     assert row.u1_x2 == 2 * int(wins) + int(ties)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-corpus guards (r10 VERDICT #8): a regenerated/filtered corpus
+# must never create an engine-vs-oracle divergence (ln(0), x/0, ANSI
+# element_at crash) in the ratio/log keys.  One tiny crafted corpus per
+# session exercises each audited edge, and each key is compared against
+# its own DuckDB oracle over that corpus — the same discipline as the
+# sf0.01 parity sweep, on data the real corpus never produces.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("degenerate_sf")
+    con = duckdb.connect()
+    # documents: an EMPTY doc (0 tokens) and a single-token doc — the
+    # unigram-LM edge (c == n → ln(1) = 0; empty doc absent from output).
+    con.execute(f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0::BIGINT, '', 'en', 'web', 0::BIGINT),
+                (1::BIGINT, 'hello', 'en', 'web', 5::BIGINT),
+                (2::BIGINT, 'hello world hello', 'en', 'web', 17::BIGINT)
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    # embeddings: 64-dim, queries 0-4; only labels 0 and 1 have any
+    # candidate — queries 2-4 have ZERO relevant docs (the NDCG
+    # 0-relevance edge: idcg undefined → dropped on BOTH engines).
+    con.execute(f"""
+        COPY (
+            SELECT i AS vec_id,
+                   list_transform(range(1, 65),
+                       x -> CAST((i + 1) * 10 + x % 7 AS FLOAT)) AS embedding,
+                   CAST(CASE WHEN i < 5 THEN i ELSE i - 5 END AS INTEGER)
+                       AS label
+            FROM (SELECT unnest(range(0, 7)) AS i)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    # orders: one 3-row category and one SINGLETON category (n=1 → the
+    # leave-one-out denominator n-1 = 0 → NULL on both engines); all
+    # orderkeys ≡ 0 (mod 37) so every row is inside the verified residue.
+    con.execute(f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0::BIGINT, 1::BIGINT, 'O', 100.10, TIMESTAMP '2024-01-01', 'P-BIG'),
+                (37::BIGINT, 1::BIGINT, 'O', 200.20, TIMESTAMP '2024-01-02', 'P-BIG'),
+                (74::BIGINT, 1::BIGINT, 'O', 300.30, TIMESTAMP '2024-01-03', 'P-BIG'),
+                (111::BIGINT, 1::BIGINT, 'O', 400.40, TIMESTAMP '2024-01-04', 'P-SINGLETON')
+            ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority)
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+    """)
+    # events: exactly ONE click day (plus a filtered-out view) — the
+    # Holt seed edge the r10 ADVICE named: ys[2] must be NULL on both
+    # engines, not an ANSI INVALID_ARRAY_INDEX crash.
+    con.execute(f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (1::BIGINT, TIMESTAMP '2024-03-01 10:00:00', 7::BIGINT,
+                 'click', 1.5, '{{}}'),
+                (2::BIGINT, TIMESTAMP '2024-03-02 11:00:00', 7::BIGINT,
+                 'view', 2.5, '{{}}')
+            ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "evt_holt_linear",
+        "text_unigram_logprob",
+        "sim_ndcg_eval",
+        "feat_target_encode_loo",
+    ],
+)
+def test_degenerate_corpus_parity(key, spark, degenerate_dir):
+    import duckdb
+
+    from tests.test_oracle_parity import _normalize
+
+    df = engine.QUERIES[key](spark, degenerate_dir)
+    proj = df.select(*sorted(df.columns))
+    spark_rows = [tuple(r) for r in proj.collect()]
+
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "orders", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degenerate_dir}/{t}.parquet')"
+        )
+    cur = con.execute(engine.ORACLES[key])
+    duck_cols = [desc[0] for desc in cur.description]
+    duck_rows = cur.fetchall()
+    con.close()
+
+    assert sorted(proj.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{key}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    _, s_norm = _normalize(proj.columns, spark_rows)
+    _, d_norm = _normalize(duck_cols, duck_rows)
+    assert s_norm == d_norm, f"{key}: degenerate-corpus divergence"
+
+
+def test_degenerate_corpus_semantics(spark, degenerate_dir):
+    """Beyond parity: pin the SHAPE each edge must take — NULL Holt
+    trend on a 1-day series, the empty doc absent, zero-relevance
+    queries dropped, singleton-category LOO NULL."""
+    holt = engine.QUERIES["evt_holt_linear"](spark, degenerate_dir).first()
+    assert holt.n_days == 1 and holt.level_e6 == 1_000_000
+    assert holt.trend_e6 is None and holt.forecast_e6 is None
+
+    lp = engine.QUERIES["text_unigram_logprob"](spark, degenerate_dir).collect()
+    assert sorted(r.doc_id for r in lp) == [1, 2]  # empty doc 0 absent
+
+    ndcg = engine.QUERIES["sim_ndcg_eval"](spark, degenerate_dir).collect()
+    assert sorted(r.query_id for r in ndcg) == [0, 1]  # 2-4 dropped
+
+    loo = {
+        r.o_orderkey: r.loo_cents
+        for r in engine.QUERIES["feat_target_encode_loo"](
+            spark, degenerate_dir
+        ).collect()
+    }
+    assert loo[111] is None  # singleton category
+    assert loo[0] == (20020 + 30030) // 2
