@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-11 additions (r10's 14 keys all drained to CORRECTNESS_r10)
     "dedup_minhash_polyhash",
     "sim_ivf_fixed_topk",
+    "dq_schema_profile",
 })
 
 

@@ -2403,3 +2403,128 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checked",
         F.when(F.col("violations") == 0, 1).otherwise(0).cast("int").alias("ok"),
     ).orderBy("rule_id")
+
+
+# dq_schema_profile canonical-form columns: each source column maps to a
+# deterministic VARCHAR canon (integers/cents/epoch-µs as digit strings,
+# strings as-is) so null-rate / exact-distinct / min / max compare
+# bit-identically across engines regardless of float or timestamp
+# formatting.  o_custkey gets PLANTED nulls on the ‰13 orderkey residue
+# (the corpus ships none — the _PII_SQL discipline: make the zero path
+# non-vacuous).
+_DQ_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    (
+        "o_custkey",
+        "CASE WHEN o_orderkey % 13 <> 0 THEN CAST(o_custkey AS VARCHAR) END",
+    ),
+    ("o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+    ),
+    ("o_orderdate", "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_DQ_CANON_SQL = ",\n               ".join(
+    f"{expr} AS c{i}" for i, (_, expr) in enumerate(_DQ_PROFILE_COLS)
+)
+_DQ_AGGS_SQL = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN c{i} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i},"
+    f" CAST(COUNT(DISTINCT c{i}) AS BIGINT) AS nd{i},"
+    f" MIN(c{i}) AS mn{i}, MAX(c{i}) AS mx{i}"
+    for i in range(len(_DQ_PROFILE_COLS))
+)
+_DQ_UNION_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT '{name}' AS column_name, n_rows, nn{i} AS n_nulls,"
+    f" nd{i} AS n_distinct, mn{i} AS min_canon, mx{i} AS max_canon FROM prof"
+    for i, (name, _) in enumerate(_DQ_PROFILE_COLS)
+)
+
+
+@query(
+    "dq_schema_profile",
+    oracle=f"""
+    WITH canon AS (
+        SELECT {_DQ_CANON_SQL}
+        FROM orders
+    ),
+    prof AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {_DQ_AGGS_SQL}
+        FROM canon
+    )
+    SELECT column_name, n_rows, n_nulls, n_distinct, min_canon, max_canon
+    FROM (
+        {_DQ_UNION_SQL}
+    )
+    ORDER BY column_name
+    """,
+)
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column schema/statistics PROFILE of a table — the
+    data-profiling pass every ingestion pipeline runs before accepting
+    a new drop (null rate, exact cardinality, value range per column),
+    emitted as one long-form row per column.
+
+    Shape: every metric for every column reduces in ONE
+    map-side-combinable pass over a single scan (a 6-column × 4-metric
+    agg on canonical VARCHAR forms), and the long form comes from
+    `stack` applied to the single aggregated row — the table never
+    shuffles into a per-column long form first (that would replicate
+    the fact scan 6× through an exchange).  The multi-column exact
+    COUNT(DISTINCT) plans Spark's distinct-expand (agg_multi_distinct
+    precedent) — at 100 TB you'd swap exact distinct for
+    approx_count_distinct per column and the plan collapses to one
+    partial-agg pass; exact is kept here because the oracle must match
+    bit-for-bit.
+
+    Canonical forms make the profile engine-portable: integers and
+    half-up cents and epoch-µs render as digit strings (no float/
+    timestamp formatting divergence), so min/max are memcmp on ASCII —
+    identical in Spark and DuckDB.  o_custkey carries planted nulls
+    (‰13 orderkey residue, oracle-mirrored) so the null-rate path is
+    non-vacuous on a corpus that ships none."""
+    o = load(spark, sf_dir, "orders")
+    canon = o.select(
+        F.col("o_orderkey").cast("string").alias("c0"),
+        F.when(
+            F.col("o_orderkey") % 13 != 0, F.col("o_custkey").cast("string")
+        ).alias("c1"),
+        F.col("o_orderstatus").alias("c2"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("c3"),
+        # o_orderdate loads as TIMESTAMP_NTZ; session tz is UTC, so the
+        # cast is epoch-preserving and matches DuckDB's naive epoch_us.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .cast("string")
+        .alias("c4"),
+        F.col("o_orderpriority").alias("c5"),
+    )
+    n = len(_DQ_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i in range(n):
+        c = F.col(f"c{i}")
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"nn{i}"),
+            F.countDistinct(c).alias(f"nd{i}"),
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+        ]
+    prof = canon.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, (name, _) in enumerate(_DQ_PROFILE_COLS)
+    )
+    return prof.select(
+        F.expr(
+            f"stack({n}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_canon, max_canon)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_canon", "max_canon"
+    ).orderBy("column_name")
