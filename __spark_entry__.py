@@ -107,6 +107,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_minhash_polyhash",
     "sim_ivf_fixed_topk",
     "dq_schema_profile",
+    "feat_robust_scaler",
+    "dedup_incremental_minhash",
 })
 
 

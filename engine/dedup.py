@@ -499,15 +499,12 @@ _SH_SIG_SQL = " + ".join(
 
 
 # Shared Karp-Rabin shingle-set builder (SQL twin of _kr_shingles):
-# planted-copy corpus → per-token char fold mod p₄₀ mod M₃₁ → base-131
+# a corpus CTE → per-token char fold mod p₄₀ mod M₃₁ → base-131
 # 3-token shingle combine → DISTINCT (doc_id, sh).  Used by the
-# polyhash SimHash and the prefix-filter set-similarity join.
-_KR_SHINGLES_SQL = f"""corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + {_COPY_OFFSET}, text || ' zz yy' FROM documents
-    ),
-    tok AS (
+# polyhash SimHash, the prefix-filter set-similarity join, the
+# oracle-able MinHash, and (with its own corpus CTE) the incremental
+# dedup key; _KR_TOK_SH_SQL is the corpus-agnostic suffix.
+_KR_TOK_SH_SQL = f"""tok AS (
         SELECT doc_id,
                list_transform({_TOKENS_SQL.format(c="text")},
                    t -> list_reduce(
@@ -525,6 +522,14 @@ _KR_SHINGLES_SQL = f"""corpus AS (
                      + th[CAST(i AS INTEGER) + 1]) % {_M31}) * 131
                    + th[CAST(i AS INTEGER) + 2]) % {_M31}))) AS s(sh)
     )"""
+
+# The planted-copy corpus instantiation used by the three sibling keys.
+_KR_SHINGLES_SQL = f"""corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET}, text || ' zz yy' FROM documents
+    ),
+    {_KR_TOK_SH_SQL}"""
 
 
 def _kr_shingles(corpus: DataFrame) -> DataFrame:
@@ -864,6 +869,20 @@ _MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
 )
 
 
+def _mh_band_fold(b: int):
+    """Spark twin of :func:`_mh_band_fold_sql` over the m{i} columns."""
+    i0, i1, i2, i3 = (b * _BAND_SIZE + j for j in range(4))
+    return (
+        (
+            ((F.col(f"m{i0}") * 131 + F.col(f"m{i1}")) % _M31) * 131
+            + F.col(f"m{i2}")
+        )
+        % _M31
+        * 131
+        + F.col(f"m{i3}")
+    ) % _M31
+
+
 @query(
     "dedup_minhash_polyhash",
     oracle=f"""
@@ -938,22 +957,10 @@ def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def band_fold(b: int):
-        i0, i1, i2, i3 = (b * _BAND_SIZE + j for j in range(4))
-        return (
-            (
-                ((F.col(f"m{i0}") * 131 + F.col(f"m{i1}")) % _M31) * 131
-                + F.col(f"m{i2}")
-            )
-            % _M31
-            * 131
-            + F.col(f"m{i3}")
-        ) % _M31
-
     bands = mins.select(
         "doc_id",
         F.posexplode(
-            F.array(*[band_fold(b) for b in range(_N_HASHES // _BAND_SIZE)])
+            F.array(*[_mh_band_fold(b) for b in range(_N_HASHES // _BAND_SIZE)])
         ).alias("band", "band_key"),
     )
     a = bands.alias("a")
@@ -1003,6 +1010,170 @@ def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jac_e6"),
+        )
+    )
+
+
+# Incremental batch: near-copies (‰3=0), exact copies (‰3=1), and NOVEL
+# docs (‰3=2, five per-id-unique tokens — true negatives the index must
+# NOT match).  Shared between the Spark plan and the oracle below.
+_INC_BATCH_SQL = f"""corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET},
+               CASE doc_id % 3
+                 WHEN 0 THEN text || ' zz yy'
+                 WHEN 1 THEN text
+                 ELSE 'nv' || doc_id || 'a nv' || doc_id || 'b nv'
+                      || doc_id || 'c nv' || doc_id || 'd nv'
+                      || doc_id || 'e'
+               END
+        FROM documents
+    )"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_INC_BATCH_SQL},
+    {_KR_TOK_SH_SQL},
+    mins AS (
+        SELECT doc_id,
+           {_MH_MINS_SQL}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+        FROM bands b JOIN bands a
+          ON b.band = a.band AND b.band_key = a.band_key
+         AND b.doc_id >= {_COPY_OFFSET} AND a.doc_id < {_COPY_OFFSET}
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.batch_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh sb ON sb.doc_id = c.batch_id
+        JOIN sh sa ON sa.doc_id = c.index_id AND sa.sh = sb.sh
+        GROUP BY 1, 2
+    )
+    SELECT batch_id, index_id, n_common, sb.n AS n_batch, sa.n AS n_index,
+           CAST(n_common * 1000000 // (sb.n + sa.n - n_common) AS BIGINT)
+               AS jac_e6
+    FROM inter JOIN sizes sb ON inter.batch_id = sb.doc_id
+               JOIN sizes sa ON inter.index_id = sa.doc_id
+    WHERE n_common * 2 >= (sb.n + sa.n - n_common)
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the shape that actually runs at
+    100 TB: a NEW BATCH is checked against the EXISTING corpus index
+    without ever re-pairing index×index (already deduped) or paying
+    batch×batch (deferred to the batch's own intra-dedup pass).  The
+    band join is strictly batch-side × index-side, so candidate volume
+    scales with |batch|, not |corpus|² — in production the index-side
+    band table is a PRECOMPUTED stored artifact and each nightly drop
+    joins against it; here both sides derive from one shared shingle
+    scan (the persisted diamond).
+
+    The batch plants all three verdicts: near-copies (‰3=0, 2 appended
+    tokens), exact copies (‰3=1, Jaccard = 1e6 exactly), and novel docs
+    (‰3=2, per-id-unique tokens — true negatives that must survive the
+    exact-Jaccard verify with zero matches).  The full chain is the
+    Karp-Rabin/universal-family construction of ``dedup_minhash_polyhash``,
+    so the DuckDB oracle replays everything and the driver hash-proves
+    the incremental verdicts.  Batch bands BROADCAST into the index
+    band join (|batch| ≪ |index| is the operating regime); the verify
+    joins the persisted shingle table against the broadcast bounded
+    candidate set."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    novel = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("nv"), F.col("doc_id").cast("string"), F.lit(s))
+            for s in "abcde"
+        ],
+    )
+    batch_text = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" zz yy")))
+        .when(F.col("doc_id") % 3 == 1, F.col("text"))
+        .otherwise(novel)
+    )
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            batch_text.alias("text"),
+        )
+    )
+    sh = _kr_shingles(corpus).persist()
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("sh") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_M31))
+            .alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_mh_band_fold(b) for b in range(_N_HASHES // _BAND_SIZE)])
+        ).alias("band", "band_key"),
+    )
+    idx_bands = bands.filter(F.col("doc_id") < _COPY_OFFSET).select(
+        F.col("doc_id").alias("index_id"), "band", "band_key"
+    )
+    batch_bands = bands.filter(F.col("doc_id") >= _COPY_OFFSET).select(
+        F.col("doc_id").alias("batch_id"), "band", "band_key"
+    )
+    cand = (
+        idx_bands.join(F.broadcast(batch_bands), ["band", "band_key"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_b = sh.withColumnRenamed("doc_id", "batch_id")
+    sh_a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")
+    )
+    inter = (
+        sh_b.join(F.broadcast(cand), "batch_id")
+        .join(
+            sh_a,
+            (F.col("index_id") == F.col("a_id")) & (F.col("sh") == F.col("sh_a")),
+        )
+        .groupBy("batch_id", "index_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("batch_id"), F.col("n").alias("n_batch")
+            ),
+            "batch_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("index_id"), F.col("n").alias("n_index")
+            ),
+            "index_id",
+        )
+        .filter(
+            F.col("n_common") * 2
+            >= F.col("n_batch") + F.col("n_index") - F.col("n_common")
+        )
+        .select(
+            "batch_id",
+            "index_id",
+            "n_common",
+            "n_batch",
+            "n_index",
+            F.expr("n_common * 1000000 div (n_batch + n_index - n_common)")
             .cast("long")
             .alias("jac_e6"),
         )

@@ -433,3 +433,78 @@ def feat_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc.where(F.col("c_custkey") % 3 == 0)
+
+
+@query(
+    "feat_robust_scaler",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    stats AS (
+        SELECT o_orderpriority,
+               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY price_cents) AS q1,
+               PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY price_cents) AS med,
+               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY price_cents) AS q3
+        FROM cents GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority, c.price_cents,
+           FLOOR(s.med * 100 + 0.5) / 100 AS med_cents,
+           FLOOR((s.q3 - s.q1) * 100 + 0.5) / 100 AS iqr_cents,
+           CASE WHEN s.q3 > s.q1
+                THEN FLOOR((c.price_cents - s.med) / (s.q3 - s.q1)
+                           * 10000 + 0.5) / 10000
+           END AS robust_z
+    FROM cents c JOIN stats s USING (o_orderpriority)
+    WHERE c.o_orderkey % 23 = 0
+    """,
+)
+def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST SCALER (median/IQR fit + transform) — the outlier-immune
+    sibling of `feat_standard_scaler` (sklearn RobustScaler shape):
+    heavy-tailed value columns (doc lengths, prices, token counts) get
+    scaled by quartiles, which a single planted outlier cannot move,
+    where mean/σ scaling silently explodes.
+
+    FIT computes per-category q1/median/q3 with Spark's EXACT
+    ``percentile`` over pinned integer cents — one sort-based agg per
+    group key, the `feat_quantile_binning`-proven twin of DuckDB's
+    PERCENTILE_CONT (identical (n−1)·q linear interpolation on exact
+    integer inputs); TRANSFORM broadcasts the |priorities|-row stats
+    artifact back over the fact scan and standardizes row-side, never a
+    window over the fact table.  A zero-IQR category (constant values)
+    emits NULL on both engines — the degenerate-guard discipline.
+
+    Scale: one fact scan + one 5-row broadcast; the fit's exact
+    percentile is the only sort, and at 100 TB you'd swap it for
+    approx_percentile with the same downstream algebra.  Verified
+    output is residue-bounded (o_orderkey % 23, oracle-mirrored)."""
+    cents = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    stats = cents.groupBy("o_orderpriority").agg(
+        F.percentile("price_cents", 0.25).alias("q1"),
+        F.percentile("price_cents", 0.5).alias("med"),
+        F.percentile("price_cents", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    z = (F.col("price_cents") - F.col("med")) / iqr
+    return (
+        cents.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("o_orderkey") % 23 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_cents",
+            (F.floor(F.col("med") * 100 + F.lit(0.5)) / 100).alias("med_cents"),
+            (F.floor(iqr * 100 + F.lit(0.5)) / 100).alias("iqr_cents"),
+            F.when(
+                F.col("q3") > F.col("q1"),
+                F.floor(z * 10000 + F.lit(0.5)) / 10000,
+            ).alias("robust_z"),
+        )
+    )

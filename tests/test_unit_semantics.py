@@ -849,3 +849,35 @@ def test_degenerate_corpus_semantics(spark, degenerate_dir):
     }
     assert loo[111] is None  # singleton category
     assert loo[0] == (20020 + 30030) // 2
+
+
+def test_incremental_minhash_verdicts(spark):
+    """dedup_incremental_minhash plants all three verdicts: exact
+    copies (‰3=1) MUST match their parent at jac_e6 = 1000000, novel
+    docs (‰3=2) MUST have zero matches (true negatives through the
+    exact-Jaccard verify), near-copies (‰3=0) recall near the
+    polyhash-LSH rate.  Also pins the incremental join shape's output:
+    every pair is batch-side × index-side (no index×index, no
+    batch×batch)."""
+    rows = engine.QUERIES["dedup_incremental_minhash"](spark, SF_DIR).collect()
+    assert all(r.batch_id >= 100_000 and r.index_id < 100_000 for r in rows)
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    exact_ids = [d for d in range(500) if d % 3 == 1]
+    exact_hits = [
+        r
+        for d in exact_ids
+        for r in by_batch.get(d + 100_000, [])
+        if r.index_id == d
+    ]
+    assert len(exact_hits) == len(exact_ids), "exact copy missed"
+    assert all(r.jac_e6 == 1_000_000 for r in exact_hits)
+    novel_ids = [d + 100_000 for d in range(500) if d % 3 == 2]
+    assert not any(n in by_batch for n in novel_ids), "novel doc matched"
+    near = sum(
+        any(r.index_id == d for r in by_batch.get(d + 100_000, []))
+        for d in range(500)
+        if d % 3 == 0
+    )
+    assert near >= 160, f"near-copy recall collapsed: {near}/167"
