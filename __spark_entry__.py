@@ -109,6 +109,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dq_schema_profile",
     "feat_robust_scaler",
     "dedup_incremental_minhash",
+    "sample_weighted_aes",
+    "evt_twap",
 })
 
 

@@ -2656,3 +2656,92 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(sse * 100 + F.lit(0.5)).cast("long").alias("sse_e2"),
         F.floor((l + b) * 1000000 + F.lit(0.5)).cast("long").alias("forecast_e6"),
     )
+
+
+@query(
+    "evt_twap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us,
+               event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE user_id % 17 = 0
+    ),
+    seg AS (
+        SELECT user_id, day, cents,
+               LEAD(us) OVER (PARTITION BY user_id, day
+                              ORDER BY us, event_id) - us AS dur_us
+        FROM ev
+    ),
+    agg AS (
+        SELECT user_id, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(dur_us) AS BIGINT) AS span_us,
+               CAST(SUM(cents * dur_us) AS BIGINT) AS wsum
+        FROM seg GROUP BY user_id, day
+    )
+    SELECT user_id, day, n_events, span_us,
+           CAST(wsum // span_us AS BIGINT) AS twap_cents
+    FROM agg WHERE span_us > 0
+    """,
+)
+def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average value (TWAP) per user-day — the metric
+    that replaces a plain mean whenever observations persist until the
+    next one (prices, sensor readings, session quality): each event's
+    value is weighted by how long it remained current, i.e. the µs gap
+    to the user's next event that day; the day's last event gets zero
+    weight (nothing follows it inside the window).
+
+    ALL-INTEGER exactness: weights are exact µs longs, values exact
+    cents, the weighted sum Σ(cents·dur) stays ≤ ~8.6e15 per segment
+    (cents ≤ 1e5 × dur ≤ 8.64e10) — inside int64 — and the TWAP is ONE
+    integer division (`div`/`//`, both truncate; operands non-negative
+    → floor).  Equal-timestamp events get a deterministic order
+    (event_id tiebreak in the LEAD) and zero-duration segments weigh
+    nothing, so ties cannot flip the result; single-event days
+    (span 0) are excluded on both engines — the x/0 guard.
+
+    Scale: one shuffle on user_id serves the (user_id, day) window AND
+    the (user_id, day) groupBy (subset rule — the window partitioning
+    is a prefix of the agg keys); the user-residue filter is
+    semantically upfront (TWAP is per-user — dropping users never
+    changes survivors' values) and bounds the verified output."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 17 == 0)
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "day",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dur_us"),
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            "span_us",
+            F.expr("wsum div span_us").cast("long").alias("twap_cents"),
+        )
+    )

@@ -656,6 +656,68 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_weighted_aes",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               CAST(FLOOR(
+                   LN(CAST((o_orderkey * 506952114 + 40503) % 2147483647 + 1
+                           AS DOUBLE) / 2147483648)
+                   / CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * 1000000000 + 0.5) AS BIGINT) AS key_e9
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderkey, price_cents, key_e9,
+               ROW_NUMBER() OVER (ORDER BY key_e9 DESC, o_orderkey ASC) AS rn
+        FROM keyed
+    )
+    SELECT o_orderkey, price_cents, key_e9, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 100
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement via Efraimidis–Spirakis
+    A-ES keys — the distributed answer to "draw k rows with probability
+    proportional to weight, exactly once each": every row gets the key
+    u^(1/w) (equivalently ln(u)/w, monotone for w>0) and the k LARGEST
+    keys ARE the weighted sample — no sequential reservoir, no
+    rejection loop, no RNG state.  u is a deterministic uniform from
+    the repo's universal-hash family ((a·id+b) mod M, +1 over M+1 →
+    (0,1]) — restart-stable and replayed exactly by the oracle; the
+    weight is the order's price in cents.
+
+    Determinism discipline: ln() is the single transcendental — each
+    key is floor-pinned to e9 immediately (text_unigram_logprob
+    precedent), ranking rides the pinned integer with an orderkey
+    tiebreak, and the division's denominator is an exact integer.
+
+    Scale shape: THE selling point — orderBy+limit plans
+    TakeOrderedAndProject (plan-pinned), so every partition keeps only
+    its local top-100 and the driver merges |partitions|·100 rows: a
+    weighted sample of a 100 TB fact table moves ~nothing through the
+    exchange.  The final row_number runs on the 100 surviving rows."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    u = ((F.col("o_orderkey") * 506952114 + 40503) % 2147483647 + 1).cast(
+        "double"
+    ) / F.lit(2147483648.0)
+    key_e9 = F.floor(F.log(u) / cents * 1000000000 + F.lit(0.5)).cast("long")
+    top = (
+        o.select(
+            "o_orderkey",
+            cents.alias("price_cents"),
+            key_e9.alias("key_e9"),
+        )
+        .orderBy(F.desc("key_e9"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("key_e9"), F.asc("o_orderkey"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
 # Poisson(1) CDF scaled to the hash modulus 1_000_003 (thresholds at
 # 1e6 precision): P(W < w) boundaries for the deterministic bootstrap
 # weights below.  Same literals in the Spark CASE and the oracle SQL.

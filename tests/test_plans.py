@@ -1278,6 +1278,22 @@ def test_ivf_fixed_assignment_broadcast_probe_local(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_weighted_aes_plans_take_ordered(spark):
+    """sample_weighted_aes: the k-largest-key selection must plan
+    TakeOrderedAndProject (per-partition partial top-k, driver merge) —
+    never a global sort or a whole-table window."""
+    plan = _plan(spark, "sample_weighted_aes")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_twap_single_exchange(spark):
+    """evt_twap: the (user_id, day) LEAD window and the (user_id, day)
+    groupBy share ONE exchange (subset rule) — the agg's
+    ClusteredDistribution is satisfied by the window's partitioning."""
+    plan = _plan(spark, "evt_twap")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_pandas_window_udf_plans_arrow_window(spark):
     """udf_pandas_window: must plan the dedicated window-Python node
     (ArrowWindowPython in Spark 4.1; WindowInPandas in older tags) with
