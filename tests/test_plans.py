@@ -172,6 +172,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # per-value cumsum is partitioned by bucket (agg_ks_drift
         # two-phase prefix-sum pattern)
         ("aggregates.py", "agg_mann_whitney"),
+        # rank numbering over the post-LIMIT 100-row top-k result (the
+        # corpus-scale selection is the TakeOrderedAndProject above it,
+        # plan-pinned by test_weighted_aes_plans_take_ordered)
+        ("relational.py", "sample_weighted_aes"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
