@@ -1282,6 +1282,50 @@ def test_ivf_fixed_assignment_broadcast_probe_local(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_minhash_polyhash_bucket_join_broadcast_verify(spark):
+    """dedup_minhash_polyhash: the band self-join is a bucket-local
+    equi-join (never cartesian/BNLJ), and the exact-Jaccard verify
+    reads the candidate pair set via broadcast — the shingle table
+    never all-pairs joins itself."""
+    spark.catalog.clearCache()  # persist()-ing key (print-stability)
+    plan = _plan(spark, "dedup_minhash_polyhash")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_minhash_batch_broadcast(spark):
+    """dedup_incremental_minhash: batch-side bands reach the index band
+    join via broadcast (the |batch| ≪ |index| operating regime), no
+    cartesian anywhere, and the verify joins via broadcast candidates."""
+    spark.catalog.clearCache()  # persist()-ing key (print-stability)
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_robust_scaler_broadcast_no_fact_window(spark):
+    """feat_robust_scaler: the quartile stats artifact broadcasts back
+    over the fact scan (BroadcastHashJoin) — never a percentile window
+    over the fact table (zero Window nodes in the plan)."""
+    plan = _plan(spark, "feat_robust_scaler")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dq_profile_two_aggregates_no_fact_longform(spark):
+    """dq_schema_profile: exactly the split shape — the distinct expand
+    (Expand node) lives in its own aggregate, the basic metrics in
+    another, joined as two single-row sides (BNLJ on 1×1 rows is
+    free); the stack generator runs AFTER aggregation (the fact table
+    never explodes into a per-column long form through an exchange)."""
+    plan = _plan(spark, "dq_schema_profile")
+    assert "Expand" in plan, plan
+    assert "Generate stack" in plan, plan
+    # the stack Generate must sit above single-row aggregates, not the
+    # scan: no exchange hash-partitions on a stack output column
+    assert "hashpartitioning(column_name" not in plan, plan
+
+
 def test_weighted_aes_plans_take_ordered(spark):
     """sample_weighted_aes: the k-largest-key selection must plan
     TakeOrderedAndProject (per-partition partial top-k, driver merge) —
