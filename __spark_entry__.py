@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_incremental_minhash",
     "sample_weighted_aes",
     "evt_twap",
+    "source_file_lineage",
 })
 
 

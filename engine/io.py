@@ -1592,6 +1592,39 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_glob_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Nested per-priority layout with one deterministically-named
+    parquet file per tier (prio=X/orders_pX.parquet) — shared by
+    source_glob_filter (glob pruning) and source_file_lineage
+    (_metadata provenance); built once per corpus."""
+    from engine.core import staged_build_once
+
+    def build(root: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        for tier in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]:
+            tag = tier.split("-")[0]
+            sub = os.path.join(root, f"prio={tag}")
+            (
+                orders.filter(F.col("o_orderpriority").startswith(tag))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(sub, "_tmp"))
+            )
+            # one deterministic file name per tier, nested one level
+            os.makedirs(sub, exist_ok=True)
+            for f in os.listdir(os.path.join(sub, "_tmp")):
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(sub, "_tmp", f),
+                        os.path.join(sub, f"orders_p{tag}.parquet"),
+                    )
+            import shutil
+
+            shutil.rmtree(os.path.join(sub, "_tmp"), ignore_errors=True)
+
+    return staged_build_once("spark_graft_io", "glob_orders", sf_dir, build)
+
+
 @query(
     "source_glob_filter",
     oracle="""
@@ -1619,32 +1652,7 @@ def source_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathGlobFilter matches FILE names (not directories), so the stage
     embeds the priority tier into each file's name; recursiveFileLookup
     walks the nesting without partition inference."""
-    from engine.core import staged_build_once
-
-    def build(root: str) -> None:
-        orders = load(spark, sf_dir, "orders")
-        for tier in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]:
-            tag = tier.split("-")[0]
-            sub = os.path.join(root, f"prio={tag}")
-            (
-                orders.filter(F.col("o_orderpriority").startswith(tag))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(sub, "_tmp"))
-            )
-            # one deterministic file name per tier, nested one level
-            os.makedirs(sub, exist_ok=True)
-            for f in os.listdir(os.path.join(sub, "_tmp")):
-                if f.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(sub, "_tmp", f),
-                        os.path.join(sub, f"orders_p{tag}.parquet"),
-                    )
-            import shutil
-
-            shutil.rmtree(os.path.join(sub, "_tmp"), ignore_errors=True)
-
-    root = staged_build_once("spark_graft_io", "glob_orders", sf_dir, build)
+    root = _stage_glob_orders(spark, sf_dir)
     back = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "orders_p[12].parquet")
@@ -1654,4 +1662,58 @@ def source_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .alias("sum_cents"),
+    )
+
+
+@query(
+    "source_file_lineage",
+    oracle="""
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE LINEAGE via the hidden ``_metadata`` column — the
+    provenance surface every lake audit leans on: which FILE did each
+    row come from, and where inside it (``_metadata.file_name`` +
+    ``_metadata.row_index``, Spark's per-file row numbering).  Reads
+    the source_glob_filter staged layout (one deterministically-named
+    parquet file per priority tier, nested one level), derives each
+    row's tier FROM ITS FILE NAME only, and aggregates per tier —
+    counts, exact cents, distinct file count, and the max row_index.
+    The oracle recomputes everything from the o_orderpriority COLUMN of
+    the original table: equality proves the file→row mapping is exact
+    (every row landed in its tier's file and nowhere else) and that
+    row_index numbers 0..n−1 within each single-file tier.
+
+    Scale: ``_metadata`` is populated by the scan itself — zero join,
+    zero shuffle beyond the 5-group agg; at 100 TB this is how
+    quarantine-by-file and per-drop reprocessing stay O(groups), not
+    O(rows), in bookkeeping."""
+    root = _stage_glob_orders(spark, sf_dir)
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(root)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_name"), r"orders_p(\d)", 1)
+            .cast("int")
+            .alias("tier"),
+            F.col("_metadata.row_index").alias("row_index"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("_metadata.file_name").alias("fname"),
+        )
+    )
+    return back.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct("fname").alias("n_files"),
+        F.max("row_index").alias("max_row_index"),
     )
