@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sample_weighted_aes",
     "evt_twap",
     "source_file_lineage",
+    "pipeline_corpus_clean_polyhash",
 })
 
 

@@ -2544,3 +2544,122 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_canon", "max_canon"
     ).orderBy("column_name")
+
+
+def _corpus_clean_oracle() -> str:
+    """DuckDB twin of the corpus-clean pipeline with the KR near-dup
+    stage: 4-way planted corpus → token-count quality gate → md5 exact
+    dedup → KR MinHash near-dup pairs (engine/dedup.py shared CTEs) →
+    one fate label per input doc.  The deduped survivor set is aliased
+    `corpus` so _KR_TOK_SH_SQL (which reads FROM corpus) shingles
+    exactly the rows the Spark plan shingles."""
+    from engine.dedup import _KR_MH_PAIRS_CTES, _KR_TOK_SH_SQL
+    from engine.text import _TOKENS_SQL
+
+    return f"""
+    WITH corpus4 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz yy' FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, 'zz spam' FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, text,
+               len({_TOKENS_SQL.format(c="text")}) < 5 AS lowq
+        FROM corpus4
+    ),
+    fp AS (
+        SELECT doc_id, text, md5(text) AS fp FROM gated WHERE NOT lowq
+    ),
+    rankedq AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+    ),
+    corpus AS (SELECT doc_id, text FROM rankedq WHERE rn = 1),
+    {_KR_TOK_SH_SQL},
+    {_KR_MH_PAIRS_CTES},
+    dropids AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs)
+    SELECT doc_id, status FROM (
+        SELECT doc_id, 'low_quality' AS status FROM gated WHERE lowq
+        UNION ALL
+        SELECT doc_id, 'exact_dup' FROM rankedq WHERE rn > 1
+        UNION ALL
+        SELECT u.doc_id, 'near_dup' FROM corpus u
+        WHERE EXISTS (SELECT 1 FROM dropids d WHERE d.doc_id = u.doc_id)
+        UNION ALL
+        SELECT u.doc_id, 'kept' FROM corpus u
+        WHERE NOT EXISTS (SELECT 1 FROM dropids d WHERE d.doc_id = u.doc_id)
+    )
+    """
+
+
+@query("pipeline_corpus_clean_polyhash", oracle=_corpus_clean_oracle())
+def pipeline_corpus_clean_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORTH-STAR corpus-cleaning pipeline, HASH-VERIFIED
+    end-to-end: identical composition to ``pipeline_corpus_clean``
+    (quality gate → md5 exact dedup → MinHash-LSH near-dup removal →
+    per-doc fate label) with the near-dup stage swapped from the
+    xxhash64 family to the DuckDB-replayable Karp-Rabin chain
+    (engine.dedup.kr_minhash_near_pairs) — so the DuckDB oracle replays
+    EVERY stage, including candidate generation inside the LSH, and the
+    driver hash-proves the complete audit trail (md5 is cross-engine by
+    fn_hash_md5; the token gate and fate unions are pure relational).
+    The xxhash sibling stays registered as the production-flavor
+    rows-only twin; this key is the correctness anchor for the whole
+    pipeline shape.
+
+    Same scale shape as the sibling: per-row gate (no shuffle), 16-byte
+    fingerprint shuffle for exact dedup, bucketed banded LSH (never
+    all-pairs), persisted `uniq` diamond feeding the near-dup stage and
+    both status joins."""
+    from engine.dedup import kr_minhash_near_pairs
+    from engine.text import _tokens
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = (
+        d.unionByName(
+            d.select(
+                (F.col("doc_id") + 100_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 300_000).alias("doc_id"),
+                F.lit("zz spam").alias("text"),
+            )
+        )
+    )
+    gated = raw.withColumn("lowq", F.size(_tokens(F.col("text"))) < 5)
+    low_quality = gated.filter("lowq").select(
+        "doc_id", F.lit("low_quality").alias("status")
+    )
+    fp = gated.filter(~F.col("lowq")).withColumn("fp", F.md5("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    exact_dup = ranked.filter(F.col("rn") > 1).select(
+        "doc_id", F.lit("exact_dup").alias("status")
+    )
+    uniq = (
+        ranked.filter(F.col("rn") == 1).select("doc_id", "text").persist()
+    )
+    pairs = kr_minhash_near_pairs(uniq)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct().persist()
+    near_dup = uniq.join(drop, "doc_id", "left_semi").select(
+        "doc_id", F.lit("near_dup").alias("status")
+    )
+    kept = uniq.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.lit("kept").alias("status")
+    )
+    return (
+        kept.unionByName(near_dup)
+        .unionByName(exact_dup)
+        .unionByName(low_quality)
+    )

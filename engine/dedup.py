@@ -883,11 +883,11 @@ def _mh_band_fold(b: int):
     ) % _M31
 
 
-@query(
-    "dedup_minhash_polyhash",
-    oracle=f"""
-    WITH {_KR_SHINGLES_SQL},
-    mins AS (
+# KR MinHash pair CTEs — consume an `sh` CTE of DISTINCT (doc_id, sh)
+# and yield `mh_pairs` (doc_a, doc_b, n_common, n_a, n_b, exact Jaccard
+# ≥ 0.5).  Shared by dedup_minhash_polyhash and the hash-verified
+# corpus-clean pipeline (engine/composite.py).
+_KR_MH_PAIRS_CTES = f"""mins AS (
         SELECT doc_id,
            {_MH_MINS_SQL}
         FROM sh GROUP BY doc_id
@@ -910,44 +910,24 @@ def _mh_band_fold(b: int):
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
         GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
-           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
-               AS jac_e6
-    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
-               JOIN sizes sb ON inter.doc_b = sb.doc_id
-    WHERE n_common * 2 >= (sa.n + sb.n - n_common)
-    """,
-)
-def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup, HASH-VERIFIED end-to-end (r10
-    VERDICT #4, completing the r10 SimHash precedent): identical
-    16-hash / 4×4-band construction to ``minhash_near_pairs`` with
-    every non-deterministic-across-engines hash replaced by the repo's
-    Karp-Rabin chain — KR 3-token shingles (:func:`_kr_shingles`),
-    min-hashes from the mod-M31 universal family (the `% M` is REQUIRED
-    or banding degenerates to 1-hash LSH — r2 ADVICE), and band keys as
-    a base-131 mod-M31 integer fold of 4 consecutive min-hashes instead
-    of xxhash64-of-concat.  The DuckDB oracle replays the FULL pipeline
-    (shingle → min → band → bucket join → exact-Jaccard verify), so the
-    driver hash-proves candidate generation AND verification; recall vs
-    the planted copies is floor-pinned in tests/test_unit_semantics.py.
+    ),
+    mh_pairs AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+        FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                   JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE n_common * 2 >= (sa.n + sb.n - n_common)
+    )"""
 
-    Shuffle discipline (minhash_near_pairs shape): the persisted
-    (doc_id, sh) diamond feeds signatures and both verify sides; the
-    16 mins reduce COLUMNAR in one map-side-combinable groupBy (no 16×
-    row explosion); the band self-join is bucket-local, never
-    all-pairs; the exact-intersection verify joins the shingle table
-    against the BROADCAST bounded candidate set.  ANSI overflow bounds:
-    sh < 2³¹ and a_i < M31 keep a_i·sh + b_i < 2⁶²; band folds stay
-    < 2³⁸ between reductions."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.select(
-            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
-        )
-    )
+
+def kr_minhash_near_pairs(corpus: DataFrame) -> DataFrame:
+    """Exact-Jaccard ≥ 0.5 near-dup pairs over a (doc_id, text) corpus
+    via the DuckDB-replayable Karp-Rabin MinHash+LSH chain — the
+    hash-verifiable twin of :func:`minhash_near_pairs` (SQL twin:
+    :data:`_KR_MH_PAIRS_CTES` over an `sh` CTE).  Returns (doc_a,
+    doc_b, n_common, n_a, n_b, jac_e6).  Shuffle discipline is the
+    minhash_near_pairs shape: persisted shingle diamond, columnar
+    16-min reduce, bucket-local band self-join, broadcast-candidate
+    exact-intersection verify."""
     sh = _kr_shingles(corpus).persist()
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -1014,6 +994,49 @@ def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jac_e6"),
         )
     )
+
+
+@query(
+    "dedup_minhash_polyhash",
+    oracle=f"""
+    WITH {_KR_SHINGLES_SQL},
+    {_KR_MH_PAIRS_CTES}
+    SELECT doc_a, doc_b, n_common, n_a, n_b,
+           CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT)
+               AS jac_e6
+    FROM mh_pairs
+    """,
+)
+def dedup_minhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup, HASH-VERIFIED end-to-end (r10
+    VERDICT #4, completing the r10 SimHash precedent): identical
+    16-hash / 4×4-band construction to ``minhash_near_pairs`` with
+    every non-deterministic-across-engines hash replaced by the repo's
+    Karp-Rabin chain — KR 3-token shingles (:func:`_kr_shingles`),
+    min-hashes from the mod-M31 universal family (the `% M` is REQUIRED
+    or banding degenerates to 1-hash LSH — r2 ADVICE), and band keys as
+    a base-131 mod-M31 integer fold of 4 consecutive min-hashes instead
+    of xxhash64-of-concat.  The DuckDB oracle replays the FULL pipeline
+    (shingle → min → band → bucket join → exact-Jaccard verify), so the
+    driver hash-proves candidate generation AND verification; recall vs
+    the planted copies is floor-pinned in tests/test_unit_semantics.py.
+
+    Shuffle discipline (minhash_near_pairs shape): the persisted
+    (doc_id, sh) diamond feeds signatures and both verify sides; the
+    16 mins reduce COLUMNAR in one map-side-combinable groupBy (no 16×
+    row explosion); the band self-join is bucket-local, never
+    all-pairs; the exact-intersection verify joins the shingle table
+    against the BROADCAST bounded candidate set.  ANSI overflow bounds:
+    sh < 2³¹ and a_i < M31 keep a_i·sh + b_i < 2⁶²; band folds stay
+    < 2³⁸ between reductions."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    return kr_minhash_near_pairs(corpus)
 
 
 # Incremental batch: near-copies (‰3=0), exact copies (‰3=1), and NOVEL

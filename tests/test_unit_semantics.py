@@ -881,3 +881,28 @@ def test_incremental_minhash_verdicts(spark):
         if d % 3 == 0
     )
     assert near >= 160, f"near-copy recall collapsed: {near}/167"
+
+
+def test_pipeline_corpus_clean_polyhash_stage_attribution(spark):
+    """The hash-verified pipeline twin catches each planted failure
+    mode at ITS stage, like the xxhash sibling — except the KR LSH's
+    known short-doc band-miss tail (dedup_minhash_polyhash recall
+    499/500), so the near-dup planting gets a floor instead of
+    all-500: every +100000 doc is near_dup or (rarely) kept, ≥490
+    near_dup."""
+    rows = engine.QUERIES["pipeline_corpus_clean_polyhash"](
+        spark, SF_DIR
+    ).collect()
+    status = {r.doc_id: r.status for r in rows}
+    originals = [d for d in status if d < 100_000]
+    assert len(status) == 4 * len(originals)  # every input doc labeled
+    assert all(status[d + 300_000] == "low_quality" for d in originals)
+    assert all(status[d + 200_000] == "exact_dup" for d in originals)
+    near = sum(status[d + 100_000] == "near_dup" for d in originals)
+    assert near >= 490, f"KR near-dup stage collapsed: {near}/500"
+    assert all(
+        status[d + 100_000] in ("near_dup", "kept") for d in originals
+    )
+    assert all(status[d] in ("kept", "near_dup") for d in originals)
+    kept = sum(status[d] == "kept" for d in originals)
+    assert kept >= 0.75 * len(originals), f"only {kept} originals kept"
