@@ -534,8 +534,11 @@ _KR_SHINGLES_SQL = f"""corpus AS (
 
 def _kr_shingles(corpus: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, sh) Karp-Rabin 3-token shingle hashes — the
-    DuckDB-expressible feature set behind `dedup_simhash_polyhash` and
-    `dedup_setsim_prefix_filter` (SQL twin: :data:`_KR_SHINGLES_SQL`).
+    DuckDB-expressible feature set behind the whole hash-verified
+    near-dup family: `dedup_simhash_polyhash`,
+    `dedup_setsim_prefix_filter`, `dedup_minhash_polyhash`,
+    `dedup_incremental_minhash`, and `pipeline_corpus_clean_polyhash`
+    (corpus-agnostic SQL twin: :data:`_KR_TOK_SH_SQL`).
 
     Shingle hashing is ONE char fold per exploded token (~6 interpreted
     lambda evals each — never a per-shingle fold over the 3-token
