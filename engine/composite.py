@@ -278,7 +278,10 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 1 — quality gate: ≥ 5 tokens (per-row, no shuffle).
     n_toks = F.size(_tokens(F.col("text")))
-    gated = raw.withColumn("lowq", n_toks < 5)
+    # gated feeds BOTH the low_quality status and the dedup path — the
+    # 4-way union + tokenize re-derived per consumer without persist
+    # (measured ~1 s at sf0.1 on the KR twin; same diamond here).
+    gated = raw.withColumn("lowq", n_toks < 5).persist()
     low_quality = gated.filter("lowq").select(
         "doc_id", F.lit("low_quality").alias("status")
     )
@@ -2637,7 +2640,9 @@ def pipeline_corpus_clean_polyhash(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
     )
-    gated = raw.withColumn("lowq", F.size(_tokens(F.col("text"))) < 5)
+    # gated diamond (low_quality + dedup path): persist saves the
+    # re-derived 4-way union + tokenize (5.15 → 3.8 s warm at sf0.1).
+    gated = raw.withColumn("lowq", F.size(_tokens(F.col("text"))) < 5).persist()
     low_quality = gated.filter("lowq").select(
         "doc_id", F.lit("low_quality").alias("status")
     )
