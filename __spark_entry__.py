@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "evt_twap",
     "source_file_lineage",
     "pipeline_corpus_clean_polyhash",
+    "sink_analyze_stats",
 })
 
 

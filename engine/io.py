@@ -1717,3 +1717,89 @@ def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fname").alias("n_files"),
         F.max("row_index").alias("max_row_index"),
     )
+
+
+@query(
+    "sink_analyze_stats",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM lineitem WHERE l_orderkey % 5 = 0
+    )
+    SELECT column_name, stat, value FROM (
+        SELECT 'qty' AS column_name, 'min' AS stat,
+               CAST(MIN(qty) AS VARCHAR) AS value FROM src
+        UNION ALL
+        SELECT 'qty', 'max', CAST(MAX(qty) AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'qty', 'num_nulls',
+               CAST(COUNT(*) - COUNT(qty) AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'price_cents', 'min',
+               CAST(MIN(price_cents) AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'price_cents', 'max',
+               CAST(MAX(price_cents) AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'price_cents', 'num_nulls',
+               CAST(COUNT(*) - COUNT(price_cents) AS VARCHAR) FROM src
+    )
+    """,
+)
+def sink_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG STATISTICS lifecycle — the cost-based-optimizer input
+    surface: CTAS a managed table, run ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS``, and read the stored column statistics
+    BACK THROUGH THE CATALOG (``DESCRIBE EXTENDED table col`` as a
+    DataFrame — no paths, no collect), emitting (column, stat, value)
+    long-form for the EXACT stats: min, max, num_nulls.  The oracle
+    recomputes those from the source rows — equality proves the
+    analyze job scanned exactly the written table and the catalog
+    round-trips the values losslessly.  ``distinct_count`` is
+    deliberately excluded: ANALYZE stores an HLL++ APPROXIMATION
+    (measured 93 for 100 distinct) — asserting it against an exact
+    oracle would be wrong by design.
+
+    Scale: ANALYZE is one map-side-combinable stats pass (the same
+    partial-agg shape as agg_global) whose output is O(columns), and
+    it is what makes CBO join reordering / broadcast decisions real on
+    a 100 TB warehouse — stats-less catalogs force rule-only planning.
+    The stats fetch is O(1) catalog metadata."""
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    tbl = "graft_stats_lineitem"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    leftover = os.path.join(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path, tbl
+    )
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+    (
+        li.select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS qty, price_cents")
+    stats = None
+    for col in ["qty", "price_cents"]:
+        d = (
+            spark.sql(f"DESCRIBE EXTENDED {tbl} {col}")
+            .filter(F.col("info_name").isin("min", "max", "num_nulls"))
+            .select(
+                F.lit(col).alias("column_name"),
+                F.col("info_name").alias("stat"),
+                F.col("info_value").alias("value"),
+            )
+        )
+        stats = d if stats is None else stats.unionByName(d)
+    return stats
