@@ -906,3 +906,48 @@ def test_pipeline_corpus_clean_polyhash_stage_attribution(spark):
     assert all(status[d] in ("kept", "near_dup") for d in originals)
     kept = sum(status[d] == "kept" for d in originals)
     assert kept >= 0.75 * len(originals), f"only {kept} originals kept"
+
+
+@_hyp
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_kr_shingles_match_python_reference(spark, toks):
+    """The Karp-Rabin shingle chain (engine.dedup._kr_shingles) must
+    equal a direct Python evaluation of its published definition —
+    per-token char fold (h*31+ord(c)) mod p40, reduced mod M31, then
+    base-131 3-token combine mod M31, distinct.  Five hash-verified
+    keys (simhash/minhash/setsim/incremental/pipeline polyhash) and
+    their DuckDB twins all assume exactly these constants; a silent
+    drift in either engine implementation breaks them as a family."""
+    from engine.dedup import _FP_MOD, _M31, _kr_shingles
+
+    text = " ".join(toks)
+    # mirror engine.text._tokens: lower + split on single spaces,
+    # dropping empties (generated tokens are non-empty, no spaces)
+    norm = [t.lower() for t in text.split(" ") if t]
+
+    def fold(tok):
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % _FP_MOD
+        return h % _M31
+
+    th = [fold(t) for t in norm]
+    expected = {
+        (((th[i] * 131 + th[i + 1]) % _M31) * 131 + th[i + 2]) % _M31
+        for i in range(len(th) - 2)
+    }
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.sh for r in _kr_shingles(corpus).collect()}
+    assert got == expected, f"KR drift: {got ^ expected}"
