@@ -159,7 +159,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.floor((F.sum(promo)) * 100 + F.lit(0.5)) / 100).alias("promo_revenue"),
             (F.floor((F.sum(revenue)) * 100 + F.lit(0.5)) / 100).alias("total_revenue"),

@@ -11,11 +11,19 @@ README.md:1-2) has no code; shapes follow the public TPC-H spec (Q3/Q5),
 adapted to the driver corpus schema (no shippriority column; synthetic
 NATION_*/region names; dates 1995-2001).
 
-100 TB notes: both composite plans keep every dim-side join broadcast
-(region/nation/customer/supplier are the small sides) so only the
-orders⋈lineitem fact join shuffles; revenue is summed in exact integer
-cents (map-side partial agg, no float drift); the top-k compiles to
-TakeOrderedAndProject, never a global sort.
+100 TB notes — broadcast-hint policy (r11 audit, extending the r10
+setsim finding to the whole module): a hard ``F.broadcast()`` FORCES
+the build side regardless of size, so the hint is reserved for sides
+bounded BY CONSTRUCTION — region (5 rows), nation (25), single-row
+scalars, aggregated artifacts.  customer/supplier/part and their
+pruned derivatives grow LINEARLY with scale factor (customer is ~15 GB
+at SF 100k); they carry NO hint — at bench scale Spark's size-based
+auto-broadcast (10 MB default) + AQE picks the same broadcast plans
+the hints used to force (the plan tests now pin that stats-driven
+choice), while at 100 TB the same code degrades safely to shuffle
+joins instead of OOMing the driver.  Revenue is summed in exact
+integer cents (map-side partial agg, no float drift); top-k compiles
+to TakeOrderedAndProject, never a global sort.
 """
 
 from __future__ import annotations
@@ -77,7 +85,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(F.sum(revenue).alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
@@ -126,13 +134,13 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -185,7 +193,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -215,7 +223,7 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_custkey"
     )
     sketches = seg.groupBy("c_mktsegment").agg(
@@ -502,7 +510,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("promo_cents")
     total = F.sum(rev).alias("total_cents")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.date_trunc("month", F.col("l_shipdate"))
             .cast("date")
@@ -551,7 +559,7 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single global aggregate, exact cents."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     cond = (
         (
@@ -712,11 +720,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "cust_nation")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        s, F.col("l_suppkey") == F.col("s_suppkey")
     )
     directed = (
         (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
@@ -776,8 +784,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -1231,7 +1239,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("mx")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return top.join(
-        F.broadcast(s), top.l_suppkey == s.s_suppkey
+        s, top.l_suppkey == s.s_suppkey
     ).select("s_suppkey", "s_name", "total_revenue_cents")
 
 
@@ -1281,7 +1289,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
             F.floor("l_quantity").cast("long").alias("q"),
@@ -1381,13 +1389,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     )
     li = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_orderkey",
             "supp_nation",
@@ -1564,7 +1572,7 @@ def tpch_q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        qualifying.join(s, qualifying.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1709,7 +1717,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(eu.select("s_suppkey")),
+            eu.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("pc"))
@@ -1727,8 +1735,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
     ).select("p_partkey")
     return (
-        cheapest.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        cheapest.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("acctbal_cents", "s_name", "n_name", "p_partkey", "cost_cents")
         .orderBy(
             F.desc("acctbal_cents"),
@@ -1792,8 +1800,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost_c = _cents(F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
     li = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "nation", (rev_c - cost_c).alias("profit_c"))
     )
     return (
@@ -1847,7 +1855,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
         .persist()
@@ -1901,8 +1909,8 @@ def tpch_q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFr
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
     )
     return bridge.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
@@ -1958,7 +1966,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", F.floor("l_quantity").cast("long").alias("qi"))
     )
     sp = (
@@ -1980,7 +1988,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
     )
     return (
-        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "acctbal_cents")
         .orderBy(F.asc("s_name"))
     )
