@@ -1314,14 +1314,17 @@ def join_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     checks = [
         orphans(li, "l_orderkey", o, "o_orderkey", "lineitem"),
+        # part/supplier/customer are SF-LINEAR: no hard broadcast hint
+        # (r11 policy, engine/composite.py module docstring) — stats
+        # pick broadcast locally, shuffle anti-join at warehouse scale.
         orphans(li, "l_partkey",
-                F.broadcast(load(spark, sf_dir, "part")), "p_partkey",
+                load(spark, sf_dir, "part"), "p_partkey",
                 "lineitem"),
         orphans(li, "l_suppkey",
-                F.broadcast(load(spark, sf_dir, "supplier")), "s_suppkey",
+                load(spark, sf_dir, "supplier"), "s_suppkey",
                 "lineitem"),
         orphans(o, "o_custkey",
-                F.broadcast(load(spark, sf_dir, "customer")), "c_custkey",
+                load(spark, sf_dir, "customer"), "c_custkey",
                 "orders"),
     ]
     out = checks[0]

@@ -442,7 +442,9 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-linear: stats-driven broadcast locally, no
+        # forced hint (r11 policy, engine/composite.py docstring).
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
