@@ -1735,8 +1735,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
     ).select("p_partkey")
     return (
-        cheapest.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        # POLICY EXCEPTION (r11 broadcast audit, module docstring): q2
+        # keeps hard hints so the one-exchange shared-partitioning
+        # demonstration (plan-pinned) stays deterministic — static
+        # estimates on the derived eu/p sides would otherwise plan SMJ
+        # that AQE re-converts at runtime.  At warehouse scale these
+        # hints come off with the rest of the SF-linear sides.
+        cheapest.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("acctbal_cents", "s_name", "n_name", "p_partkey", "cost_cents")
         .orderBy(
             F.desc("acctbal_cents"),
