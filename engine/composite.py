@@ -697,34 +697,59 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per (supplier nation, customer nation, ship year) restricted
     to the two directed pairs between NATION_1 and NATION_2.
 
-    Plan shape that must survive 100 TB: both nation filters are pushed
-    INTO the dims before any fact join — supplier shrinks to ~2/25 and
-    broadcasts into lineitem (~8% of the fact survives the first probe),
-    customer shrinks to ~2/25 and broadcasts into orders (~8% survive)
-    — so the only shuffle, lineitem⋈orders on orderkey, moves two
-    already-decimated sides.  The directed-pair disjunction runs as a
-    residual over that join's output, not a post-aggregate filter.
-    Joining unfiltered facts first and filtering nations last would
-    shuffle 12.5× the data for identical output."""
+    Plan shape that must survive 100 TB: both nation filters prune the
+    dims BEFORE any fact join via LEFT SEMI against the broadcast
+    bounded nation subset — the semi keeps the dim's FILE-BACKED size
+    estimate (SizeInBytes of a semi join = the left side), so the
+    pruned supplier/customer probes broadcast STATICALLY from stats
+    with no hard hint on an SF-linear side (the r11 hint-audit shape:
+    the first cut joined nation names INTO the dims, whose derived
+    estimate blew the threshold and cost an AQE shuffle-write
+    conversion — measured 1.38 s vs 0.55 s for this form at sf0.1,
+    also beating the old force-hinted 0.70 s on narrower payloads).
+    Nation NAMES attach after the fact join via two bounded broadcast
+    lookups; the directed-pair disjunction runs as a residual there.
+    The only shuffle, lineitem⋈orders on orderkey, moves two
+    already-decimated sides (~8% each)."""
     pair = ("NATION_1", "NATION_2")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
-    s = (
+    sp = (
         load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_nationkey")
     )
-    c = (
+    cp = (
         load(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .join(
+            F.broadcast(n),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
     )
     o = (
         load(spark, sf_dir, "orders")
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "cust_nation")
+        .join(cp, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        s, F.col("l_suppkey") == F.col("s_suppkey")
+        sp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
     directed = (
         (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
@@ -732,6 +757,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
         .filter(directed)
         .groupBy(
             "supp_nation",
@@ -1353,20 +1380,19 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nation_cents * 10000 div total_cents`` over per-row floor-pinned
     cents — alongside both exact operands.
 
-    Scale: every dim side broadcasts (part is pruned to one type,
-    supplier/customer join their nation dims map-side); the only
-    shuffles are lineitem⋈orders on orderkey and the final tiny
-    groupBy(year).  Dim filters reach the scans (type/region pruned
-    before the fact join, not after)."""
+    Scale: every dim side broadcasts (part is pruned to one type;
+    lineitem probes the RAW supplier scan — file-backed stats, static
+    broadcast, no hint — and the supplier NATION NAME attaches via the
+    bounded n2 lookup after; customer is LEFT SEMI-pruned to the ASIA
+    nation keys, which keeps its file-backed estimate — r11 hint-audit
+    shape); the only shuffles are lineitem⋈orders on orderkey and the
+    final tiny groupBy(year).  Dim filters reach the scans (type/
+    region pruned before the fact join, not after)."""
     n2 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"),
         F.col("n_name").alias("supp_nation"),
     )
-    s = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .select("s_suppkey", "supp_nation")
-    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "STANDARD"
     ).select("p_partkey")
@@ -1380,7 +1406,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         load(spark, sf_dir, "customer")
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(n1),
+            F.col("c_nationkey") == F.col("n1_key"),
+            "left_semi",
+        )
         .select("c_custkey")
     )
     o = (
@@ -1396,6 +1426,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             "l_orderkey",
             "supp_nation",
@@ -1848,15 +1879,23 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_cents`` (total ≈ 2e11 cents at sf0.1; ×1000 is far inside
     BIGINT).
 
-    Scale: the nation's supplier list broadcasts into lineitem; one
-    shuffle groups by partkey; the grand total is a 1-row broadcast
-    (scalar-broadcast idiom) — the derived aggregate is persisted so
-    the two consumers (per-part rows, grand total) don't re-derive the
-    join+agg subtree twice."""
+    Scale: the nation's supplier list is a LEFT SEMI prune against the
+    broadcast 1-row nation (the semi keeps supplier's file-backed size
+    estimate, so the probe into lineitem broadcasts STATICALLY with no
+    hard hint — r11 hint-audit shape; the inner-join form's derived
+    estimate planned SMJ and paid the AQE shuffle-write conversion);
+    one shuffle groups by partkey; the grand total is a 1-row
+    broadcast (scalar-broadcast idiom) — the derived aggregate is
+    persisted so the two consumers (per-part rows, grand total) don't
+    re-derive the join+agg subtree twice."""
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     s = (
         load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
         .select("s_suppkey")
     )
     v = (
