@@ -1597,9 +1597,15 @@ def tpch_q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3"
     ).select("n_nationkey")
+    # LEFT SEMI prune (filter-only; nationkey unique) keeps supplier's
+    # file-backed size estimate → static broadcast, no hint (r11 audit).
     s = (
         load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
         .select("s_suppkey", "s_name")
     )
     return (
@@ -1817,19 +1823,21 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and subtracted as BIGINTs — the spec's float SUM(rev - cost) would
     hinge on summation order.
 
-    Scale: part (name-pruned), supplier⋈nation broadcast; the only
+    Scale: part (name-pruned) and the RAW supplier probe broadcast
+    statically from file stats, the bounded nation-name lookup attaches
+    after (r11 hint-audit shape); the only
     shuffles are lineitem⋈orders on orderkey and the ~150-group
     aggregate.  Profit can be negative; floor is identical on
     negatives in both engines."""
     p = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("red %")
     ).select("p_partkey", "p_retailprice")
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
     )
+    # RAW supplier probe (file-backed stats → static broadcast, no
+    # hint); the bounded nation-name lookup attaches after (r11 audit).
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
@@ -1839,6 +1847,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_orderkey", "nation", (rev_c - cost_c).alias("profit_c"))
     )
     return (
@@ -2027,9 +2036,15 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    # LEFT SEMI prune (filter-only; nationkey unique) keeps supplier's
+    # file-backed size estimate → static broadcast, no hint (r11 audit).
     s = (
         load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
         .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
     )
     return (
