@@ -103,17 +103,8 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-11 additions (r10's 14 keys all drained to CORRECTNESS_r10)
-    "dedup_minhash_polyhash",
-    "sim_ivf_fixed_topk",
-    "dq_schema_profile",
-    "feat_robust_scaler",
-    "dedup_incremental_minhash",
-    "sample_weighted_aes",
-    "evt_twap",
-    "source_file_lineage",
-    "pipeline_corpus_clean_polyhash",
-    "sink_analyze_stats",
+    # round-12 additions (r11's 10 keys all drained to CORRECTNESS_r11);
+    # populated as keys land this round.
 })
 
 
