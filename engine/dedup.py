@@ -237,8 +237,13 @@ def minhash_near_pairs(corpus: DataFrame) -> DataFrame:
     sh_b = sh.select(
         F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
     )
+    # No broadcast hint on cand: candidate-PAIR volume grows with corpus
+    # size × duplication density (a web crawl at 100 TB yields multi-GB
+    # pair lists) — a hard hint here is a forced-broadcast OOM.  AQE's
+    # size-based selection still broadcasts at bench scale and degrades
+    # to a shuffle join at cluster scale (r11 audit policy, composite.py).
     common = (
-        sh_a.join(F.broadcast(cand), "doc_a")
+        sh_a.join(cand, "doc_a")
         .join(
             sh_b,
             (F.col("doc_b") == F.col("b_id"))
@@ -965,8 +970,11 @@ def kr_minhash_near_pairs(corpus: DataFrame) -> DataFrame:
     sh_b = sh.select(
         F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
     )
+    # Unhinted cand join — same Heaps'-law reasoning as the xxhash twin
+    # above: pair volume is corpus-proportional, so size selection is
+    # AQE's call, not a hard hint (r11 broadcast-audit policy).
     inter = (
-        sh_a.join(F.broadcast(cand), "doc_a")
+        sh_a.join(cand, "doc_a")
         .join(
             sh_b,
             (F.col("doc_b") == F.col("b_id")) & (F.col("sh") == F.col("sh_b")),
@@ -1114,10 +1122,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify with zero matches).  The full chain is the
     Karp-Rabin/universal-family construction of ``dedup_minhash_polyhash``,
     so the DuckDB oracle replays everything and the driver hash-proves
-    the incremental verdicts.  Batch bands BROADCAST into the index
-    band join (|batch| ≪ |index| is the operating regime); the verify
-    joins the persisted shingle table against the broadcast bounded
-    candidate set."""
+    the incremental verdicts.  Joins carry NO broadcast hints: in this
+    construction the batch is a full corpus copy (|batch| ≈ |index|,
+    not ≪), and candidate volume grows with duplication density — AQE
+    size-selects broadcasts at bench scale and falls back to shuffle
+    joins when a real nightly drop is large (r11 audit policy)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     novel = F.concat_ws(
         " ",
@@ -1158,7 +1167,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("batch_id"), "band", "band_key"
     )
     cand = (
-        idx_bands.join(F.broadcast(batch_bands), ["band", "band_key"])
+        idx_bands.join(batch_bands, ["band", "band_key"])
         .select("batch_id", "index_id")
         .distinct()
     )
@@ -1168,7 +1177,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")
     )
     inter = (
-        sh_b.join(F.broadcast(cand), "batch_id")
+        sh_b.join(cand, "batch_id")
         .join(
             sh_a,
             (F.col("index_id") == F.col("a_id")) & (F.col("sh") == F.col("sh_a")),
@@ -1718,8 +1727,10 @@ def dedup_containment_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the SAME banded-MinHash bucketing the near-dup key uses.
 
     Scale design: the (doc, token) relation builds once (distinct
-    per-doc tokens, map-side); candidate pairs broadcast into the token
-    stream; everything downstream is bounded by candidate count, never
+    per-doc tokens, map-side); candidate pairs join into the token
+    stream unhinted (AQE broadcasts while small, shuffle-joins at
+    corpus scale — the organic arm is |corpus|/10 by construction);
+    everything downstream is bounded by candidate count, never
     all-pairs."""
     from engine.text import _tokens
 
@@ -1748,8 +1759,10 @@ def dedup_containment_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = tok.select(
         F.col("doc_id").alias("b_id"), F.col("tok").alias("tok_b")
     )
+    # pairs includes an |corpus|/10 organic arm — corpus-proportional, so
+    # no hard broadcast hint (AQE size-selects; shuffle join at scale).
     commons = (
-        ta.join(F.broadcast(pairs), "doc_a")
+        ta.join(pairs, "doc_a")
         .join(
             tb,
             (F.col("doc_b") == F.col("b_id")) & (F.col("tok") == F.col("tok_b")),

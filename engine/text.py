@@ -159,8 +159,9 @@ def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf·idf with idf = ln(N/df).  The idf is pinned to 4 decimals
     *before* the product so the ln ulp-drift can't leak into tf_idf.
-    The df table and the 1-row N are broadcast — the big (doc,token)
-    side never reshuffles for the joins."""
+    The df table joins UNHINTED (vocabulary grows with corpus size —
+    Heaps' law — so broadcast is AQE's size call, not a forced hint);
+    only the 1-row N keeps its hint."""
     # df/idf stay corpus-wide; the residue filter bounds only the
     # verified output rows (engine/io.py note)
     return _tfidf_scored(load(spark, sf_dir, "documents")).filter(
@@ -172,8 +173,9 @@ def _tfidf_scored(d: DataFrame) -> DataFrame:
     """(doc_id, token, idf, tf_idf) over the whole corpus — the shared
     scoring frame behind text_tfidf and text_keywords_topk.  The idf is
     fix4-pinned BEFORE the tf product (load-bearing for hash parity:
-    ln() ulp drift must not leak into tf_idf); the df table and 1-row N
-    broadcast so the big (doc, token) side never reshuffles."""
+    ln() ulp drift must not leak into tf_idf); the df table joins
+    unhinted (vocabulary-sized — AQE size-selects), the 1-row N keeps
+    its bounded-by-construction hint."""
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = (
         tok.groupBy("doc_id", "token")
@@ -188,7 +190,11 @@ def _tfidf_scored(d: DataFrame) -> DataFrame:
     n_docs = d.agg(F.count("*").alias("n_docs"))
     idf = _fix4(F.log(F.col("n_docs").cast("double") / F.col("df")))
     return (
-        tf.join(F.broadcast(df_tbl), "token")
+        # df_tbl is VOCABULARY-sized — Heaps' law grows it with corpus
+        # size (multi-GB token-type table at 100 TB), so no hard hint:
+        # AQE broadcasts while it fits, shuffle-joins on token beyond.
+        # The 1-row N aggregate stays hinted (bounded by construction).
+        tf.join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -799,7 +805,7 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic labeller consumes downstream of text_tfidf).
 
     Scale design: identical single-shuffle tf/df build as text_tfidf
-    (df table and 1-row N broadcast into the big (doc, token) side);
+    (unhinted vocab-sized df table, hinted 1-row N);
     the per-doc top-3 is a row_number over the doc partition — k is
     constant so the window state is bounded, and the pinned-score +
     token tiebreak makes the cut deterministic on both engines (pinned
@@ -947,11 +953,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     two exact longs, then floor-pinned.
 
     Scale design (100 TB): the unigram table is a map-side-combinable
-    count (vocab ≪ corpus) and BROADCASTS into the (doc, token) stream —
-    the big side never shuffles for the model join; per-doc scoring is
+    count (vocab ≪ corpus) that joins UNHINTED into the (doc, token)
+    stream — AQE broadcasts it at bench scale, and at 100 TB (where
+    Heaps' law makes the raw vocab table multi-GB) the join degrades
+    to a shuffle instead of a forced-broadcast OOM; per-doc scoring is
     one partial-agg pass.  At real scale the vocab table would be
-    frequency-truncated with an <unk> bucket; this corpus' vocab is
-    bounded so the full table broadcasts."""
+    frequency-truncated with an <unk> bucket, re-bounding it."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
@@ -965,7 +972,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nll_e4"),
     )
     return (
-        tok.join(F.broadcast(lp), "tok")
+        # lp is vocabulary-sized (Heaps' law: token types grow ~n^0.5-0.8
+        # with corpus size) — unhinted so AQE size-selects; at 100 TB the
+        # model join degrades to a shuffle on tok instead of a forced-
+        # broadcast OOM.  A production LM filter would also truncate the
+        # vocab with an <unk> bucket, which re-enables the broadcast.
+        tok.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1997,9 +2009,10 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     `div` (non-negative → truncation agrees across engines).
 
     Scale: both model tables are map-side-combinable counts bounded by
-    vocabulary (V and ≤V² rows ≪ corpus) and BROADCAST into the
-    (doc, w₁, w₂) stream — the corpus-sized side never shuffles for
-    the model join; the only corpus shuffle is the bigram window's
+    vocabulary (V and ≤V² rows ≪ corpus) joining UNHINTED into the
+    (doc, w₁, w₂) stream — V grows with the corpus (Heaps) and bigram
+    types near-linearly, so broadcast is AQE's size decision, not a
+    forced hint; the only corpus shuffle is the bigram window's
     doc_id exchange, which the per-doc groupBy reuses (subset rule).
     At web scale the tables get frequency-truncated with <unk>, same
     shape."""
@@ -2027,8 +2040,11 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        bg.join(F.broadcast(uni), "w1")
-        .join(F.broadcast(bic), ["w1", "w2"])
+        # uni is vocabulary-sized and bic is BIGRAM-TYPE-sized (near-
+        # linear in corpus size) — both unhinted per the broadcast-audit
+        # policy; the 1-row vocab-size aggregate keeps its hint.
+        bg.join(uni, "w1")
+        .join(bic, ["w1", "w2"])
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(

@@ -1285,8 +1285,9 @@ def test_ivf_fixed_assignment_broadcast_probe_local(spark):
 def test_minhash_polyhash_bucket_join_broadcast_verify(spark):
     """dedup_minhash_polyhash: the band self-join is a bucket-local
     equi-join (never cartesian/BNLJ), and the exact-Jaccard verify
-    reads the candidate pair set via broadcast — the shingle table
-    never all-pairs joins itself."""
+    reads the candidate pair set via a size-selected broadcast (no
+    hard hint — r12 audit; AQE picks it at this scale) — the shingle
+    table never all-pairs joins itself."""
     spark.catalog.clearCache()  # persist()-ing key (print-stability)
     plan = _plan(spark, "dedup_minhash_polyhash")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -1295,8 +1296,10 @@ def test_minhash_polyhash_bucket_join_broadcast_verify(spark):
 
 def test_incremental_minhash_batch_broadcast(spark):
     """dedup_incremental_minhash: batch-side bands reach the index band
-    join via broadcast (the |batch| ≪ |index| operating regime), no
-    cartesian anywhere, and the verify joins via broadcast candidates."""
+    join via a size-selected broadcast (unhinted since r12 — the test
+    batch is a full corpus copy, so a hard hint would contradict the
+    audit policy), no cartesian anywhere, and the verify joins via
+    size-selected broadcast candidates."""
     spark.catalog.clearCache()  # persist()-ing key (print-stability)
     plan = _plan(spark, "dedup_incremental_minhash")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
