@@ -1463,11 +1463,11 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail here (one vertex touching thousands of pairs) predicts a giant
     component that collapses half the corpus, usually boilerplate.
 
-    This key is also the correctness anchor for
-    dedup_connected_components (rows-only, iterative): it hash-verifies
-    the exact edge set CC consumes — the oracle rebuilds the graph with
-    plain string token sets, so the hashed-set Jaccard shortcut is
-    proven collision-free on this corpus, not assumed.
+    This key shares its edge CTEs with dedup_connected_components'
+    recursive-CTE oracle (full since r12): it hash-verifies the exact
+    edge set CC consumes — the oracle rebuilds the graph with plain
+    string token sets, so the hashed-set Jaccard shortcut is proven
+    collision-free on this corpus, not assumed.
 
     Scale design: degree = one explode of the edge list + two
     map-side-combinable aggs; no iteration, no window."""
@@ -1480,7 +1480,59 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
 
 
-@query("dedup_connected_components", oracle=None)  # rows-only: iterative
+@query(
+    "dedup_connected_components",
+    # Full oracle since r12 (was rows-only: "iterative"): DuckDB's
+    # WITH RECURSIVE computes the same fixpoint declaratively — a
+    # reachability closure (recursive UNION dedupes (doc, node) pairs,
+    # so undirected 2-cycles terminate) then MIN(node) per doc.  The
+    # edge CTEs are textually the dedup_graph_degree oracle's, so the
+    # hash match proves BOTH the edge set and the star-contraction
+    # loop's labels — the precedent graph_recursive_cte_native set.
+    oracle="""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz yy' FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, md5(regexp_replace(text, ' zz yy$', '')) AS fp
+        FROM corpus
+    ),
+    copy_edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM hashed a JOIN hashed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ts
+        FROM documents
+    ),
+    chain_edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+              >= 0.35
+    ),
+    edges AS (SELECT * FROM copy_edges UNION ALL SELECT * FROM chain_edges),
+    und AS (SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS node FROM corpus
+      UNION
+        SELECT r.doc_id, u.dst AS node FROM reach r JOIN und u ON u.src = r.node
+    ),
+    lab AS (SELECT doc_id, MIN(node) AS component_id FROM reach GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(component_id AS BIGINT) AS component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS comp_size
+    FROM lab
+    """,
+)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     near-dup pair graph via min-label propagation to convergence — the
