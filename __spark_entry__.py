@@ -103,8 +103,8 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-12 additions (r11's 10 keys all drained to CORRECTNESS_r11);
-    # populated as keys land this round.
+    # round-12 additions (r11's 10 keys all drained to CORRECTNESS_r11)
+    "pipeline_embedding_dedup_polyhash",
 })
 
 

@@ -1577,7 +1577,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_propagate(both: DataFrame, labels: DataFrame) -> DataFrame:
+def _cc_propagate(
+    both: DataFrame, labels: DataFrame, probe_from: int = 2
+) -> DataFrame:
     """Star-contraction label propagation to the fixpoint.
 
     Plain hop-min + pointer jumping is NOT O(log d): when a smaller
@@ -1640,9 +1642,13 @@ def _cc_propagate(both: DataFrame, labels: DataFrame) -> DataFrame:
         # checkpointed labels replaces the old join+filter+count probe
         # (one join fewer per probed round).  Sum accumulates in long
         # (vertices × max-label ≪ 2^63) — ANSI-safe.  The first
-        # rounds always change (measured 9437/7860/5641 at sf0.1) —
-        # skip their probes.
-        if it < 2:
+        # rounds always change on the text graph (measured
+        # 9437/7860/5641 at sf0.1) — skip their probes via probe_from
+        # (default 2); star-shaped graphs (one hub per component, e.g.
+        # the planted embedding-dedup clusters) converge in ROUND 1,
+        # so their callers pass probe_from=0 and exit after 2 rounds
+        # instead of 4.
+        if it < probe_from:
             continue
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

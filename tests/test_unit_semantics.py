@@ -342,6 +342,39 @@ def test_connected_components_cluster_planted_dups(spark):
     assert all(len(set(v)) == 1 and len(v) == v[0] for v in by_comp.values())
 
 
+def test_embedding_dedup_polyhash_planted_clusters(spark):
+    """pipeline_embedding_dedup_polyhash: the exact-integer hyperplane
+    gate must cluster every planted copy with its original, second-gen
+    copies must form transitive 3-components, and NO organic pair may
+    merge (fixed hash family → pin the planted side as a FLOOR, but the
+    organic separation measured hamming ≥ 4 vs gate 2, so zero merges
+    is a margin claim, not a tail claim)."""
+    rows = engine.QUERIES["pipeline_embedding_dedup_polyhash"](
+        spark, SF_DIR
+    ).collect()
+    comp = {r.vec_id: r.component_id for r in rows}
+    n = sum(1 for v in comp if v < 10_000)
+    assert len(rows) == 2 * n + (n + 4) // 5
+    # recall floor on planted first-gen copies (KR-LSH discipline:
+    # floors, never all-N, for fixed hash families)
+    hits = sum(1 for d in range(n) if comp.get(d + 10_000) == comp[d])
+    assert hits >= 0.98 * n, f"first-gen recall {hits}/{n}"
+    hits2 = sum(
+        1 for d in range(0, n, 5) if comp.get(d + 20_000) == comp[d]
+    )
+    assert hits2 >= 0.98 * ((n + 4) // 5), f"second-gen recall {hits2}"
+    # no organic merges: each component contains exactly one original
+    by_comp = {}
+    for v, c in comp.items():
+        if v < 10_000:
+            by_comp.setdefault(c, 0)
+            by_comp[c] += 1
+    assert all(k == 1 for k in by_comp.values()), "organic originals merged"
+    # kept flag marks exactly the min member
+    for r in rows:
+        assert r.kept == (1 if r.vec_id == r.component_id else 0)
+
+
 def test_pack_bin_firstfit_invariants(spark):
     """FFD packing: capacity respected (except oversize singletons),
     token conservation, deterministic across runs, and never looser
