@@ -824,7 +824,26 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stream_join", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_stream_join",
+    # Full oracle since r12 (was rows-only): with time-ordered phases
+    # and watermark lag (1 h) > join band (30 min), the append-mode
+    # inner join emits EXACTLY the batch join — eviction only ever
+    # removes rows past any possible match, and no phase delivers a
+    # row below the prior phase's watermark (the r11 staged-mtime
+    # determinism argument; equality to the batch twin was already
+    # asserted in tests/test_streaming.py since r6).
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS lag_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM inner join — the flagship Structured Streaming
     operator the windowed-agg keys don't exercise: correlate each click
@@ -885,13 +904,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     qname = _run_to_memory(joined, "append", "ss_join")
+    # lag in whole seconds via integer div (both engines truncate
+    # toward zero; the lag is non-negative by the join band) — the
+    # double-division + ANSI-cast form this replaced was also exact
+    # here but fails the never-round-a-hashed-float rule by shape.
     return spark.table(qname).select(
         F.col("l_user").alias("user_id"),
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
-        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
-        .cast("long")
-        .alias("lag_s"),
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000").alias(
+            "lag_s"
+        ),
     )
 
 
@@ -1040,7 +1063,29 @@ def stream_static_enrich_batch_twin(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("stream_stream_left_outer", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_stream_left_outer",
+    # Full oracle since r12 (was rows-only): the flush phase parks the
+    # final watermark 10 days − 1 h past all real data, so EVERY real
+    # unmatched click's state expires and emits null-extended before
+    # the drain ends — the emitted set is therefore exactly the batch
+    # LEFT JOIN (matched pairs emit on match, by the inner key's
+    # argument; unmatched emit on flush).  Deterministic by the r11
+    # staged-mtime argument; both halves were already asserted against
+    # inline batch twins in tests/test_streaming.py.
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS lag_s,
+           CAST(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS unmatched
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM LEFT OUTER join — the semantics inner joins can't
     show: a click with no purchase within 30 minutes must STILL emit
@@ -1117,16 +1162,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     qname = _run_to_memory(joined, "append", "ss_left_outer")
+    # lag via integer div (truncation agrees across engines; NULL rides
+    # through div for unmatched rows on both sides).
     return spark.table(qname).filter(F.col("l_user") >= 0).select(
         F.col("l_user").alias("user_id"),
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
-        F.when(
-            F.col("r_id").isNotNull(),
-            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000,
-        )
-        .cast("long")
-        .alias("lag_s"),
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000").alias(
+            "lag_s"
+        ),
         F.when(F.col("r_id").isNull(), 1).otherwise(0).cast("int").alias(
             "unmatched"
         ),
