@@ -632,8 +632,17 @@ def dedup_simhash_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
         )
     )
-    shingles = _kr_shingles(corpus)
-    sums = shingles.groupBy("doc_id").agg(
+    return kr_simhash_pairs(_kr_shingles(corpus))
+
+
+def kr_simhash_pairs(feat: DataFrame) -> DataFrame:
+    """(doc_id, sh: long) KR features → banded 32-bit SimHash pair set
+    (4×8-bit bands, hamming ≤ 3) — the signature tail shared by
+    ``dedup_simhash_polyhash`` (token shingles) and
+    ``mm_simhash_bytes_polyhash`` (byte grams).  Every op is
+    bit-identical in DuckDB (_SH_SUMS_SQL/_SH_SIG_SQL are the SQL
+    twins), so callers' oracles replay it verbatim."""
+    sums = feat.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(

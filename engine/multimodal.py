@@ -257,6 +257,118 @@ def mm_simhash_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_polyhash_oracle() -> str:
+    """DuckDB twin of mm_simhash_bytes_polyhash (built at import so the
+    dedup module's proven _SH_SUMS_SQL/_SH_SIG_SQL fragments splice in)."""
+    from engine.dedup import _FP_MOD, _M31, _SH_SIG_SQL, _SH_SUMS_SQL
+
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_MM_COPY_OFFSET}, text || ' zz yy' FROM documents
+    ),
+    cl AS (
+        SELECT media_id,
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS cs
+        FROM corpus
+    ),
+    sh AS (
+        SELECT DISTINCT media_id AS doc_id, g.sh
+        FROM cl, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(len(cs) - {_BYTE_GRAM - 2}, 1)),
+             i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 list_slice(cs, CAST(i AS INTEGER),
+                                            CAST(i AS INTEGER)
+                                            + {_BYTE_GRAM - 1})),
+                    (h, c) -> (h * 31 + c) % {_FP_MOD}) % {_M31}))) AS g(sh)
+    ),
+    sums AS (
+        SELECT doc_id,
+           {_SH_SUMS_SQL}
+        FROM sh GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, {_SH_SIG_SQL} AS sig FROM sums
+    ),
+    bands AS (
+        SELECT doc_id, sig, b.band, (sig >> (b.band * 8)) & 255 AS band_val
+        FROM sigs, UNNEST([0, 1, 2, 3]) AS b(band)
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("mm_simhash_bytes_polyhash", oracle=_mm_polyhash_oracle())
+def mm_simhash_bytes_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-VERIFIED twin of ``mm_simhash_bytes`` (the byte-gram
+    analogue of r10's dedup_simhash_polyhash): binary near-dup
+    detection with every hash in the chain the repo's Karp-Rabin
+    family, so the DuckDB oracle replays gram extraction → 32-bit
+    signature → 4×8 banding → hamming gate and the driver hash-proves
+    the selected pair set.
+
+    Gram hashing is a ROLLING-WINDOW Horner fold done JVM-side: one
+    posexplode to per-byte values (~1 interpreted eval per byte — the
+    ascii map), then the 12-byte gram hash assembles from 11 lead()
+    reads over ONE (media_id, pos) window — never a per-gram nested
+    fold (12 evals × ~L grams per row blows the >200-evals/row
+    winnowing budget ~12×).  The payload is binary; the corpus is
+    ASCII, so byte values mirror as ascii(char) in the oracle
+    (the _MEDIA_SQL convention every mm oracle uses).  Docs shorter
+    than one gram contribute nothing on either engine (lead() nulls
+    here, empty range() there — range, not sequence: Spark sequence
+    DESCENDS on an inverted bound).
+
+    Signature tail is the shared :func:`engine.dedup.kr_simhash_pairs`
+    (single doc_id exchange, bucket-local band join, gate before
+    distinct).  Recall on the planted +' zz yy' copies is pinned as a
+    FLOOR in tests (fixed hash family, KR-LSH discipline)."""
+    from engine.dedup import _FP_MOD, _M31, kr_simhash_pairs
+    from pyspark.sql import Window
+
+    m = _media(spark, sf_dir).select("media_id", "payload")
+    corpus = m.unionByName(
+        m.select(
+            (F.col("media_id") + _MM_COPY_OFFSET).alias("media_id"),
+            F.concat(F.col("payload"), F.encode(F.lit(" zz yy"), "utf-8")).alias(
+                "payload"
+            ),
+        )
+    )
+    ch = corpus.select(
+        F.col("media_id").alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.split(F.decode(F.col("payload"), "UTF-8"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            )
+        ).alias("pos", "c"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("c")
+    for k in range(1, _BYTE_GRAM):
+        g = (g * 31 + F.lead("c", k).over(w)) % _FP_MOD
+    g = g % _M31
+    feat = (
+        ch.select("doc_id", g.alias("sh"))
+        .filter(F.col("sh").isNotNull())  # trailing partial grams drop
+        .distinct()
+    )
+    return kr_simhash_pairs(feat).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
 _IMG_W = 16   # modeled raster width in bytes
 _POOL = 2     # 2x2 average pooling -> thumbnail width 8
 

@@ -241,6 +241,18 @@ def test_mm_simhash_bytes_recall_on_planted_payloads(spark):
     assert len(rows) <= 1500, f"candidate explosion: {len(rows)} pairs"
 
 
+def test_mm_simhash_polyhash_recall_on_planted_payloads(spark):
+    """The hash-verified KR twin must match the xxhash sibling's recall
+    class (measured 458/500 vs 457 — the family swap costs nothing) and
+    stay pair-bounded.  Floors, never exact counts: fixed hash family
+    (KR-LSH discipline)."""
+    rows = engine.QUERIES["mm_simhash_bytes_polyhash"](spark, SF_DIR).collect()
+    pairs = {(r.media_a, r.media_b) for r in rows}
+    recall = sum((d, d + 100_000) in pairs for d in range(500))
+    assert recall >= 420, f"KR byte-simhash recall collapsed: {recall}/500"
+    assert len(rows) <= 1500, f"candidate explosion: {len(rows)} pairs"
+
+
 def test_ann_recall_vs_exact_knn(spark):
     """Both ANN variants must recover most of the exact top-k neighbor
     sets (deterministic — fixed projections/centroids, no RNG).  Measured
