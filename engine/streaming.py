@@ -1178,7 +1178,17 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("stream_checkpoint_recovery", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_checkpoint_recovery",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RECOVERY — exactly-once across a mid-replay crash, the
     one streaming semantics a production user hits that no happy-path
@@ -1201,7 +1211,13 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: this is restart discipline, not a data-sized operator —
     checkpoint volume scales with source offsets + sink batch ids, not
     with data.  The same code path recovers a 1000-executor job whose
-    driver died mid-batch."""
+    driver died mid-batch.
+
+    Full oracle since r12 (was rows-only): exactly-once recovery means
+    the recovered sink IS the events table — the oracle aggregates the
+    raw table, so every recovery failure mode (missing batch 1, torn
+    40-row double count, batch 0 re-planned) is a driver hash
+    mismatch, which is precisely the gate this key exists to arm."""
     from pyspark.errors import StreamingQueryException
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
@@ -1275,7 +1291,20 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_rate_limit", oracle=None)  # rows-only: streaming mode
+@query(
+    "stream_rate_limit",
+    # Full oracle since r12 (was rows-only): with one residue-class
+    # file per phase, monotone mtimes, and maxFilesPerTrigger=1, the
+    # availableNow drain schedules exactly batch b = residue-class b
+    # oldest-first (the r11 staged-mtime determinism; exact 5-batch
+    # split already pinned in tests/test_streaming.py) — so the ledger
+    # is a pure function of the staging.
+    oracle="""
+    SELECT CAST(event_id % 5 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-side BACKPRESSURE via ``maxFilesPerTrigger`` — the
     ops knob that keeps a file-source stream from swallowing a huge
