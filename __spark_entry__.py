@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-12 additions (r11's 10 keys all drained to CORRECTNESS_r11)
     "pipeline_embedding_dedup_polyhash",
     "mm_simhash_bytes_polyhash",
+    "sim_ann_lsh_fixed_topk",
 })
 
 

@@ -377,6 +377,160 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+_ALSH_Q = 1 << 20  # quantization scale (power of two: exact double mult)
+# 8 tables x 4 bits — the md5 sibling's tuning: at this corpus' weak
+# structure (top cosines ~0.35, per-bit agreement ~0.61) recall needs
+# many LOW-resolution tables (p^4 ~ 0.14 per table, union ~0.70);
+# the near-dup keys' 2x8 shape (built for c >= 0.99) measured 2/25
+# exact-top-k overlap here vs 19/25 (sf0.01) / 21/25 (sf0.1) for
+# this shape — above the md5 sibling's 15/25.
+_ALSH_TBL, _ALSH_BITS = 8, 4
+_ALSH_M31 = 2_147_483_647
+
+
+@query(
+    "sim_ann_lsh_fixed_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_ALSH_Q}) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT q.vec_id, pl.p AS plane,
+               SUM((1 - 2 * (((((pl.p * 64 + dd.d) * 2654435761 + 97003999)
+                               % {_ALSH_M31})
+                              * (((pl.p * 64 + dd.d) * 2654435761 + 97003999)
+                                 % {_ALSH_M31}))
+                             % {_ALSH_M31} % 2))
+                   * qv[CAST(dd.d AS INTEGER) + 1]) AS y
+        FROM q, UNNEST(range({_ALSH_TBL * _ALSH_BITS})) pl(p),
+             UNNEST(range(64)) dd(d)
+        GROUP BY 1, 2
+    ),
+    entries AS (
+        SELECT vec_id, plane // {_ALSH_BITS} AS t,
+               SUM(CASE WHEN y >= 0
+                        THEN CAST(1 AS BIGINT)
+                             << CAST(plane % {_ALSH_BITS} AS INTEGER)
+                        ELSE 0 END) AS b
+        FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT qe.vec_id AS q_id, e.vec_id AS neighbor_id
+        FROM entries qe JOIN entries e
+          ON e.t = qe.t AND e.b = qe.b AND e.vec_id <> qe.vec_id
+        WHERE qe.vec_id < 5
+    ),
+    comps AS (
+        SELECT c.q_id, c.neighbor_id,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(eq.embedding[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(en.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS ne2
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id,
+        {_DIMS} s
+        GROUP BY c.q_id, c.neighbor_id
+    ),
+    scored AS (
+        SELECT q_id, neighbor_id,
+               FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000
+                   AS cosine
+        FROM comps
+    )
+    SELECT q_id, neighbor_id, cosine, rn
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_ann_lsh_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-VERIFIED hyperplane-LSH ANN top-k — the LSH sibling of
+    ``sim_ivf_fixed_topk`` (r11), completing the pair: both ANN index
+    families now have a driver-hashable twin next to their rows-only
+    trained/md5 variants.  Same construction as
+    ``pipeline_embedding_dedup_polyhash``'s candidate stage: embeddings
+    quantize to exact BIGINTs (floor(float64 · 2²⁰) — power-of-two
+    scale), hyperplane signs come from the quadratic-residue hash
+    s(j) = 1 − 2·(h(j)² mod P mod 2) (the square defeats the
+    linear-parity plane correlation — see that key), and each
+    projection is an order-independent int64 sum, so Spark's Arrow
+    matmul and DuckDB's UNNEST+SUM agree exactly.  Queries (vec_id<5)
+    probe their bucket in each of 2×8-bit tables; the bucket-mates
+    union re-ranks on the PINNED 4-decimal cosine with a neighbor_id
+    tiebreak (sim_ivf_fixed_topk discipline).
+
+    Scale shape: signature is one Arrow matmul per batch; the probe
+    join touches only the queries' buckets (~N/256 per table per
+    query), never all-pairs; the distinct runs on skinny (q, neighbor)
+    pairs BEFORE embeddings re-attach for the re-rank (simhash
+    filter-before-distinct discipline, array payloads never cross the
+    pair-dedup exchange).  No broadcast hints — the 5-query side is
+    trivially small and AQE sees it (r12 audit)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    n_planes = _ALSH_TBL * _ALSH_BITS
+    j = np.arange(n_planes * 64, dtype=np.int64).reshape(n_planes, 64)
+    h = (j * 2654435761 + 97003999) % _ALSH_M31
+    S = 1 - 2 * ((h * h) % _ALSH_M31 % 2)
+
+    @F.pandas_udf("array<long>")
+    def _alsh_sigs(emb):
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        qm = np.floor(m * _ALSH_Q).astype(np.int64)
+        bits = (qm @ S.T >= 0).astype(np.int64)
+        return pd.Series(
+            np.stack(
+                [
+                    (
+                        bits[:, t * _ALSH_BITS : (t + 1) * _ALSH_BITS]
+                        * (1 << np.arange(_ALSH_BITS))
+                    ).sum(axis=1)
+                    for t in range(_ALSH_TBL)
+                ],
+                axis=1,
+            ).tolist()
+        )
+
+    entries = e.select(
+        "vec_id", _alsh_sigs("embedding").alias("sigs")
+    ).select("vec_id", F.posexplode("sigs").alias("t", "b"))
+    qe = entries.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "t", "b"
+    )
+    cand = (
+        entries.join(qe, ["t", "b"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en")
+    )
+    cos = _dot(F.col("eq"), F.col("en")) / (
+        _norm(F.col("eq")) * _norm(F.col("en"))
+    )
+    scored = (
+        cand.join(eq, "q_id")
+        .join(en, "neighbor_id")
+        .select("q_id", "neighbor_id", _fix(cos, 10000).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
 _IVF_K = 16  # centroid count
 _IVF_ITERS = 2  # bounded Lloyd iterations (deterministic init → stable)
 _IVF_PROBES = 2  # centroids probed per query

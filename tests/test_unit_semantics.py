@@ -270,7 +270,12 @@ def test_ann_recall_vs_exact_knn(spark):
         return out
 
     exact = nbrs("sim_knn_topk")
-    for key, floor in [("sim_ann_lsh_topk", 0.5), ("sim_ivf_topk", 0.5)]:
+    # sim_ann_lsh_fixed_topk (r12, 8x4 integer planes) measured 19/25
+    for key, floor in [
+        ("sim_ann_lsh_topk", 0.5),
+        ("sim_ivf_topk", 0.5),
+        ("sim_ann_lsh_fixed_topk", 0.6),
+    ]:
         approx = nbrs(key)
         assert set(approx) == set(exact), f"{key}: query set mismatch"
         hits = sum(len(approx[q] & exact[q]) for q in exact)
