@@ -107,6 +107,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "pipeline_embedding_dedup_polyhash",
     "mm_simhash_bytes_polyhash",
     "sim_ann_lsh_fixed_topk",
+    "sample_temperature_mixture",
+    "dedup_cross_source_matrix",
+    "text_vocab_truncate_unk",
 })
 
 

@@ -2046,3 +2046,62 @@ def dedup_substring_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("kept_tokens"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    sfp AS (
+        SELECT DISTINCT source, md5(text) AS fp FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM sfp a JOIN sfp b
+      ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE contamination matrix — the corpus-audit table a
+    training-data pipeline builds before mixing sources: for every
+    source pair, how many distinct documents (by content fingerprint)
+    appear in BOTH.  High off-diagonal mass means the mixture weights
+    double-count content (a mirror, a scrape of a scrape) and the dedup
+    pass must run across sources, not per source.  A 'mirror' source
+    republishing every fourth document is planted so the matrix is
+    non-trivial; the natural corpus is verified disjoint by the same
+    query (no (srcA, srcB) rows survive — texts are unique).  The
+    mirror plants on doc_id % 7 — COPRIME with the corpus' 20-source
+    doc_id cycle, so every source shares content with the mirror and
+    the per-pair counts vary (% 4 aliased with the cycle and hit only
+    5 sources at a constant 25).
+
+    Scale design: fingerprints reduce each doc to 32 bytes before any
+    shuffle; the per-source DISTINCT and the fp self-join are both
+    fp-partitioned (one exchange serves distinct + join, subset rule),
+    and the join is fingerprint-bucket-local — sources sharing no
+    content never pair.  The matrix itself is |sources|² bounded.
+    No broadcast hints: both join sides are corpus-proportional
+    (r12 audit)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("mirror").alias("source"), "text"
+    )
+    sfp = (
+        d.select("source", "text")
+        .unionByName(mirror)
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
+    a = sfp.select(F.col("source").alias("source_a"), "fp")
+    b = sfp.select(F.col("source").alias("source_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+    )

@@ -551,6 +551,114 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS iw
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(iw) AS BIGINT) AS tw,
+               CAST(SUM(n_lang) * 2 // 5 AS BIGINT) AS target
+        FROM counts
+    ),
+    appo AS (
+        SELECT lang, n_lang, iw,
+               target * iw // tw AS base,
+               target * iw % tw AS remainder,
+               target, tw
+        FROM counts, tot
+    ),
+    quota AS (
+        SELECT lang, n_lang,
+               base + CASE WHEN ROW_NUMBER() OVER (
+                               ORDER BY remainder DESC, lang ASC)
+                           <= target - SUM(base) OVER ()
+                      THEN 1 ELSE 0 END AS quota
+        FROM appo
+    ),
+    ranked AS (
+        SELECT d.lang, d.doc_id, q.n_lang, q.quota,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id) AS rk
+        FROM documents d JOIN quota q ON q.lang = d.lang
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk,
+           n_lang, CAST(quota AS BIGINT) AS quota
+    FROM ranked WHERE rk <= quota
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture sampling — the multilingual /
+    multi-domain rebalancing canon (mT5 / UniMax): per-language
+    sampling weights w_l ∝ n_l^τ with τ = 0.5, so high-resource
+    languages are down-weighted and the tail is boosted, with an EXACT
+    integer quota per stratum via largest-remainder (Hamilton)
+    apportionment of a corpus-proportional target (40% of docs).
+
+    Determinism discipline: the weight is floor(sqrt(n_l)) — one
+    correctly-rounded SQRT of an exact integer, floored, so the whole
+    apportionment (base = target·iw div Σiw, remainders compared as
+    exact integers, lang tiebreak) is integer arithmetic both engines
+    replay bit-for-bit; within a stratum docs rank by md5(doc_id) —
+    restart-stable, partition-layout-independent (the
+    sample_group_reservoir hash-rank idiom).
+
+    Scale design: counts are one map-side-combinable agg; the quota
+    table is strata-sized and joins back unhinted (AQE broadcasts).
+    The per-stratum row_number is the EXACT-quota form — right when
+    strata counts are bounded (languages, domains); for unbounded
+    strata at 100 TB the hash-THRESHOLD form (sample_stratified_mix)
+    trades exact quotas for no per-stratum sort."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang")).select(
+        "lang",
+        "n_lang",
+        F.floor(F.sqrt(F.col("n_lang").cast("double"))).cast("long").alias("iw"),
+    )
+    tot = counts.agg(
+        F.sum("iw").alias("tw"),
+        F.expr("sum(n_lang) * 2 div 5").alias("target"),
+    )
+    appo = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_lang",
+        F.expr("target * iw div tw").alias("base"),
+        (F.col("target") * F.col("iw") % F.col("tw")).alias("remainder"),
+        "target",
+    )
+    wr = Window.orderBy(F.desc("remainder"), F.asc("lang"))
+    quota = appo.select(
+        "lang",
+        "n_lang",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wr)
+                <= F.col("target") - F.sum("base").over(Window.partitionBy()),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    wd = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.join(quota, "lang")
+        .select(
+            "lang",
+            "doc_id",
+            F.row_number().over(wd).cast("long").alias("rk"),
+            "n_lang",
+            F.col("quota").cast("long").alias("quota"),
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+
+
+@query(
     "sample_group_reservoir",
     oracle="""
     WITH keyed AS (

@@ -998,6 +998,115 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNK_VOCAB_K = 16  # kept token types; the rest pool into <unk>
+
+
+@query(
+    "text_vocab_truncate_unk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.tok
+        FROM documents d, UNNEST({{tokens}}) AS t(tok)
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    ranked AS (
+        SELECT tok, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS vrank
+        FROM cnt
+    ),
+    unk AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS unk_c
+        FROM ranked WHERE vrank > {_UNK_VOCAB_K}
+    ),
+    lp AS (
+        SELECT ranked.tok,
+               CAST(FLOOR(-LN(CAST(ranked.c AS DOUBLE) / tot.n) * 10000 + 0.5)
+                    AS BIGINT) AS nll_e4
+        FROM ranked CROSS JOIN tot WHERE vrank <= {_UNK_VOCAB_K}
+    ),
+    unk_lp AS (
+        SELECT CAST(FLOOR(-LN(CAST(unk.unk_c AS DOUBLE) / tot.n) * 10000
+                          + 0.5) AS BIGINT) AS unk_nll_e4
+        FROM unk CROSS JOIN tot
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN lp.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+           CAST(SUM(COALESCE(lp.nll_e4, u.unk_nll_e4)) AS BIGINT)
+               AS total_nll_e4,
+           CAST(FLOOR(CAST(SUM(COALESCE(lp.nll_e4, u.unk_nll_e4)) AS DOUBLE)
+                      / COUNT(*) + 0.5) AS BIGINT) AS avg_nll_e4
+    FROM tok LEFT JOIN lp ON tok.tok = lp.tok CROSS JOIN unk_lp u
+    GROUP BY tok.doc_id
+    """.format(tokens=_TOKENS_SQL.format(c="d.text")),
+)
+def text_vocab_truncate_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-TRUNCATED vocabulary LM scoring — the production form
+    ``text_unigram_logprob``'s docstring promises: keep the top-K token
+    types by count (ties broken by token — an exact integer sort both
+    engines replay), pool everything else into a single ``<unk>``
+    bucket whose probability is the POOLED tail mass, and score each
+    document by its average NLL plus its unk RATE (n_unk — itself the
+    classic vocabulary-coverage quality signal: high unk rate ≈
+    garbled/foreign text).
+
+    Why truncation matters at 100 TB: the raw vocab table grows with
+    the corpus (Heaps' law, the r12 unhint rationale) but the TRUNCATED
+    table is K rows by construction — bounded, so it re-earns the
+    broadcast the raw table lost; here it still joins unhinted and AQE
+    broadcasts it (size-based, the policy everywhere since r11).
+
+    Determinism: counts and ranks are exact integers; ln() is pinned
+    e4 immediately (unigram-key discipline); the unk NLL is ONE pinned
+    scalar riding a 1-row cross join (bounded-by-construction hint)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    wv = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = cnt.select("tok", "c", F.row_number().over(wv).alias("vrank"))
+    nll = lambda c: F.floor(  # noqa: E731
+        -F.log(c.cast("double") / F.col("n")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    lp = (
+        ranked.filter(F.col("vrank") <= _UNK_VOCAB_K)
+        .crossJoin(F.broadcast(tot))
+        .select("tok", nll(F.col("c")).alias("nll_e4"))
+    )
+    unk_lp = (
+        ranked.filter(F.col("vrank") > _UNK_VOCAB_K)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("unk_c"))
+        .crossJoin(F.broadcast(tot))
+        .select(nll(F.col("unk_c")).alias("unk_nll_e4"))
+    )
+    return (
+        tok.join(lp, "tok", "left")
+        .crossJoin(F.broadcast(unk_lp))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("nll_e4").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unk"),
+            F.sum(F.coalesce("nll_e4", "unk_nll_e4")).alias("total_nll_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unk",
+            "total_nll_e4",
+            F.floor(
+                F.col("total_nll_e4").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_nll_e4"),
+        )
+    )
+
+
 # Deterministic PII injection shared by the Spark plan and the oracle:
 # the synthetic corpus carries no real PII, so plant it by id residue —
 # emails on ‰5, phone numbers on ‰7, URLs on ‰11 (composites get

@@ -392,6 +392,44 @@ def test_embedding_dedup_polyhash_planted_clusters(spark):
         assert r.kept == (1 if r.vec_id == r.component_id else 0)
 
 
+def test_temperature_mixture_quota_invariants(spark):
+    """Hamilton apportionment must hand out exactly the target (40% of
+    docs), never exceed a stratum's population, and boost the tail:
+    the sampled FRACTION of the rarest language must exceed the most
+    common one's (that's what temperature < 1 is for)."""
+    rows = engine.QUERIES["sample_temperature_mixture"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, (r.n_lang, r.quota))
+    assert len(rows) == sum(q for _, q in by_lang.values())
+    n_total = sum(n for n, _ in by_lang.values())
+    assert len(rows) == n_total * 2 // 5
+    assert all(q <= n for n, q in by_lang.values())
+    big = max(by_lang.values())  # (n_lang, quota) — max by population
+    small = min(by_lang.values())
+    assert small[1] / small[0] > big[1] / big[0], (
+        f"temperature failed to boost the tail: {by_lang}"
+    )
+
+
+def test_cross_source_matrix_planted_mirror_only(spark):
+    """Only the planted mirror source shares content with the natural
+    sources (corpus texts are unique), and each shared count equals the
+    source's doc_id%7==0 population."""
+    rows = engine.QUERIES["dedup_cross_source_matrix"](spark, SF_DIR).collect()
+    assert all(r.source_a == "mirror" for r in rows), rows[:5]
+    expected = {
+        (rr.source, rr.n): None
+        for rr in load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.source_b, r.n_shared) for r in rows}
+    assert got == set(expected), (sorted(got), sorted(expected))
+
+
 def test_pack_bin_firstfit_invariants(spark):
     """FFD packing: capacity respected (except oversize singletons),
     token conservation, deterministic across runs, and never looser
