@@ -110,6 +110,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sample_temperature_mixture",
     "dedup_cross_source_matrix",
     "text_vocab_truncate_unk",
+    "sim_pq_fixed_adc_topk",
 })
 
 

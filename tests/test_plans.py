@@ -145,6 +145,13 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # rank over the token FREQUENCY table — vocab-sized by Heaps'
         # law (≪ corpus; the corpus-scale work is the upstream count)
         ("text.py", "text_zipf_fit"),
+        # vocab-rank for the top-K cut — same vocab-sized frequency
+        # table as text_zipf_fit (the truncation then BOUNDS it to K)
+        ("text.py", "text_vocab_truncate_unk"),
+        # largest-remainder ranking over the per-LANGUAGE quota table —
+        # one row per language, bounded by the domain (the
+        # agg_apportion_slots precedent)
+        ("relational.py", "sample_temperature_mixture"),
         # running sum over the DAILY rollup — one row per calendar day
         ("events.py", "evt_cumulative_reach"),
         # cross-bucket ECDF offsets over the BUCKET rollup — bounded by
