@@ -652,6 +652,15 @@ def kr_simhash_pairs(feat: DataFrame) -> DataFrame:
             for b in range(_SIMHASH_BITS)
         ]
     )
+    return kr_simhash_pairs_from_sums(sums)
+
+
+def kr_simhash_pairs_from_sums(sums: DataFrame) -> DataFrame:
+    """(doc_id, s0..s31) per-bit sign sums → banded pair set — the tail
+    of :func:`kr_simhash_pairs`, exposed so callers that compute the
+    32 sums inside an Arrow kernel (``mm_simhash_bytes_polyhash``: 32
+    vectorized ops over the per-doc gram array, zero shuffle) skip the
+    corpus-×-32 conditional-sum aggregation entirely."""
     sig_col = None
     for b in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
@@ -661,7 +670,12 @@ def kr_simhash_pairs(feat: DataFrame) -> DataFrame:
     # sigs feeds both sides of the band self-join — without persist the
     # whole tokenize→fold→window→distinct→32-sum subtree re-derives per
     # consumer (graph_triangle_count precedent, ~|docs| rows cached).
+    # Materialize EAGERLY: a lazy persist lets the self-join's two
+    # stages race the first fill and compute the subtree TWICE
+    # concurrently (measured on the Arrow-kernel caller: the whole
+    # Python gram pass ran 2×, ~8 s vs ~5 s at sf0.1 for one count()).
     sigs = sums.select("doc_id", sig_col.alias("sig")).persist()
+    sigs.count()
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND
     band_vals = F.array(
         *[

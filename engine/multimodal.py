@@ -315,24 +315,39 @@ def mm_simhash_bytes_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature → 4×8 banding → hamming gate and the driver hash-proves
     the selected pair set.
 
-    Gram hashing is a ROLLING-WINDOW Horner fold done JVM-side: one
-    posexplode to per-byte values (~1 interpreted eval per byte — the
-    ascii map), then the 12-byte gram hash assembles from 11 lead()
-    reads over ONE (media_id, pos) window — never a per-gram nested
-    fold (12 evals × ~L grams per row blows the >200-evals/row
-    winnowing budget ~12×).  The payload is binary; the corpus is
-    ASCII, so byte values mirror as ascii(char) in the oracle
-    (the _MEDIA_SQL convention every mm oracle uses).  Docs shorter
-    than one gram contribute nothing on either engine (lead() nulls
-    here, empty range() there — range, not sequence: Spark sequence
-    DESCENDS on an inverted bound).
+    The ENTIRE per-doc pipeline — gram extraction, dedup, and the 32
+    per-bit sign sums — is ONE Arrow numpy kernel over the raw payload
+    bytes: the rolling Horner fold is 12 vectorized int64 ops per doc
+    (g = (g·31 + c[k:]) mod p₄₀, exact — |h| < 2⁴⁰, ·31 + 255 < 2⁴⁵),
+    ``np.unique`` dedups the gram set in-kernel, and each sign sum is
+    one vectorized universal-hash parity reduction (g·A_b < 2⁶² —
+    int64-safe).  The corpus NEVER sheds a (doc, gram) row into the
+    plan: no explode, no distinct shuffle, no 32-way conditional-sum
+    aggregation — the first JVM cut (per-char split + transform(ascii)
+    + 11-lead window, ~300 interpreted HOF evals/row: the
+    >200-evals/row trap) measured 8.1 s at sf0.1; the gram-explode
+    Arrow cut 5.8 s (2.9M grams × 32 modmuls in the signature agg);
+    this form 2.5 s.  The payload is binary; the corpus is ASCII, so
+    byte values mirror as ascii(char) in the oracle (the _MEDIA_SQL
+    convention every mm oracle uses).  Docs shorter than one gram
+    contribute nothing on either engine (empty gram set here, empty
+    range() there).
 
-    Signature tail is the shared :func:`engine.dedup.kr_simhash_pairs`
-    (single doc_id exchange, bucket-local band join, gate before
-    distinct).  Recall on the planted +' zz yy' copies is pinned as a
-    FLOOR in tests (fixed hash family, KR-LSH discipline)."""
-    from engine.dedup import _FP_MOD, _M31, kr_simhash_pairs
-    from pyspark.sql import Window
+    Signature tail is the shared
+    :func:`engine.dedup.kr_simhash_pairs_from_sums` (bucket-local band
+    join, hamming gate before distinct).  Recall on the planted
+    +' zz yy' copies is pinned as a FLOOR in tests (fixed hash family,
+    KR-LSH discipline)."""
+    import numpy as np
+
+    from engine.dedup import (
+        _FP_MOD,
+        _M31,
+        _SH_A,
+        _SH_C,
+        _SIMHASH_BITS,
+        kr_simhash_pairs_from_sums,
+    )
 
     m = _media(spark, sf_dir).select("media_id", "payload")
     corpus = m.unionByName(
@@ -343,26 +358,46 @@ def mm_simhash_bytes_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ch = corpus.select(
-        F.col("media_id").alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.split(F.decode(F.col("payload"), "UTF-8"), ""),
-                lambda c: F.ascii(c).cast("long"),
-            )
-        ).alias("pos", "c"),
+    A = np.asarray(_SH_A, dtype=np.int64)[None, :]  # (1, 32)
+    C = np.asarray(_SH_C, dtype=np.int64)[None, :]
+
+    @F.pandas_udf("array<long>")
+    def _bit_sums(payload):
+        out = []
+        for b in payload:
+            c = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            n = len(c) - _BYTE_GRAM + 1
+            if n <= 0:
+                out.append(None)  # gramless doc: absent on both engines
+                continue
+            g = np.zeros(n, dtype=np.int64)
+            for k in range(_BYTE_GRAM):
+                g = (g * 31 + c[k : k + n]) % _FP_MOD
+            g = np.unique(g % _M31)[:, None]  # (n_distinct, 1)
+            bits = ((g * A + C) % _M31) % 2  # (n_distinct, 32)
+            out.append((2 * bits - 1).sum(axis=0))
+        return pd.Series(out)
+
+    # The kernel is a per-doc Python loop (~0.5 ms/doc): spread it over
+    # the session's full task width — the one-file parquet scan gives
+    # only 2 input splits, which serializes the Arrow work 16× (6.7 s →
+    # 2.4 s at sf0.1 for a ~3 MB payload shuffle).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sums = (
+        corpus.repartition(n_part)
+        .select(
+            F.col("media_id").alias("doc_id"), _bit_sums("payload").alias("ss")
+        )
+        .filter(F.col("ss").isNotNull())  # gramless docs: absent in the oracle too
+        .select(
+            "doc_id",
+            *[
+                F.element_at("ss", b + 1).alias(f"s{b}")
+                for b in range(_SIMHASH_BITS)
+            ],
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = F.col("c")
-    for k in range(1, _BYTE_GRAM):
-        g = (g * 31 + F.lead("c", k).over(w)) % _FP_MOD
-    g = g % _M31
-    feat = (
-        ch.select("doc_id", g.alias("sh"))
-        .filter(F.col("sh").isNotNull())  # trailing partial grams drop
-        .distinct()
-    )
-    return kr_simhash_pairs(feat).select(
+    return kr_simhash_pairs_from_sums(sums).select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),
         "hamming",
