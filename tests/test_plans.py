@@ -1370,3 +1370,43 @@ def test_jdbc_read_partitioned_and_pushed(spark):
     assert "PushedFilters" in plan and "LessThan(L_QUANTITY,30" in plan.replace(
         "l_quantity", "L_QUANTITY"
     ), plan
+
+
+def test_embedding_dedup_polyhash_checkpointed_labels(spark):
+    """pipeline_embedding_dedup_polyhash: the RETURNED plan is the
+    post-CC window over the checkpointed label RDD (the candidate
+    join + hamming gate already executed inside the driver-orchestrated
+    propagation — localCheckpoint truncates that lineage, so the served
+    frame re-runs ZERO of the LSH work per consumer), and it contains
+    no join at all."""
+    spark.catalog.clearCache()  # persist()-ing key (print-stability)
+    plan = _plan(spark, "pipeline_embedding_dedup_polyhash")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Window" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+        assert bad not in plan, (bad, plan)
+
+
+def test_ann_fixed_twins_no_cartesian(spark):
+    """The r12 hash-verified ANN twins: bucket probes and ADC lookups
+    are equi-joins end-to-end — no cartesian/BNLJ anywhere, and the
+    top-k is a window row_number (bounded state), not a global sort."""
+    for key in ("sim_ann_lsh_fixed_topk", "sim_pq_fixed_adc_topk"):
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+        assert "RunningWindowFunction" in plan or "Window" in plan, (key, plan)
+
+
+def test_mm_polyhash_zero_feature_shuffle(spark):
+    """mm_simhash_bytes_polyhash: the gram pass must stay inside ONE
+    Arrow kernel — the plan may contain NO per-gram explode (the only
+    Generate is the 4-element banding posexplode, printed once per
+    self-join side over the cached signatures), the kernel node must
+    be Arrow-batched, and the band join bucket-local."""
+    spark.catalog.clearCache()  # persist()-ing key (print-stability)
+    plan = _plan(spark, "mm_simhash_bytes_polyhash")
+    assert "Generate explode" not in plan, plan
+    assert plan.count("Generate posexplode") == 2, plan  # one per join side
+    assert "ArrowEvalPython" in plan, plan
+    assert "CartesianProduct" not in plan, plan
