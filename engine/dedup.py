@@ -655,12 +655,24 @@ def kr_simhash_pairs(feat: DataFrame) -> DataFrame:
     return kr_simhash_pairs_from_sums(sums)
 
 
-def kr_simhash_pairs_from_sums(sums: DataFrame) -> DataFrame:
+def kr_simhash_pairs_from_sums(
+    sums: DataFrame, eager: bool = False
+) -> DataFrame:
     """(doc_id, s0..s31) per-bit sign sums → banded pair set — the tail
     of :func:`kr_simhash_pairs`, exposed so callers that compute the
     32 sums inside an Arrow kernel (``mm_simhash_bytes_polyhash``: 32
     vectorized ops over the per-doc gram array, zero shuffle) skip the
-    corpus-×-32 conditional-sum aggregation entirely."""
+    corpus-×-32 conditional-sum aggregation entirely.
+
+    ``eager`` materializes the signature cache with one count() BEFORE
+    the band self-join builds.  A lazy persist gets RACED by the join's
+    two stages — each computes the uncached subtree concurrently.  For
+    a cheap JVM subtree the race is nearly free (both passes overlap on
+    idle cores: 1.89 s lazy vs 2.26 s eager for dedup_simhash_polyhash
+    at sf0.1 — the extra serialized pass LOSES), so that caller stays
+    lazy; for a Python-bound Arrow-kernel subtree the race doubles the
+    worker-limited kernel work (~8 s vs ~5 s for the mm byte-gram
+    caller), so it passes eager=True."""
     sig_col = None
     for b in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
@@ -670,12 +682,9 @@ def kr_simhash_pairs_from_sums(sums: DataFrame) -> DataFrame:
     # sigs feeds both sides of the band self-join — without persist the
     # whole tokenize→fold→window→distinct→32-sum subtree re-derives per
     # consumer (graph_triangle_count precedent, ~|docs| rows cached).
-    # Materialize EAGERLY: a lazy persist lets the self-join's two
-    # stages race the first fill and compute the subtree TWICE
-    # concurrently (measured on the Arrow-kernel caller: the whole
-    # Python gram pass ran 2×, ~8 s vs ~5 s at sf0.1 for one count()).
     sigs = sums.select("doc_id", sig_col.alias("sig")).persist()
-    sigs.count()
+    if eager:
+        sigs.count()
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND
     band_vals = F.array(
         *[

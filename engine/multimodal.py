@@ -397,7 +397,7 @@ def mm_simhash_bytes_polyhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    return kr_simhash_pairs_from_sums(sums).select(
+    return kr_simhash_pairs_from_sums(sums, eager=True).select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),
         "hamming",
