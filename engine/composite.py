@@ -827,7 +827,61 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_bin_firstfit", oracle=None)  # rows-only: FFD is imperative
+@query(
+    "pack_bin_firstfit",
+    # Full oracle since r12 (was rows-only "FFD is imperative"): the
+    # imperative loop IS SQL-expressible — a recursive CTE carries the
+    # per-source bin-fill LIST as state (homogeneous BIGINT[], the r10
+    # list_reduce struct trap doesn't apply), list_position finds the
+    # first fitting bin (DuckDB returns 0, not NULL, for no-match), a
+    # two-arg list_transform updates it, and bin_fill reads the FINAL
+    # fills row (rk = max per source) exactly like the Spark kernel's
+    # post-loop lookup.  Recursion depth = docs per source (~25 at
+    # sf0.01).  All-integer state → bit-exact replay.
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tok DESC, doc_id ASC) AS rk
+        FROM toks
+    ),
+    rec AS (
+        SELECT source, CAST(0 AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS BIGINT) AS bin_id,
+               CAST([] AS BIGINT[]) AS fills
+        FROM (SELECT DISTINCT source FROM t)
+      UNION ALL
+        SELECT r.source, t.rk, t.doc_id, t.n_tok,
+               CASE WHEN fit.b = 0 THEN len(r.fills)
+                    ELSE fit.b - 1 END AS bin_id,
+               CASE WHEN fit.b = 0 THEN list_append(r.fills, t.n_tok)
+                    ELSE list_transform(r.fills,
+                            (f, i) -> CASE WHEN i = fit.b THEN f + t.n_tok
+                                           ELSE f END)
+               END AS fills
+        FROM rec r
+        JOIN t ON t.source = r.source AND t.rk = r.rk + 1,
+        LATERAL (SELECT list_position(
+                     list_transform(r.fills, f -> f + t.n_tok <= 512),
+                     true) AS b) fit
+    ),
+    final AS (
+        SELECT source, fills,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk DESC) AS z
+        FROM rec
+    )
+    SELECT r.source, r.doc_id, CAST(r.n_tok AS INTEGER) AS n_tok, r.bin_id,
+           f.fills[CAST(r.bin_id AS INTEGER) + 1] AS bin_fill
+    FROM rec r JOIN final f ON f.source = r.source AND f.z = 1
+    WHERE r.rk > 0
+    """,
+)
 def pack_bin_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing sequence packing — the tighter sibling of
     pack_concat_chunks: instead of cutting one concatenated stream,
@@ -838,10 +892,13 @@ def pack_bin_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Genuinely imperative semantics (each placement depends on all prior
     placements) → Arrow-batched applyInPandas per source group, the
-    designed escape hatch for custom stateful operators.  Rows-only:
-    no SQL oracle exists for FFD; tests/test_unit_semantics.py asserts
-    capacity, determinism, density vs the cumsum-chunk baseline, and
-    exact token conservation.
+    designed escape hatch for custom stateful operators.  Since r12 the
+    key carries a FULL oracle: the placement loop replays in DuckDB as
+    a recursive CTE with the bin-fill list as integer state (see the
+    oracle comment), so the driver hash-proves the imperative kernel;
+    tests/test_unit_semantics.py additionally asserts capacity,
+    determinism, density vs the cumsum-chunk baseline, and exact token
+    conservation.
 
     Scale design (100 TB): packing state is PER GROUP (source shard) —
     groups distribute across executors, state never crosses a group, so
