@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_cross_source_matrix",
     "text_vocab_truncate_unk",
     "sim_pq_fixed_adc_topk",
+    "sim_mmr_fixed_diversify",
 })
 
 

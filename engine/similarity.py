@@ -1448,6 +1448,178 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMRF_Q = 1 << 20  # quantization scale (power of two: exact double mult)
+_MMRF_SHORTLIST = 12
+_MMRF_K = 5
+
+
+@query(
+    "sim_mmr_fixed_diversify",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_MMRF_Q}) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    rel AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST(FLOOR(SUM(a.qv[i] * b.qv[i])
+                     / (SQRT(SUM(a.qv[i] * a.qv[i]))
+                        * SQRT(SUM(b.qv[i] * b.qv[i])))
+                     * 10000 + 0.5) AS BIGINT) AS rel_e4
+        FROM q a, q b, dims
+        WHERE a.vec_id < 3 AND b.vec_id >= 3
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT q_id, vec_id, rel_e4
+        FROM (SELECT q_id, vec_id, rel_e4,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY rel_e4 DESC, vec_id ASC)
+                         AS rn
+              FROM rel)
+        WHERE rn <= {_MMRF_SHORTLIST}
+    ),
+    sims AS (
+        SELECT s1.q_id, s1.vec_id AS a, s2.vec_id AS b,
+               CAST(FLOOR(SUM(x.qv[i] * y.qv[i])
+                     / (SQRT(SUM(x.qv[i] * x.qv[i]))
+                        * SQRT(SUM(y.qv[i] * y.qv[i])))
+                     * 10000 + 0.5) AS BIGINT) AS sim_e4
+        FROM shortlist s1
+        JOIN shortlist s2 ON s1.q_id = s2.q_id AND s1.vec_id <> s2.vec_id
+        JOIN q x ON x.vec_id = s1.vec_id
+        JOIN q y ON y.vec_id = s2.vec_id,
+        dims
+        GROUP BY 1, 2, 3
+    ),
+    rec AS (
+        SELECT q_id, CAST(0 AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS vec_id,
+               CAST(NULL AS BIGINT) AS mmr_score,
+               CAST([] AS BIGINT[]) AS chosen
+        FROM (SELECT DISTINCT q_id FROM shortlist)
+      UNION ALL
+        SELECT r.q_id, r.rank + 1, pick.vec_id, pick.score,
+               list_append(r.chosen, pick.vec_id)
+        FROM rec r,
+        LATERAL (
+            SELECT s.vec_id,
+                   7 * s.rel_e4 - 3 * COALESCE(
+                       (SELECT MAX(p.sim_e4) FROM sims p
+                        WHERE p.q_id = r.q_id AND p.a = s.vec_id
+                          AND list_contains(r.chosen, p.b)), 0) AS score,
+                   s.rel_e4
+            FROM shortlist s
+            WHERE s.q_id = r.q_id AND NOT list_contains(r.chosen, s.vec_id)
+            ORDER BY score DESC, s.rel_e4 DESC, s.vec_id ASC
+            LIMIT 1
+        ) pick
+        WHERE r.rank < {_MMRF_K}
+    )
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, mmr_score
+    FROM rec WHERE rank > 0
+    """,
+)
+def sim_mmr_fixed_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-VERIFIED MMR twin — maximal-marginal-relevance re-ranking
+    (Carbonell & Goldstein 1998: pick argmax λ·rel − (1−λ)·max-sim-to-
+    chosen, k times) with every number CROSS-ENGINE DETERMINISTIC, so
+    the greedy loop itself is driver-hash-proven: relevance and
+    pairwise similarity are pinned 4-decimal cosines over QUANTIZED
+    int64 embeddings (exact dots; sqrt/division/floor identical IEEE
+    on identical integer operands), the MMR score is pure integer
+    arithmetic (7·rel − 3·maxsim), and the DuckDB oracle replays the
+    greedy selection as a recursive CTE carrying the chosen-set LIST
+    as state with a correlated argmax LATERAL per step — the
+    pack_bin_firstfit recursive-state precedent applied to a
+    selection loop.
+
+    Scale shape mirrors the rows-only trained sibling
+    (``sim_mmr_diversify``): relevance is relational (3 bounded query
+    rows cross the candidate scan once), the shortlist is a bounded
+    per-query row_number, and the greedy runs in a grouped Arrow
+    kernel over shortlist-sized groups (12 rows each, 3 groups —
+    bounded by construction, never per-entity).  The kernel recomputes
+    sims from the quantized vectors with the exact SQL op sequence
+    (int64 dot → sqrt → divide → ·1e4 → +0.5 → floor)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _MMRF_Q).cast("long"),
+    )
+    quant = e.select("vec_id", qv.alias("qv"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qs = quant.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    cands = quant.filter(F.col("vec_id") >= 3)
+    rel_e4 = F.floor(
+        idot(F.col("q_qv"), F.col("qv")).cast("double")
+        / (
+            F.sqrt(idot(F.col("q_qv"), F.col("q_qv")).cast("double"))
+            * F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel_e4"), F.asc("vec_id"))
+    short = (
+        cands.crossJoin(qs)
+        .select("q_id", "vec_id", "qv", rel_e4.alias("rel_e4"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMRF_SHORTLIST)
+        .select("q_id", "vec_id", "rel_e4", "qv")
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel_e4"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        dots = X @ X.T  # exact int64 (|q| < 2^21, 64 dims -> < 2^47)
+        n = np.sqrt(np.diag(dots).astype(np.float64))
+        sim = np.floor(
+            dots.astype(np.float64) / (n[:, None] * n[None, :]) * 10000 + 0.5
+        ).astype(np.int64)
+        chosen: list[int] = []
+        out_ids, out_scores = [], []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < _MMRF_K:
+            best_i, best_key = None, None
+            for i in remaining:
+                red = max((int(sim[i, c]) for c in chosen), default=0)
+                s = 7 * int(rel[i]) - 3 * red
+                key = (s, int(rel[i]), -int(ids[i]))  # score, rel desc, id asc
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            chosen.append(best_i)
+            out_ids.append(int(ids[best_i]))
+            out_scores.append(int(best_key[0]))
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "vec_id": np.array(out_ids, dtype=np.int64),
+                "mmr_score": np.array(out_scores, dtype=np.int64),
+            }
+        )
+
+    return short.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, rank int, vec_id long, mmr_score long"
+    )
+
+
 _TRI_BLOCK = 250     # raw-id block width for pair generation (50 nodes)
 _TRI_THR_BP = 2000   # edge threshold: pinned cosine >= 0.20
 
