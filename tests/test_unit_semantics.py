@@ -430,6 +430,27 @@ def test_cross_source_matrix_planted_mirror_only(spark):
     assert got == set(expected), (sorted(got), sorted(expected))
 
 
+def test_mmr_fixed_greedy_invariants(spark):
+    """sim_mmr_fixed_diversify: exactly k=5 distinct picks per query;
+    rank-1 is the relevance argmax (empty chosen set → score is pure
+    7·rel, so the first pick must be the shortlist top); marginal
+    scores never increase with rank (the max-sim penalty is monotone
+    in the growing chosen set and rel is fixed per candidate... the
+    SELECTED sequence's scores are non-increasing because a later pick
+    was available—and not chosen—earlier at a score ≤ the winner's)."""
+    rows = engine.QUERIES["sim_mmr_fixed_diversify"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert len({r.vec_id for r in rs}) == 5
+        scores = [r.mmr_score for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
 def test_pack_bin_firstfit_invariants(spark):
     """FFD packing: capacity respected (except oversize singletons),
     token conservation, deterministic across runs, and never looser
