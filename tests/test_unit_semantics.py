@@ -141,6 +141,40 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
         assert jac == 1.0
 
 
+@_hyp
+@given(
+    vec=st.lists(
+        st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=8
+    )
+)
+def test_quantization_exactness_across_runtimes(spark, vec):
+    """The r12 integer-twin foundation: floor(float64(x)·2^20) must give
+    the SAME int64 from (a) Spark's JVM transform, (b) numpy (the Arrow
+    kernels), and (c) DuckDB (the oracles) — for negatives, exact zeros
+    and float32 values alike.  The power-of-two scale makes the multiply
+    exponent-only, so all three agree bit-for-bit; this is what lets
+    LSH/PQ/MMR projections be order-independent exact integers."""
+    import duckdb as _dd
+    import numpy as np
+
+    Q = 1 << 20
+    df = spark.createDataFrame([(vec,)], "e array<float>")
+    sp = df.select(
+        F.transform(
+            "e", lambda x: F.floor(x.cast("double") * Q).cast("long")
+        ).alias("q")
+    ).first().q
+    f32 = np.array(vec, dtype=np.float32)
+    npq = np.floor(f32.astype(np.float64) * Q).astype(np.int64).tolist()
+    con = _dd.connect()
+    dq = con.execute(
+        "SELECT list_transform(?::FLOAT[], x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * {Q}) AS BIGINT))",
+        [vec],
+    ).fetchone()[0]
+    assert sp == npq == dq, (vec, sp, npq, dq)
+
+
 def test_hll_merge_tracks_exact_distinct_counts(spark):
     """Per-segment HLL estimates and the sketch-union '_merged' estimate
     must each land within 5% of the exact distinct count (lgk=12 standard
