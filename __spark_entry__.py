@@ -103,15 +103,7 @@ def _bench_times() -> dict[str, float]:
 # ordinary backlog and must outrank these.  The 34-key round-6 backlog
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-12 additions (r11's 10 keys all drained to CORRECTNESS_r11)
-    "pipeline_embedding_dedup_polyhash",
-    "mm_simhash_bytes_polyhash",
-    "sim_ann_lsh_fixed_topk",
-    "sample_temperature_mixture",
-    "dedup_cross_source_matrix",
-    "text_vocab_truncate_unk",
-    "sim_pq_fixed_adc_topk",
-    "sim_mmr_fixed_diversify",
+    # round-13 additions (r12's 8 keys all drained to CORRECTNESS_r12)
 })
 
 

@@ -2096,7 +2096,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear in BOTH.  High off-diagonal mass means the mixture weights
     double-count content (a mirror, a scrape of a scrape) and the dedup
     pass must run across sources, not per source.  A 'mirror' source
-    republishing every fourth document is planted so the matrix is
+    republishing every seventh document is planted so the matrix is
     non-trivial; the natural corpus is verified disjoint by the same
     query (no (srcA, srcB) rows survive — texts are unique).  The
     mirror plants on doc_id % 7 — COPRIME with the corpus' 20-source

@@ -464,7 +464,7 @@ def sim_ann_lsh_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-parity plane correlation — see that key), and each
     projection is an order-independent int64 sum, so Spark's Arrow
     matmul and DuckDB's UNNEST+SUM agree exactly.  Queries (vec_id<5)
-    probe their bucket in each of 2×8-bit tables; the bucket-mates
+    probe their bucket in each of 8×4-bit tables; the bucket-mates
     union re-ranks on the PINNED 4-decimal cosine with a neighbor_id
     tiebreak (sim_ivf_fixed_topk discipline).
 
