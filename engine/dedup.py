@@ -766,9 +766,11 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; prefix extraction is a doc_id window over the already
     doc_id-partitioned frame; candidate volume is bounded by prefix
     bucket sizes (rare shingles — planted copies + hash-collision
-    noise), and the exact-intersection verify broadcasts per-doc
-    shingle arrays for CANDIDATE doc_ids only (left_semi-pruned), so
-    the broadcast scales with |candidates|, not |corpus|."""
+    noise), and the exact-intersection verify joins per-doc shingle
+    arrays for CANDIDATE doc_ids only (left_semi-pruned, unhinted):
+    AQE broadcasts the pruned dim while it is small and falls back to
+    a shuffle join keyed on the pair ids when it is not, so no stage
+    ever forces a corpus-correlated broadcast."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
@@ -813,45 +815,46 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()  # diamond: feeds the id-prune AND both verify joins
     )
-    # Exact-intersection verify via BROADCAST per-doc shingle arrays +
+    # Exact-intersection verify via per-doc shingle arrays +
     # array_intersect: the exploded form (shingle table ⋈ candidate set
     # ⋈ shingle table, then a pair groupBy) materializes |pairs|·|set|
     # ≈ 9.4M rows through a shuffle; the array form joins 178k pair rows
-    # against a broadcast dim twice and intersects JVM-side in codegen.
+    # against a small dim twice and intersects JVM-side in codegen.
     # The dim is left_semi-PRUNED to candidate doc_ids first (r10
-    # verdict): an unpruned broadcast grows with CORPUS doc count — a
-    # multi-GB driver killer at 100× — whereas candidate doc_ids are
-    # bounded by true pairs + prefix collisions regardless of corpus
-    # size.  (Beyond ~10M candidate docs the exploded shuffle verify is
-    # the fallback; at every tested scale the pruned dim is ≤ a few MB.)
+    # verdict): an unpruned dim grows with CORPUS doc count, whereas
+    # candidate doc_ids are bounded by true pairs + prefix collisions.
+    # UNHINTED joins (r13, closing the r12 broadcast-audit): candidate
+    # count still grows ~linearly with corpus at constant dup density,
+    # so a hard F.broadcast here is a forced-broadcast OOM at 100×.
+    # AQE size-selects BHJ at every tested scale (dim ≤ a few MB) and
+    # degrades to a shuffle join — arrays as shuffle payload keyed on
+    # doc_a/doc_b, the exploded-shuffle fallback the r12 docstring
+    # promised, reached automatically instead of behind a hand-rolled
+    # threshold — once the candidate dim outgrows the broadcast limit.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     sets = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sh.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("sh").alias("arr"), F.count("*").alias("n"))
     )
     out = (
         cand.join(
-            F.broadcast(
-                sets.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("arr").alias("arr_a"),
-                    F.col("n").alias("n_a"),
-                )
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("n_a"),
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sets.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("arr").alias("arr_b"),
-                    F.col("n").alias("n_b"),
-                )
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("n_b"),
             ),
             "doc_b",
         )

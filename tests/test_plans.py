@@ -1264,10 +1264,14 @@ def test_cogroup_buckets_not_per_user_groups(spark):
 def test_setsim_prefix_filter_broadcast_verify_no_cartesian(spark):
     """dedup_setsim_prefix_filter: candidates come from the prefix
     equi-join (never a cartesian), and the exact-intersection verify
-    reads the per-doc array dim via broadcast joins — the pair table
+    reads the per-doc array dim via SIZE-SELECTED broadcast joins
+    (unhinted since r13 — candidate count is corpus-correlated at
+    constant dup density, so a hard hint was the last forced-broadcast
+    OOM risk in the repo; beyond the broadcast limit the same joins
+    degrade to the shuffle fallback automatically) — the pair table
     never re-explodes to (pair × set) rows through a shuffle.  The r10
-    verdict fix: the array dim must be LeftSemi-pruned to candidate
-    doc_ids before broadcast (an unpruned dim grows with corpus size)."""
+    verdict fix stays: the array dim must be LeftSemi-pruned to
+    candidate doc_ids first (an unpruned dim grows with corpus size)."""
     spark.catalog.clearCache()
     plan = _plan(spark, "dedup_setsim_prefix_filter")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
