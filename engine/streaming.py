@@ -1353,7 +1353,24 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("batch_id", "n_rows")
 
 
-@query("source_python_stream", oracle=None)  # rows-only: streaming mode
+@query(
+    "source_python_stream",
+    # Full oracle since r13 (was rows-only "streaming mode"): the
+    # stream_rate_limit precedent — staged paging is a PURE FUNCTION of
+    # page size + offsets, so the drained sink replays as closed-form
+    # ledger arithmetic.  Page k holds exactly seq ∈ [250k, 250(k+1)),
+    # one page per availableNow run (r7 measured trap), one batch per
+    # run → batch membership ≡ seq div 250, and COUNT(DISTINCT j//250)
+    # replays n_batches without knowing the checkpoint's batch ids.
+    oracle="""
+    SELECT CAST(j % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((j * 37) % 1000) AS BIGINT) AS sum_amount,
+           CAST(COUNT(DISTINCT j // 250) AS BIGINT) AS n_batches
+    FROM UNNEST(range(0, 500)) AS t(j)
+    GROUP BY 1
+    """,
+)
 def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 PYTHON STREAMING DATA SOURCE — the extension point that
     wraps an external feed (REST poll, message queue, CDC tail) as a
@@ -1367,9 +1384,11 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, not ``initialOffset``.  That restart continuation (the
     property a real connector lives or dies by) is what this key
     exercises; tests pin 2 distinct batch ids and the exact ledger
-    totals.  (Two pages, not five: each restart pays ~2 s of Python
-    data-source query spin-up — measured — and one restart already
-    proves the contract.)
+    totals, and since r13 the driver hash-proves them against the
+    closed-form ledger oracle (see the decorator note).  (Two pages,
+    not five: each restart pays ~2 s of Python data-source query
+    spin-up — measured — and one restart already proves the
+    contract.)
 
     Scale notes: the simple-reader variant reads on the driver (fine
     for control-plane-sized feeds; the partitioned

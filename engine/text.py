@@ -1308,7 +1308,72 @@ def text_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-@query("text_bpe_train_merges", oracle=None)  # rows-only: iterative merges
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """UNROLLED iterative-CTE replay of the BPE merge loop (r13 upgrade;
+    rows-only → full oracle).  Sequential-by-definition loops whose
+    iteration count is a bounded CONSTANT don't even need recursion —
+    one CTE pair per merge (p{k} pair counts → b{k} argmax → s{k+1}
+    re-segmented vocab), generated here at decorator time.
+
+    The merge-application trick: each vocab word's symbol sequence is
+    a STRING with every symbol individually wrapped in \\x1f
+    (``\\x1f a \\x1f \\x1f b \\x1f`` …), so applying merge (l, r) is one
+    ``replace(seq, SEP||l||SEP||SEP||r||SEP, SEP||l||r||SEP)`` —
+    SQL replace() consumes non-overlapping matches LEFT-TO-RIGHT,
+    exactly the Python kernel's greedy scan (``a a a a`` → ``aa aa``,
+    ``a a a`` → ``aa a``; the per-symbol wrapping keeps adjacent
+    matches from sharing boundary bytes, which a single-separator
+    encoding gets wrong on runs).  Pair stats re-split the wrapped
+    string (list_filter drops the empties) and index pairs via
+    UNNEST(range) — DuckDB has no WITH ORDINALITY.  Ties replay the
+    kernel's min((-count, pair)) as ORDER BY c DESC, l, r (binary
+    UTF-8 collation = Python code-point order on this corpus).
+    All-integer counts → bit-exact hash match."""
+    sep = "\x1f"
+    tok = "list_filter(string_split(lower(d.text), ' '), t -> t <> '')"
+
+    def stage(k: int) -> str:
+        return f"""
+    p{k} AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt,
+                     list_filter(string_split(seq, '{sep}'), x -> x <> '')
+                         AS syms
+              FROM s{k}),
+             UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY l, r
+    ),
+    b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    s{k + 1} AS (
+        SELECT s.w, s.cnt,
+               replace(s.seq,
+                       '{sep}' || b.l || '{sep}{sep}' || b.r || '{sep}',
+                       '{sep}' || b.l || b.r || '{sep}') AS seq
+        FROM s{k} s CROSS JOIN b{k} b
+    )"""
+
+    merges = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS INTEGER) AS rank, l AS "left", r AS "right",
+               l || r AS merged, c AS pair_count FROM b{k}"""
+        for k in range(n_merges)
+    )
+    return f"""
+    WITH words AS (
+        SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents d, UNNEST({tok}) AS t(tok)
+        GROUP BY t.tok
+    ),
+    s0 AS (
+        SELECT w, cnt,
+               regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g')
+                   || '{sep}</w>{sep}' AS seq
+        FROM words
+    ),{",".join(stage(k) for k in range(n_merges))}
+    {merges}
+    """
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle_sql(_BPE_MERGES))
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING — the op that turns a raw corpus into the
     merge table a tokenizer ships with.  Real BPE trainers split the
@@ -1327,7 +1392,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (rank, left, right, merged, pair_count) per learned merge —
     hash-stable, asserted against a hand-computed prefix in
-    tests/test_unit_semantics.py."""
+    tests/test_unit_semantics.py, and since r13 hash-proved end-to-end
+    by the unrolled iterative-CTE oracle (:func:`_bpe_oracle_sql`) —
+    the pack_bin_firstfit discipline: bounded imperative loops replay
+    in SQL, one CTE stage per iteration."""
     import pandas as pd
 
     d = load(spark, sf_dir, "documents")
