@@ -1279,7 +1279,16 @@ def pipeline_embedding_dedup_polyhash(
 
     # Project the UDF result ONCE before fanning out (HOF/UDF re-eval
     # trap): posexplode + element_at below read a plain column.
-    sigged = corpus.select("vec_id", _embp_sigs("embedding").alias("sigs"))
+    sigged = corpus.select("vec_id", _embp_sigs("embedding").alias("sigs")).persist()
+    # EAGER (r13, the kr_simhash_pairs_from_sums discipline): the lazy
+    # persist raced — both candidate self-join sides + both CC union
+    # arms start together and each recomputes the uncached subtree
+    # ("Block already exists" warnings confirmed 2-4 duplicate Arrow
+    # signature passes).  Measured cold-run minima EQUAL at sf0.1
+    # (10.2 s eager vs 10.1 s lazy — the kernel is cheap at 13k×64),
+    # but at 100× the signature matmul dominates and the race is a
+    # 2-4× tax, so the eager pass is the scale-correct default.
+    sigged.count()
     entries = sigged.select(
         "vec_id",
         F.element_at("sigs", 3).alias("vsig"),
@@ -1301,6 +1310,7 @@ def pipeline_embedding_dedup_polyhash(
         .distinct()
         .persist()  # diamond: feeds both edge directions of CC
     )
+    verified.count()  # EAGER (probe): kill the self-join persist race
     both = verified.unionByName(
         verified.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
