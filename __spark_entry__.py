@@ -104,6 +104,7 @@ def _bench_times() -> dict[str, float]:
 # + |this set| must stay ≤ ~50.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-13 additions (r12's 8 keys all drained to CORRECTNESS_r12)
+    "text_decontaminate_spans",
 })
 
 

@@ -2235,3 +2235,151 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("total_nll_e4 div n_bigrams").cast("long").alias("avg_nll_e4"),
         )
     )
+
+
+# -- position-exact span decontamination (r13 VERDICT #7a) -----------------
+#
+# Planted eval set: docs with doc_id % 53 == 0 (53 is prime — coprime
+# with the 20-source cycle, the % 97 overlap eval, and every other
+# plant residue per the CLAUDE.md aliasing rule) republish a token
+# slice [s, s+L) as a held-out benchmark item, s = doc_id % 7 + 2,
+# L = 12 + doc_id % 5.  Only docs with >= 25 tokens qualify so the
+# slice always exists (s + L - 1 <= 23).  The organic positional
+# overlap of this corpus maxes out at 5-token runs (measured sf0.01),
+# so the >= 8 threshold admits exactly the planted leaks plus any
+# genuine verbatim republication — chance trigram hits never chain
+# that long.
+_SPAN_MIN_LEN = 8
+_SPAN_EVAL_SQL = """
+    toks AS (
+        SELECT doc_id, {t} AS t FROM documents
+    ),
+    ev AS (
+        SELECT doc_id AS eval_id,
+               list_slice(t, (doc_id % 7) + 2,
+                          (doc_id % 7) + 2 + 12 + (doc_id % 5) - 1) AS et
+        FROM toks WHERE doc_id % 53 = 0 AND len(t) >= 25
+    )
+""".format(t=_TOKENS_SQL.format(c="text"))
+
+
+@query(
+    "text_decontaminate_spans",
+    oracle=f"""
+    WITH {_SPAN_EVAL_SQL},
+    ttri AS (
+        SELECT doc_id AS t_doc, i AS t_pos,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
+        FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS s(i)
+    ),
+    etri AS (
+        SELECT eval_id, i AS e_pos,
+               et[i] || ' ' || et[i+1] || ' ' || et[i+2] AS tri
+        FROM ev, UNNEST(range(1, GREATEST(len(et) - 2, 0) + 1)) AS s(i)
+    ),
+    hits AS (
+        SELECT t_doc, eval_id, t_pos, e_pos, t_pos - e_pos AS diag
+        FROM ttri JOIN etri USING (tri)
+    ),
+    isl AS (
+        SELECT t_doc, eval_id, diag, t_pos,
+               t_pos - ROW_NUMBER() OVER (
+                   PARTITION BY t_doc, eval_id, diag ORDER BY t_pos) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT t_doc, eval_id, diag,
+               MIN(t_pos) AS t_start, MAX(t_pos) - MIN(t_pos) + 3 AS span_len
+        FROM isl GROUP BY t_doc, eval_id, diag, grp
+    )
+    SELECT CAST(t_doc AS BIGINT) AS t_doc,
+           CAST(eval_id AS BIGINT) AS eval_id,
+           CAST(t_start AS BIGINT) AS t_start,
+           CAST(t_start - diag AS BIGINT) AS e_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+               list_slice(k.t, t_start, t_start + span_len - 1), ' ')
+               AS span_text
+    FROM spans JOIN toks k ON k.doc_id = spans.t_doc
+    WHERE span_len >= {_SPAN_MIN_LEN}
+    """,
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-EXACT span decontamination (the r12 VERDICT's top new-
+    capability ask): find every maximal verbatim token span shared
+    between a training document and a held-out eval item, with exact
+    start offsets on both sides — the span-granular upgrade of
+    `text_decontaminate_overlap`, which only scores trigram-SET
+    overlap and cannot say *where* the leak is or how long it runs.
+    This is the shape used to scrub benchmark leakage at span
+    granularity (C4/GPT-3-style 13-gram decontamination, generalized
+    to maximal runs): anchor n-grams seed candidate alignments, and
+    consecutive anchors on one alignment DIAGONAL (t_pos - e_pos)
+    merge into maximal spans via gaps-and-islands.
+
+    Algorithm: positioned trigrams on both sides; equi-join on the
+    trigram string; per (train_doc, eval_id, diagonal) the hit
+    positions are consecutive iff part of one verbatim run, so
+    ``t_pos - row_number()`` groups each run (win_gaps_islands idiom)
+    and a span of matched length ``max - min + 3`` tokens pops out per
+    island.  A run of W matching tokens yields exactly W-2 consecutive
+    trigram hits on its diagonal, so span_len reconstructs W exactly.
+
+    Scale design: the eval side is BOUNDED BY CONSTRUCTION (benchmark
+    suites are ~1e6 items vs a 100 TB corpus), so `F.broadcast(etri)`
+    is justified the same way text_decontaminate_overlap's eval
+    broadcast is — the corpus-side trigram stream never shuffles for
+    the join; the only exchange is the islands window on
+    (t_doc, eval_id, diag), whose groupBy keys are a superset (subset
+    rule: one shuffle serves window + aggregate).  The final
+    span-text join touches only matched docs (span rows are leak-
+    density-bounded, unhinted — AQE size-selects).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    ev = toks.filter((F.col("doc_id") % 53 == 0) & (F.size("t") >= 25)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.slice(
+            F.col("t"),
+            (F.col("doc_id") % 7 + 2).cast("int"),
+            (F.col("doc_id") % 5 + 12).cast("int"),
+        ).alias("et"),
+    )
+    ttri = toks.select(
+        F.col("doc_id").alias("t_doc"),
+        F.posexplode(_trigrams(F.col("t"))).alias("p0", "tri"),
+    ).select("t_doc", (F.col("p0") + 1).alias("t_pos"), "tri")
+    etri = ev.select(
+        "eval_id", F.posexplode(_trigrams(F.col("et"))).alias("p0", "tri")
+    ).select("eval_id", (F.col("p0") + 1).alias("e_pos"), "tri")
+    hits = ttri.join(F.broadcast(etri), "tri").select(
+        "t_doc", "eval_id", "t_pos", "e_pos",
+        (F.col("t_pos") - F.col("e_pos")).alias("diag"),
+    )
+    w = Window.partitionBy("t_doc", "eval_id", "diag").orderBy("t_pos")
+    spans = (
+        hits.withColumn("grp", F.col("t_pos") - F.row_number().over(w))
+        .groupBy("t_doc", "eval_id", "diag", "grp")
+        .agg(
+            F.min("t_pos").alias("t_start"),
+            (F.max("t_pos") - F.min("t_pos") + 3).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _SPAN_MIN_LEN)
+    )
+    return spans.join(
+        toks.select(F.col("doc_id").alias("t_doc"), "t"), "t_doc"
+    ).select(
+        F.col("t_doc").cast("long").alias("t_doc"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("t_start").cast("long").alias("t_start"),
+        (F.col("t_start") - F.col("diag")).cast("long").alias("e_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.col("t_start").cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )

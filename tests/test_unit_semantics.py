@@ -1094,3 +1094,36 @@ def test_kr_shingles_match_python_reference(spark, toks):
     corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = {r.sh for r in _kr_shingles(corpus).collect()}
     assert got == expected, f"KR drift: {got ^ expected}"
+
+
+def test_decontaminate_spans_recover_planted_slices(spark):
+    # Every planted eval item (doc_id % 53 == 0, >= 25 tokens) is a
+    # verbatim token slice [s, s+L) of its origin doc — the span finder
+    # must recover the ORIGIN at the exact offsets with the full length,
+    # and every reported span_text must equal the eval-side slice it
+    # claims to match (position-exactness, not just set overlap).
+    rows = engine.QUERIES["text_decontaminate_spans"](spark, SF_DIR).collect()
+    assert rows, "no spans found — plant broken"
+    by_pair = {(r.t_doc, r.eval_id): r for r in rows}
+    d = load(spark, SF_DIR, "documents")
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in d.filter((F.col("doc_id") % 53 == 0)).collect()
+    }
+    planted = 0
+    for doc_id, t in toks.items():
+        if len(t) < 25:
+            continue
+        planted += 1
+        s = doc_id % 7 + 2
+        length = 12 + doc_id % 5
+        r = by_pair[(doc_id, doc_id)]
+        assert r.t_start == s and r.e_start == 1
+        assert r.span_len >= length  # maximal: may extend past the slice
+        assert r.span_text.split(" ")[: r.span_len] == t[
+            r.t_start - 1 : r.t_start - 1 + r.span_len
+        ]
+    assert planted >= 5
+    # no chance spans: everything reported is >= the threshold, and the
+    # organic (non-planted) background of this corpus never reaches it
+    assert all(r.span_len >= 8 for r in rows)
