@@ -105,6 +105,7 @@ def _bench_times() -> dict[str, float]:
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-13 additions (r12's 8 keys all drained to CORRECTNESS_r12)
     "text_decontaminate_spans",
+    "sim_kmeans_converge",
 })
 
 

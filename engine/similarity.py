@@ -2370,3 +2370,192 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg",
         (F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+# -- k-means to CONVERGENCE (r13; completes the clustering story the
+#    fixed-iteration IVF key opened) ---------------------------------------
+#
+# Integer-pinned Lloyd: embeddings quantize to int64 at a power-of-two
+# scale (floor(float64(x) * 2^12) — exact in Spark, numpy, and DuckDB
+# by IEEE widening, the r12 quantization-exactness pattern), distances
+# are exact int64 sums (|q| <= 2^12 ⇒ d2 <= 64 * 2^26 < 2^33), and the
+# centroid update is integer division truncating toward zero on every
+# engine (DuckDB `//`, numpy sign-split abs-floordiv).  Every Lloyd
+# step is therefore BIT-IDENTICAL across engines, which is what lets a
+# convergence LOOP carry a full hash oracle: the oracle unrolls
+# _KM_UNROLL iterations as CTEs, and because a converged Lloyd step is
+# the IDENTITY (stable assignment ⇒ unchanged centroids ⇒ stable
+# assignment), any convergence round r <= _KM_UNROLL yields c_UNROLL
+# == c_r exactly.  The Spark side runs to detected convergence and
+# RAISES LOUDLY if round _KM_UNROLL arrives without stability — a
+# wrong answer is impossible, only a loud one (CC-cap policy,
+# engine/dedup.py).  Measured convergence on this corpus: round 11 at
+# sf0.01 AND sf0.1 (coreset caps the training set, so the round count
+# is scale-stable); 24 is a 2x margin.
+_KM_K = 8          # clusters
+_KM_CORE = 512     # fixed-size training coreset (scale-independent)
+_KM_SCALE = 4096   # 2^12 quantization (power of two — exact products)
+_KM_UNROLL = 24    # oracle unroll depth == Spark loud convergence cap
+_KM_P = 2**31 - 1
+_KM_A = 1103515245 % _KM_P  # classic LCG multiplier (public constant)
+_KM_B = 12345
+
+
+def _km_oracle() -> str:
+    """Unrolled-Lloyd DuckDB twin (every CTE MATERIALIZED — DuckDB
+    inlines single-use CTEs and a 48-level inlined chain explodes
+    planning >240 s at sf0.01 vs 0.75 s materialized): q (quantized
+    vectors) → core
+    (hash-rank coreset) → c0 (K lowest vec_id) → a1/c1 … a24/c24 →
+    full-corpus nearest-centroid assignment against c24."""
+    parts = [
+        (
+            "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+            " AS qv FROM embeddings)"
+        ),
+        (
+            "core AS MATERIALIZED (SELECT vec_id, qv FROM q "
+            f"ORDER BY ((vec_id % {_KM_P}) * {_KM_A} + {_KM_B}) % {_KM_P},"
+            f" vec_id LIMIT {_KM_CORE})"
+        ),
+        (
+            f"c0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS cv FROM core "
+            f"ORDER BY vec_id LIMIT {_KM_K})"
+        ),
+    ]
+    for n in range(1, _KM_UNROLL + 1):
+        parts.append(f"""a{n} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM (
+                SELECT core.vec_id, c.cid,
+                       SUM((core.qv[s.i] - c.cv[s.i])
+                           * (core.qv[s.i] - c.cv[s.i])) AS d2
+                FROM core, c{n - 1} c, {_DIMS} s
+                GROUP BY core.vec_id, c.cid
+            )
+        ) WHERE rn = 1
+    )""")
+        # dropped clusters stay dropped: the GROUP BY only emits
+        # centroids with members, exactly like the numpy loop
+        parts.append(f"""c{n} AS MATERIALIZED (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, s.i AS pos,
+                   CAST(SUM(core.qv[s.i]) AS BIGINT) // COUNT(*) AS m
+            FROM a{n} a JOIN core ON core.vec_id = a.vec_id, {_DIMS} s
+            GROUP BY a.cid, s.i
+        ) GROUP BY cid
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM (
+        SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT q.vec_id, c.cid,
+                   SUM((q.qv[s.i] - c.cv[s.i])
+                       * (q.qv[s.i] - c.cv[s.i])) AS d2
+            FROM q, c{_KM_UNROLL} c, {_DIMS} s
+            GROUP BY q.vec_id, c.cid
+        )
+    ) WHERE rn = 1
+    """
+    )
+
+
+def _km_train(rows) -> tuple:
+    """Integer Lloyd to convergence over the collected coreset rows.
+    Returns (centroid_matrix int64 [k' x 64], cids int64 [k']).
+    Shared by the key and its margin tripwire test."""
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.floor(
+        np.stack(
+            [np.asarray(rows[i]["embedding"], dtype=np.float64) for i in order]
+        )
+        * _KM_SCALE
+    ).astype(np.int64)
+    C = X[:_KM_K].copy()  # ids sorted asc → the K lowest vec_id
+    cids = ids[:_KM_K].copy()
+    prev = None
+    for rnd in range(1, _KM_UNROLL + 1):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        pick = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, 0]
+        lab = cids[pick]
+        if prev is not None and np.array_equal(lab, prev):
+            return C, cids, rnd - 1
+        prev = lab
+        new_c, new_ids = [], []
+        for c in cids:
+            m = lab == c
+            if not m.any():
+                continue
+            s = X[m].sum(axis=0)
+            n = int(m.sum())
+            # truncate toward zero — DuckDB `//` semantics (numpy //
+            # FLOORS, so sign-split per the r7 division trap)
+            new_c.append(np.sign(s) * (np.abs(s) // n))
+            new_ids.append(c)
+        C = np.stack(new_c).astype(np.int64)
+        cids = np.asarray(new_ids, dtype=np.int64)
+    raise RuntimeError(
+        f"integer Lloyd did not converge within {_KM_UNROLL} rounds — "
+        "the unrolled oracle would diverge from the trained model; "
+        "raise _KM_UNROLL (and re-measure the margin) instead of "
+        "serving a non-converged clustering"
+    )
+
+
+@query("sim_kmeans_converge", oracle=_km_oracle())
+def sim_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering trained to CONVERGENCE (label
+    stability), not a fixed iteration count — the production
+    clustering shape the fixed-iteration IVF key (`sim_ivf_topk`)
+    deliberately avoided, now with a FULL hash oracle via the
+    unrolled-idempotent-Lloyd construction in :func:`_km_oracle`.
+
+    Scale design (the 100 TB shape): global Lloyd over the full corpus
+    is never the plan — training runs on a FIXED-SIZE deterministic
+    coreset (hash-rank top-512 by a universal hash of vec_id: one
+    distributed TakeOrderedAndProject, no global sort shuffle), which
+    is a bounded-by-construction trained-model input exactly like the
+    PQ codebook (engine.core.collect_model_artifact, ≤4096-row guard).
+    The corpus-scale work is the final assignment: the converged
+    centroid matrix (≤ 8×64 int64) travels in the Arrow-UDF closure
+    and every vector gets its nearest centroid in one map-only pass —
+    no join, no shuffle, embarrassingly parallel at any corpus size.
+    Convergence detection is driver-side over coreset labels with a
+    LOUD cap at _KM_UNROLL (matching the oracle's unroll depth, 2×
+    the measured convergence round).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = ((F.col("vec_id") % _KM_P) * _KM_A + _KM_B) % _KM_P
+    core = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(_KM_CORE)
+    C, cids, _ = _km_train(collect_model_artifact(core))
+
+    @F.pandas_udf("cid bigint, d2 bigint")
+    def _assign(emb):
+        m = np.floor(
+            np.stack(emb.to_numpy()).astype(np.float64) * _KM_SCALE
+        ).astype(np.int64)
+        d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        pick = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, 0]
+        return pd.DataFrame(
+            {"cid": cids[pick], "d2": d2[np.arange(len(pick)), pick]}
+        )
+
+    return e.select("vec_id", _assign("embedding").alias("a")).select(
+        "vec_id", F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2")
+    )

@@ -1127,3 +1127,42 @@ def test_decontaminate_spans_recover_planted_slices(spark):
     # no chance spans: everything reported is >= the threshold, and the
     # organic (non-planted) background of this corpus never reaches it
     assert all(r.span_len >= 8 for r in rows)
+
+
+def test_kmeans_converge_margin_and_idempotence(spark):
+    # Corpus-roll tripwire: the unrolled oracle is only correct while
+    # the coreset Lloyd CONVERGES within _KM_UNROLL rounds — fail early
+    # (with headroom) if a regenerated corpus pushes the convergence
+    # round toward the cap, rather than letting the key start raising.
+    from engine.core import collect_model_artifact
+    from engine.similarity import (
+        _KM_A, _KM_B, _KM_CORE, _KM_P, _KM_UNROLL, _km_train,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    h = ((F.col("vec_id") % _KM_P) * _KM_A + _KM_B) % _KM_P
+    core = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(_KM_CORE)
+    C, cids, rnd = _km_train(collect_model_artifact(core))
+    assert rnd <= _KM_UNROLL - 6, (
+        f"convergence round {rnd} is within 6 of the unroll cap "
+        f"{_KM_UNROLL} — raise _KM_UNROLL before the corpus drifts past it"
+    )
+    # converged model: one more Lloyd step is the identity (this is the
+    # property that makes the unrolled oracle exact for ANY depth >= rnd)
+    import numpy as np
+
+    rows = collect_model_artifact(core)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    X = np.floor(
+        np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                  for i in order]) * 4096
+    ).astype(np.int64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    pick = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, 0]
+    lab = cids[pick]
+    for c in cids:
+        m = lab == c
+        s = X[m].sum(axis=0)
+        step = np.sign(s) * (np.abs(s) // int(m.sum()))
+        assert (step == C[cids == c][0]).all()
