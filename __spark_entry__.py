@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-13 additions (r12's 8 keys all drained to CORRECTNESS_r12)
     "text_decontaminate_spans",
     "sim_kmeans_converge",
+    "dedup_crosslingual_minhash",
 })
 
 

@@ -537,6 +537,20 @@ _KR_SHINGLES_SQL = f"""corpus AS (
     {_KR_TOK_SH_SQL}"""
 
 
+def _kr_t31(tok) -> F.Column:
+    """Per-token Karp-Rabin char fold mod M31 — the Spark twin of the
+    ``list_reduce`` fold in :data:`_KR_TOK_SH_SQL` (one interpreted
+    lambda eval per CHAR of the token, ~6/token — never per gram)."""
+    return (
+        F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
+        )
+        % _M31
+    )
+
+
 def _kr_shingles(corpus: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, sh) Karp-Rabin 3-token shingle hashes — the
     DuckDB-expressible feature set behind the whole hash-verified
@@ -554,15 +568,7 @@ def _kr_shingles(corpus: DataFrame) -> DataFrame:
     tok = corpus.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
-    t31 = (
-        F.aggregate(
-            F.split(F.col("tok"), ""),
-            F.lit(0).cast("long"),
-            lambda h, c: (h * 31 + F.ascii(c)) % _FP_MOD,
-        )
-        % _M31
-    )
-    hashed = tok.select("doc_id", "pos", t31.alias("t31"))
+    hashed = tok.select("doc_id", "pos", _kr_t31(F.col("tok")).alias("t31"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
         (F.col("t31") * 131 + F.lead("t31", 1).over(w)) % _M31 * 131
@@ -967,11 +973,21 @@ def kr_minhash_near_pairs(corpus: DataFrame) -> DataFrame:
     via the DuckDB-replayable Karp-Rabin MinHash+LSH chain — the
     hash-verifiable twin of :func:`minhash_near_pairs` (SQL twin:
     :data:`_KR_MH_PAIRS_CTES` over an `sh` CTE).  Returns (doc_a,
-    doc_b, n_common, n_a, n_b, jac_e6).  Shuffle discipline is the
+    doc_b, n_common, n_a, n_b, jac_e6)."""
+    return kr_pairs_from_sh(_kr_shingles(corpus))
+
+
+def kr_pairs_from_sh(sh: DataFrame) -> DataFrame:
+    """The minhash → band → bucket-join → exact-verify tail of
+    :func:`kr_minhash_near_pairs`, over ANY distinct (doc_id, sh)
+    shingle-hash frame (SQL twin: :data:`_KR_MH_PAIRS_CTES` over an
+    `sh` CTE) — factored out so keys that derive their shingle stream
+    differently (e.g. the lexicon-normalized cross-lingual key) reuse
+    the identical pair chain.  Shuffle discipline is the
     minhash_near_pairs shape: persisted shingle diamond, columnar
-    16-min reduce, bucket-local band self-join, broadcast-candidate
-    exact-intersection verify."""
-    sh = _kr_shingles(corpus).persist()
+    16-min reduce, bucket-local band self-join, unhinted
+    candidate-verify joins (AQE size-selects)."""
+    sh = sh.persist()
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("sh") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_M31))
@@ -2130,4 +2146,223 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("source_a") < F.col("source_b")))
         .groupBy("source_a", "source_b")
         .agg(F.countDistinct("fp").alias("n_shared"))
+    )
+
+
+# -- cross-lingual near-dup (r13 VERDICT #7c) ------------------------------
+#
+# Planted translations: docs with doc_id % 11 == 0 (11 is prime —
+# coprime with the 20-source cycle and every other plant residue)
+# republish under the NEXT language in the en→de→es→fr→zh cycle with
+# every token replaced by that language's lexicon form.  The foreign
+# surface form 'x<lid>_<(t31(canon)·(lid+2)) mod M31>' is NOT
+# string-invertible — recovering the canonical stream REQUIRES the
+# lexicon join, which is the operator under test (the production
+# shape: a bounded bilingual lexicon broadcast against a 100 TB token
+# stream).  Normalized streams of a mirror and its origin are
+# IDENTICAL, so Jaccard = 1 and every band matches: recovery is
+# deterministic, not LSH-probabilistic.
+_XL_RES = 11
+_XL_NEXT_SQL = (
+    "CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es' "
+    "WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'en' END"
+)
+_KR_T31_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split_regex({c}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * 31 + c) % {_FP_MOD}) % {_M31}"
+)
+
+_XL_CORPUS_SQL = f"""langs AS (
+        SELECT * FROM (VALUES ('en', 0), ('de', 1), ('es', 2),
+                              ('fr', 3), ('zh', 4)) AS v(lang, lid)
+    ),
+    dtok AS (
+        SELECT doc_id, lang, generate_subscripts(t, 1) AS pos,
+               unnest(t) AS tok
+        FROM (SELECT doc_id, lang,
+                     {_TOKENS_SQL.format(c="text")} AS t
+              FROM documents)
+    ),
+    vh AS (
+        SELECT tok AS canon, {_KR_T31_SQL.format(c="tok")} AS ch
+        FROM (SELECT DISTINCT tok FROM dtok)
+    ),
+    lex AS (
+        SELECT v.canon, v.ch, l.lang,
+               'x' || CAST(l.lid AS VARCHAR) || '_'
+                   || CAST((v.ch * (l.lid + 2)) % {_M31} AS VARCHAR) AS ftok
+        FROM vh v, langs l
+    ),
+    mirror AS (
+        SELECT d.doc_id + {_COPY_OFFSET} AS doc_id, d.nl AS lang,
+               string_agg(lx.ftok, ' ' ORDER BY d.pos) AS text
+        FROM (SELECT doc_id, pos, tok, {_XL_NEXT_SQL} AS nl
+              FROM dtok WHERE doc_id % {_XL_RES} = 0) d
+        JOIN lex lx ON lx.canon = d.tok AND lx.lang = d.nl
+        GROUP BY 1, 2
+    ),
+    corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id, lang, text FROM mirror
+    ),
+    ctok AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        FROM (SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS t
+              FROM corpus)
+    ),
+    thl AS (
+        SELECT doc_id, list(th ORDER BY pos) AS th FROM (
+            SELECT c.doc_id, c.pos,
+                   COALESCE(lx.ch, {_KR_T31_SQL.format(c="c.tok")}) AS th
+            FROM ctok c LEFT JOIN lex lx ON lx.ftok = c.tok
+        ) GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s.sh
+        FROM thl, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(len(th) - 1, 1)),
+             i -> (((th[CAST(i AS INTEGER)] * 131
+                     + th[CAST(i AS INTEGER) + 1]) % {_M31}) * 131
+                   + th[CAST(i AS INTEGER) + 2]) % {_M31}))) AS s(sh)
+    )"""
+
+
+@query(
+    "dedup_crosslingual_minhash",
+    oracle=f"""
+    WITH {_XL_CORPUS_SQL},
+    {_KR_MH_PAIRS_CTES}
+    SELECT p.doc_a, p.doc_b, la.lang AS lang_a, lb.lang AS lang_b,
+           p.n_common, p.n_a, p.n_b,
+           CAST(p.n_common * 1000000 // (p.n_a + p.n_b - p.n_common)
+                AS BIGINT) AS jac_e6
+    FROM mh_pairs p
+    JOIN corpus la ON la.doc_id = p.doc_a
+    JOIN corpus lb ON lb.doc_id = p.doc_b
+    WHERE la.lang <> lb.lang
+    """,
+)
+def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate detection (r12 VERDICT #7c):
+    documents republished in ANOTHER LANGUAGE are found by normalizing
+    every token through a bilingual lexicon to a canonical stream,
+    then running the repo's hash-verified KR MinHash+LSH chain
+    (:func:`kr_pairs_from_sh`) over the NORMALIZED shingles and
+    keeping only pairs whose language tags differ.  This is the
+    multilingual-corpus dedup shape (mC4/OSCAR-style): translations
+    collapse onto one canonical token stream, so set similarity is
+    computed language-independently.
+
+    Pipeline: derive the lexicon (canonical vocab × 5 languages,
+    foreign form = a non-invertible hash render — the join is load-
+    bearing, not cosmetic); plant mirrors (every 11th doc republished
+    in the next language through the lexicon); normalize the unioned
+    corpus by the reverse lexicon join (canonical tokens pass through
+    via COALESCE onto their own KR hash); shingle the normalized hash
+    stream with the standard lead-window fold; minhash → band →
+    bucket join → exact-Jaccard verify; filter to lang_a <> lang_b.
+
+    Scale design: the lexicon is VOCABULARY-sized (Heaps' law —
+    sublinear in corpus size) but not bounded by construction, so both
+    lexicon joins are unhinted and AQE size-selects (r12 broadcast-
+    audit policy); the normalize → window → distinct chain keeps the
+    one-doc_id-exchange discipline of :func:`_kr_shingles`; the pair
+    chain inherits the banded-LSH never-all-pairs shape.  A planted
+    mirror's normalized stream equals its origin's exactly (token-
+    level bijection), so recall is deterministic — no banding-draw
+    recall floor needed."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select(
+        "doc_id", "lang",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    vh = (
+        tok.select("tok").distinct()
+        .select(F.col("tok").alias("canon"), _kr_t31(F.col("tok")).alias("ch"))
+    )
+    langs = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(l).alias("lang"), F.lit(i).alias("lid"))
+                for i, l in enumerate(["en", "de", "es", "fr", "zh"])
+            ])
+        ).alias("s")
+    ).select("s.lang", "s.lid")
+    # lex feeds BOTH the mirror construction and the normalize join,
+    # and its lineage contains the vocab distinct shuffle + per-char
+    # fold — persist the diamond (CLAUDE.md rule; ~vocab×5 rows)
+    lex = vh.crossJoin(F.broadcast(langs)).select(
+        "canon", "ch", "lang",
+        F.concat(
+            F.lit("x"), F.col("lid").cast("string"), F.lit("_"),
+            ((F.col("ch") * (F.col("lid") + 2)) % _M31).cast("string"),
+        ).alias("ftok"),
+    ).persist()
+    nxt = F.expr(_XL_NEXT_SQL)
+    planted = tok.filter(F.col("doc_id") % _XL_RES == 0).select(
+        "doc_id", "pos", "tok", nxt.alias("nl")
+    )
+    mirror = (
+        planted.join(
+            lex,
+            (F.col("canon") == F.col("tok")) & (lex["lang"] == F.col("nl")),
+        )
+        .groupBy("doc_id", "nl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ftok"))),
+                    lambda s: s["ftok"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.col("nl").alias("lang"),
+            "text",
+        )
+    )
+    # corpus feeds the shingle stream AND both lang-tag lookups; its
+    # mirror arm re-runs the lexicon join + reassembly agg per consumer
+    # — persist the diamond
+    corpus = d.unionByName(mirror).persist()
+    ctok = corpus.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    nhash = ctok.join(
+        lex.select("ftok", "ch"), ctok["tok"] == F.col("ftok"), "left"
+    ).select(
+        "doc_id", "pos",
+        F.coalesce(F.col("ch"), _kr_t31(F.col("tok"))).alias("t31"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh_col = (
+        (F.col("t31") * 131 + F.lead("t31", 1).over(w)) % _M31 * 131
+        + F.lead("t31", 2).over(w)
+    ) % _M31
+    sh = (
+        nhash.select("doc_id", sh_col.alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    pairs = kr_pairs_from_sh(sh)
+    clang = corpus.select("doc_id", "lang")
+    return (
+        pairs.join(
+            clang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")),
+            "doc_a",
+        )
+        .join(
+            clang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")),
+            "doc_b",
+        )
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            "doc_a", "doc_b", "lang_a", "lang_b",
+            "n_common", "n_a", "n_b", "jac_e6",
+        )
     )

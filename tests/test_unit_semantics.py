@@ -1166,3 +1166,27 @@ def test_kmeans_converge_margin_and_idempotence(spark):
         s = X[m].sum(axis=0)
         step = np.sign(s) * (np.abs(s) // int(m.sum()))
         assert (step == C[cids == c][0]).all()
+
+
+def test_crosslingual_minhash_recovers_all_planted_translations(spark):
+    # Every planted translation (doc_id % 11 == 0, >= 3 tokens so a
+    # shingle exists) must come back as (origin, origin + 100000) with
+    # EXACT Jaccard 1 on the normalized stream and differing lang tags —
+    # recovery is deterministic (identical normalized sets ⇒ every band
+    # matches), so this is an equality check, not a recall floor.
+    rows = engine.QUERIES["dedup_crosslingual_minhash"](spark, SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    d = load(spark, SF_DIR, "documents")
+    origins = [
+        r.doc_id
+        for r in d.filter(F.col("doc_id") % 11 == 0).collect()
+        if len([t for t in r.text.lower().split(" ") if t]) >= 3
+    ]
+    assert origins
+    for o in origins:
+        r = got[(o, o + 100_000)]
+        assert r.jac_e6 == 1_000_000 and r.n_common == r.n_a == r.n_b
+        assert r.lang_a != r.lang_b
+    # the foreign surface forms never collide back into the corpus
+    # vocabulary (the lexicon join is the only path to normalization)
+    assert all(r.lang_a != r.lang_b for r in rows)
