@@ -107,6 +107,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_decontaminate_spans",
     "sim_kmeans_converge",
     "dedup_crosslingual_minhash",
+    "graph_label_propagation",
 })
 
 

@@ -2559,3 +2559,91 @@ def sim_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", _assign("embedding").alias("a")).select(
         "vec_id", F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2")
     )
+
+
+# -- label propagation (community detection; r13 breadth) ------------------
+_LPA_ITERS = 4  # fixed synchronous rounds (LPA can 2-cycle on bipartite
+                # structure, so convergence-detection is NOT sound here —
+                # unlike Lloyd/CC; fixed unroll keeps both engines exact)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA twin over the block-cosine graph —
+    iteration CTEs generated from _LPA_ITERS like _pr_oracle, so the
+    constant can never desync engine from oracle."""
+    its = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        its.append(f"""
+    l{i} AS (
+        SELECT v AS node, label FROM (
+            SELECT und.v, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY und.v
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM und JOIN {prev} l ON l.node = und.u
+            GROUP BY und.v, l.label
+        ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_GRAPH_EDGES_SQL},
+    und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+    {",".join(its)}
+    SELECT node, label,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS csize
+    FROM {prev}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the block-cosine graph — the third iterative
+    graph kernel next to PageRank (fixed-round value iteration) and
+    connected components (convergence-capped star contraction), and
+    the one whose update is a per-node NEIGHBOR-LABEL MODE rather than
+    a min or a sum: every node adopts its neighbors' most frequent
+    label each round (ties: larger count wins, then smaller label —
+    fully deterministic), so dense blocks collapse onto one label in
+    a couple of rounds while bridges stay thin.
+
+    Fixed _LPA_ITERS=4 rounds by design, NOT to convergence:
+    synchronous LPA provably 2-cycles on bipartite substructure, so a
+    stability loop may never terminate — the honest contract is a
+    bounded-round label state, and the unrolled oracle hash-proves
+    exactly that state (no float anywhere: labels are node ids,
+    scores are counts).
+
+    Scale: each round is contribution-join (und ⋈ labels on u) →
+    count per (v, label) → per-v argmax — two key-partitioned
+    exchanges per round over EDGE-proportional data, the Pregel
+    message shape; und persists once and is re-read by all rounds
+    (PageRank's links.cache() idiom).  Argmax is max_by over a
+    (count, -label) struct — no per-v window, aggregation only."""
+    edges = _cos_block_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .persist()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        counted = (
+            und.join(labels, und.u == labels.node)
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = counted.groupBy("v").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select(F.col("v").alias("node"), (-F.col("m.nl")).alias("label"))
+    w = Window.partitionBy("label")
+    return labels.select(
+        "node", "label", F.count("*").over(w).cast("long").alias("csize")
+    )

@@ -1190,3 +1190,18 @@ def test_crosslingual_minhash_recovers_all_planted_translations(spark):
     # the foreign surface forms never collide back into the corpus
     # vocabulary (the lexicon join is the only path to normalization)
     assert all(r.lang_a != r.lang_b for r in rows)
+
+
+def test_label_propagation_partition_invariants(spark):
+    rows = engine.QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    assert rows
+    nodes = {r.node for r in rows}
+    assert len(nodes) == len(rows)  # exactly one label per node
+    # labels are node ids (propagation never invents labels) and csize
+    # is the exact size of each label group
+    from collections import Counter
+    sizes = Counter(r.label for r in rows)
+    assert all(r.label in nodes for r in rows)
+    assert all(sizes[r.label] == r.csize for r in rows)
+    # at least one non-singleton community forms on the block graph
+    assert max(sizes.values()) >= 2
