@@ -108,6 +108,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sim_kmeans_converge",
     "dedup_crosslingual_minhash",
     "graph_label_propagation",
+    "sim_int8_quantize_roundtrip",
 })
 
 

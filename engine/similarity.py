@@ -2647,3 +2647,98 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "node", "label", F.count("*").over(w).cast("long").alias("csize")
     )
+
+
+@query(
+    "sim_int8_quantize_roundtrip",
+    oracle=f"""
+    WITH amx AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id, embedding, amax,
+               list_transform(embedding,
+                   x -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127 / amax
+                                        + 0.5) AS BIGINT) END) AS q
+        FROM amx
+    )
+    SELECT vec_id,
+           CAST(FLOOR(amax * 1000000 + 0.5) AS BIGINT) AS amax_e6,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+           CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65), i ->
+                        (CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                         - CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * amax / 127)
+                        * (CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           - CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * amax / 127))),
+                    (acc, x) -> acc + x) / 64 * 1000000000 + 0.5) AS BIGINT)
+               AS mse_e9
+    FROM qv
+    """,
+)
+def sim_int8_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    — the standard 4× memory compression applied before ANN indexing
+    at retrieval scale (every component maps to round(x·127/amax) ∈
+    [-127, 127] with one float scale per vector) — plus the roundtrip
+    quality audit: exact integer checksums of the codes and the
+    pinned reconstruction MSE.
+
+    Exactness: amax is a max over exactly-widened float32 components
+    (no accumulation); the code computes as floor(x·127/amax + 0.5)
+    with identical IEEE op order on both engines; code sums are exact
+    int64; the only accumulated float (MSE) folds LEFT-TO-RIGHT over
+    the component list on BOTH engines (F.aggregate ↔ list_reduce —
+    list-ordered, unlike SUM-over-unnest whose order is plan-defined)
+    and is pinned at 1e-9 before comparison.
+
+    Scale: map-only, single projection chain, whole-stage codegen —
+    no shuffle, no UDF; the zero-vector guard keeps ANSI division
+    alive.  amax and q are PROJECTED columns before any lambda
+    references them (the CLAUDE.md HOF-reeval trap: an inlined amax
+    subtree would re-fold per element — 64× the work per row)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    amx = e.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+        ).alias("amax"),
+    )
+    qv = amx.select(
+        "vec_id", "embedding", "amax",
+        F.when(F.col("amax") == 0, F.array_repeat(F.lit(0).cast("long"), 64))
+        .otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * 127 / F.col("amax") + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        .alias("q"),
+    )
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qi: (
+            x.cast("double") - qi.cast("double") * F.col("amax") / 127
+        )
+        * (x.cast("double") - qi.cast("double") * F.col("amax") / 127),
+    )
+    return qv.select(
+        "vec_id",
+        F.floor(F.col("amax") * 1000000 + F.lit(0.5)).cast("long").alias("amax_e6"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("q_sum"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, v: a + F.abs(v))
+        .alias("q_l1"),
+        F.floor(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / 64 * 1000000000
+            + F.lit(0.5)
+        ).cast("long").alias("mse_e9"),
+    )

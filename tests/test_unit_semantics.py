@@ -1205,3 +1205,15 @@ def test_label_propagation_partition_invariants(spark):
     assert all(sizes[r.label] == r.csize for r in rows)
     # at least one non-singleton community forms on the block graph
     assert max(sizes.values()) >= 2
+
+
+def test_int8_quantize_error_bound(spark):
+    # Rounding to the nearest int8 level bounds per-component error by
+    # amax/254, so MSE <= (amax/254)^2 — the quantizer-correctness
+    # bound the hash comparison can't express.
+    rows = engine.QUERIES["sim_int8_quantize_roundtrip"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.q_l1 <= 127 * 64
+        amax = r.amax_e6 / 1e6
+        assert 0 <= r.mse_e9 <= (amax / 254) ** 2 * 1e9 + 1
