@@ -109,6 +109,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_crosslingual_minhash",
     "graph_label_propagation",
     "sim_int8_quantize_roundtrip",
+    "text_decontaminate_scrub",
 })
 
 

@@ -2263,10 +2263,11 @@ _SPAN_EVAL_SQL = """
 """.format(t=_TOKENS_SQL.format(c="text"))
 
 
-@query(
-    "text_decontaminate_spans",
-    oracle=f"""
-    WITH {_SPAN_EVAL_SQL},
+# Full span-detection CTE chain (through `spans`) — shared by the
+# locate key (text_decontaminate_spans) and the scrub key
+# (text_decontaminate_scrub) so threshold/plant semantics can never
+# drift between them.
+_SPAN_CTES_SQL = f"""{_SPAN_EVAL_SQL},
     ttri AS (
         SELECT doc_id AS t_doc, i AS t_pos,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
@@ -2291,7 +2292,53 @@ _SPAN_EVAL_SQL = """
         SELECT t_doc, eval_id, diag,
                MIN(t_pos) AS t_start, MAX(t_pos) - MIN(t_pos) + 3 AS span_len
         FROM isl GROUP BY t_doc, eval_id, diag, grp
+        HAVING MAX(t_pos) - MIN(t_pos) + 3 >= {_SPAN_MIN_LEN}
+    )"""
+
+
+def _decon_spans(spark: SparkSession, sf_dir: str):
+    """(toks, spans) frames of the span-detection chain — the Spark
+    twin of :data:`_SPAN_CTES_SQL`, shared by the locate and scrub
+    keys.  toks = (doc_id, t token-array); spans = maximal >= 8-token
+    verbatim runs (t_doc, eval_id, diag, t_start, span_len)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    ev = toks.filter((F.col("doc_id") % 53 == 0) & (F.size("t") >= 25)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.slice(
+            F.col("t"),
+            (F.col("doc_id") % 7 + 2).cast("int"),
+            (F.col("doc_id") % 5 + 12).cast("int"),
+        ).alias("et"),
     )
+    ttri = toks.select(
+        F.col("doc_id").alias("t_doc"),
+        F.posexplode(_trigrams(F.col("t"))).alias("p0", "tri"),
+    ).select("t_doc", (F.col("p0") + 1).alias("t_pos"), "tri")
+    etri = ev.select(
+        "eval_id", F.posexplode(_trigrams(F.col("et"))).alias("p0", "tri")
+    ).select("eval_id", (F.col("p0") + 1).alias("e_pos"), "tri")
+    hits = ttri.join(F.broadcast(etri), "tri").select(
+        "t_doc", "eval_id", "t_pos", "e_pos",
+        (F.col("t_pos") - F.col("e_pos")).alias("diag"),
+    )
+    w = Window.partitionBy("t_doc", "eval_id", "diag").orderBy("t_pos")
+    spans = (
+        hits.withColumn("grp", F.col("t_pos") - F.row_number().over(w))
+        .groupBy("t_doc", "eval_id", "diag", "grp")
+        .agg(
+            F.min("t_pos").alias("t_start"),
+            (F.max("t_pos") - F.min("t_pos") + 3).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _SPAN_MIN_LEN)
+    )
+    return toks, spans
+
+
+@query(
+    "text_decontaminate_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES_SQL}
     SELECT CAST(t_doc AS BIGINT) AS t_doc,
            CAST(eval_id AS BIGINT) AS eval_id,
            CAST(t_start AS BIGINT) AS t_start,
@@ -2335,37 +2382,7 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-text join touches only matched docs (span rows are leak-
     density-bounded, unhinted — AQE size-selects).
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
-    ev = toks.filter((F.col("doc_id") % 53 == 0) & (F.size("t") >= 25)).select(
-        F.col("doc_id").alias("eval_id"),
-        F.slice(
-            F.col("t"),
-            (F.col("doc_id") % 7 + 2).cast("int"),
-            (F.col("doc_id") % 5 + 12).cast("int"),
-        ).alias("et"),
-    )
-    ttri = toks.select(
-        F.col("doc_id").alias("t_doc"),
-        F.posexplode(_trigrams(F.col("t"))).alias("p0", "tri"),
-    ).select("t_doc", (F.col("p0") + 1).alias("t_pos"), "tri")
-    etri = ev.select(
-        "eval_id", F.posexplode(_trigrams(F.col("et"))).alias("p0", "tri")
-    ).select("eval_id", (F.col("p0") + 1).alias("e_pos"), "tri")
-    hits = ttri.join(F.broadcast(etri), "tri").select(
-        "t_doc", "eval_id", "t_pos", "e_pos",
-        (F.col("t_pos") - F.col("e_pos")).alias("diag"),
-    )
-    w = Window.partitionBy("t_doc", "eval_id", "diag").orderBy("t_pos")
-    spans = (
-        hits.withColumn("grp", F.col("t_pos") - F.row_number().over(w))
-        .groupBy("t_doc", "eval_id", "diag", "grp")
-        .agg(
-            F.min("t_pos").alias("t_start"),
-            (F.max("t_pos") - F.min("t_pos") + 3).alias("span_len"),
-        )
-        .filter(F.col("span_len") >= _SPAN_MIN_LEN)
-    )
+    toks, spans = _decon_spans(spark, sf_dir)
     return spans.join(
         toks.select(F.col("doc_id").alias("t_doc"), "t"), "t_doc"
     ).select(
@@ -2382,4 +2399,97 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("span_text"),
+    )
+
+
+@query(
+    "text_decontaminate_scrub",
+    oracle=f"""
+    WITH {_SPAN_CTES_SQL},
+    cov AS (
+        SELECT DISTINCT t_doc, CAST(p AS BIGINT) AS pos
+        FROM spans, UNNEST(range(t_start, t_start + span_len)) AS u(p)
+    ),
+    ptok AS (
+        SELECT k.doc_id, generate_subscripts(k.t, 1) AS pos, unnest(k.t) AS tok
+        FROM toks k WHERE k.doc_id IN (SELECT DISTINCT t_doc FROM cov)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.pos) AS BIGINT) AS n_leaked,
+           string_agg(CASE WHEN c.pos IS NULL THEN p.tok
+                           ELSE '[removed]' END, ' ' ORDER BY p.pos)
+               AS scrubbed_text
+    FROM ptok p LEFT JOIN cov c ON c.t_doc = p.doc_id AND c.pos = p.pos
+    GROUP BY p.doc_id
+    """,
+)
+def text_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE decontamination step: rewrite every training
+    document that leaks a benchmark span, masking exactly the leaked
+    token positions with a '[removed]' sentinel (length-preserving,
+    C4-style span scrubbing — docs are salvaged, not dropped, so the
+    clean remainder still trains).  Completes the decontamination
+    family: overlap-score (text_decontaminate_overlap) → locate
+    (text_decontaminate_spans) → scrub (this key).
+
+    Shares the span-detection chain with the locate key via
+    :func:`_decon_spans` / :data:`_SPAN_CTES_SQL` — threshold and
+    plant semantics cannot drift between the two.  Covered positions
+    come from exploding each span's [t_start, t_start+len) range
+    (span_len >= 8 > 0, so the sequence is never descending — the
+    CLAUDE.md sequence trap); the rewrite is a positioned-token LEFT
+    JOIN against the covered set and an ordered reassembly.
+
+    Scale: spans (and thus cov) are leak-density-bounded, tiny next
+    to the corpus; the left_semi doc filter prunes the token explode
+    to AFFECTED docs before any reassembly, so the groupBy(doc_id)
+    exchange carries only leaked docs — at 100 TB the scrub rewrites
+    the contaminated sliver, never the corpus."""
+    toks, spans = _decon_spans(spark, sf_dir)
+    cov = (
+        spans.select(
+            "t_doc",
+            F.explode(
+                F.sequence(
+                    F.col("t_start"), F.col("t_start") + F.col("span_len") - 1
+                )
+            ).alias("p0"),
+        )
+        .select("t_doc", F.col("p0").cast("long").alias("cpos"))
+        .distinct()
+    )
+    affected = toks.join(
+        cov.select(F.col("t_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    # cov and ptok both descend from the toks scan — every non-join
+    # column is renamed per side (cpos vs pos; the r10 self-cogroup
+    # pruning trap generalizes to self-join ambiguity here)
+    ptok = affected.select(
+        "doc_id", F.posexplode(F.col("t")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+    masked = ptok.join(
+        cov,
+        (F.col("t_doc") == F.col("doc_id")) & (F.col("cpos") == F.col("pos")),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("cpos").isNull(), F.col("tok"))
+        .otherwise(F.lit("[removed]"))
+        .alias("tok"),
+        F.col("cpos").alias("hit"),
+    )
+    return masked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("hit").alias("n_leaked"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
     )

@@ -1217,3 +1217,30 @@ def test_int8_quantize_error_bound(spark):
         assert 0 <= r.q_l1 <= 127 * 64
         amax = r.amax_e6 / 1e6
         assert 0 <= r.mse_e9 <= (amax / 254) ** 2 * 1e9 + 1
+
+
+def test_decontaminate_scrub_masks_exactly_leaked_positions(spark):
+    spans = {
+        (r.t_doc, r.t_start, r.span_len)
+        for r in engine.QUERIES["text_decontaminate_spans"](spark, SF_DIR).collect()
+    }
+    covered = {}
+    for doc, start, length in spans:
+        covered.setdefault(doc, set()).update(range(start, start + length))
+    rows = engine.QUERIES["text_decontaminate_scrub"](spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(covered)
+    orig = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(*covered))
+        .collect()
+    }
+    for r in rows:
+        toks = r.scrubbed_text.split(" ")
+        assert r.n_tokens == len(orig[r.doc_id]) == len(toks)
+        assert r.n_leaked == len(covered[r.doc_id])
+        for i, (got, want) in enumerate(zip(toks, orig[r.doc_id]), start=1):
+            if i in covered[r.doc_id]:
+                assert got == "[removed]"
+            else:
+                assert got == want  # clean remainder untouched
