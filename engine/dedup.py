@@ -977,7 +977,7 @@ def kr_minhash_near_pairs(corpus: DataFrame) -> DataFrame:
     return kr_pairs_from_sh(_kr_shingles(corpus))
 
 
-def kr_pairs_from_sh(sh: DataFrame) -> DataFrame:
+def kr_pairs_from_sh(sh: DataFrame, eager: bool = False) -> DataFrame:
     """The minhash → band → bucket-join → exact-verify tail of
     :func:`kr_minhash_near_pairs`, over ANY distinct (doc_id, sh)
     shingle-hash frame (SQL twin: :data:`_KR_MH_PAIRS_CTES` over an
@@ -986,8 +986,19 @@ def kr_pairs_from_sh(sh: DataFrame) -> DataFrame:
     the identical pair chain.  Shuffle discipline is the
     minhash_near_pairs shape: persisted shingle diamond, columnar
     16-min reduce, bucket-local band self-join, unhinted
-    candidate-verify joins (AQE size-selects)."""
+    candidate-verify joins (AQE size-selects).
+
+    ``eager`` is the r12 lazy-persist-race dial
+    (kr_simhash_pairs_from_sums precedent): the band self-join races a
+    LAZY sh persist, computing the shingle subtree 2×.  Measured at
+    sf0.1 (cold cache, min of 2): crosslingual 5.02 s lazy → 4.31 s
+    eager (its sh subtree carries the lexicon normalize + window);
+    minhash_polyhash 2.05 s lazy → 2.43 s eager (cheap subtree — the
+    extra driver job outweighs the race).  Default lazy; callers with
+    an expensive shingle stream pass eager=True."""
     sh = sh.persist()
+    if eager:
+        sh.count()
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("sh") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_M31))
@@ -2279,9 +2290,16 @@ def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
     )
+    # vocab from per-doc array_distinct BEFORE the explode: the global
+    # distinct's shuffle then carries per-doc-unique tokens (~2× fewer
+    # rows than the raw token stream), and the char fold runs once per
+    # vocab entry, after the distinct
     vh = (
-        tok.select("tok").distinct()
-        .select(F.col("tok").alias("canon"), _kr_t31(F.col("tok")).alias("ch"))
+        d.select(
+            F.explode(F.array_distinct(_tokens(F.col("text")))).alias("canon")
+        )
+        .distinct()
+        .select("canon", _kr_t31(F.col("canon")).alias("ch"))
     )
     langs = spark.range(1).select(
         F.explode(
@@ -2349,7 +2367,7 @@ def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sh").isNotNull())
         .distinct()
     )
-    pairs = kr_pairs_from_sh(sh)
+    pairs = kr_pairs_from_sh(sh, eager=True)
     clang = corpus.select("doc_id", "lang")
     return (
         pairs.join(
