@@ -1414,3 +1414,63 @@ def test_mm_polyhash_zero_feature_shuffle(spark):
     assert plan.count("Generate posexplode") == 2, plan  # one per join side
     assert "ArrowEvalPython" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_spans_broadcast_eval_single_hash_exchange(spark):
+    """Span decontamination: the eval-side trigram probe must be a
+    broadcast (eval sets are bounded by construction — the corpus
+    stream never shuffles for the join), and ONE hash exchange serves
+    the islands window + span aggregate (groupBy keys are a superset
+    of the window partition — subset rule)."""
+    plan = _plan(spark, "text_decontaminate_spans")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_decontaminate_scrub_prunes_to_affected_docs(spark):
+    """The scrub rewrite must touch only leaked docs: a LeftSemi prune
+    sits before the token explode, and there is no cartesian."""
+    plan = _plan(spark, "text_decontaminate_scrub")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_quantize_is_map_only(spark):
+    """Pure projection chain: zero exchanges of any kind."""
+    plan = _plan(spark, "sim_int8_quantize_roundtrip")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_kmeans_assignment_is_map_only_arrow(spark):
+    """After coreset training (a bounded collect at build time), the
+    full-corpus assignment is ONE Arrow-batched map pass — no join,
+    no shuffle: the shape that scales to any corpus size."""
+    plan = _plan(spark, "sim_kmeans_converge")
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_label_propagation_aggregation_only_argmax(spark):
+    """LPA's per-round argmax is a (count, -label) struct max —
+    aggregation, not a per-node window; the ONLY Window in the plan is
+    the final community-size count.  No cartesian anywhere."""
+    spark.catalog.clearCache()  # persist()-ing edge diamond
+    plan = _plan(spark, "graph_label_propagation")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_crosslingual_lexicon_joins_equi_only(spark):
+    """Cross-lingual dedup: no CartesianProduct anywhere; the only
+    nested-loop shape is the 5-row bounded langs crossJoin, and it
+    must build on the BROADCAST (literal) side.  A BNLJ COUNT pin is
+    print-unstable here: the persisted lex diamond's child plan (which
+    contains the langs BNLJ) re-prints once per InMemoryRelation
+    consumer (r6 q11 flake class) — so pin the build side, not the
+    count."""
+    spark.catalog.clearCache()  # persist()-ing lex/corpus/sh diamonds
+    plan = _plan(spark, "dedup_crosslingual_minhash")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin BuildLeft" not in plan, plan
