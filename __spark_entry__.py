@@ -110,6 +110,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "graph_label_propagation",
     "sim_int8_quantize_roundtrip",
     "text_decontaminate_scrub",
+    "source_delta_log_time_travel",
+    "evt_match_recognize",
 })
 
 

@@ -2745,3 +2745,79 @@ def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("wsum div span_us").cast("long").alias("twap_cents"),
         )
     )
+
+
+@query(
+    "evt_match_recognize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    nb AS (
+        SELECT user_id, event_id, ts, event_type, rn,
+               LEAD(event_type) OVER w AS nxt_type,
+               LEAD(event_id) OVER w AS nxt_id,
+               LEAD(ts) OVER w AS nxt_ts,
+               LEAD(rn) OVER w AS nxt_rn
+        FROM seq WHERE event_type <> 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    )
+    SELECT user_id,
+           event_id AS start_event_id,
+           nxt_id AS end_event_id,
+           CAST(nxt_rn - rn - 1 AS BIGINT) AS n_clicks_between,
+           CAST(epoch_us(CAST(nxt_ts AS TIMESTAMP))
+                - epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+    FROM nb
+    WHERE event_type = 'view' AND nxt_type = 'purchase'
+    """,
+)
+def evt_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern detection (SQL:2016 row
+    pattern matching; Flink CEP's core shape) — Spark has no native
+    MATCH_RECOGNIZE, so the engine compiles the pattern
+    ``view click* purchase`` (per user, contiguous in event order)
+    into windows: the KEY identity is that a greedy `A B* C` match
+    exists exactly where C is the NEXT NON-B event after an A — so
+    project the per-user stream onto its non-B subsequence (one
+    filter) and pair each 'view' with its LEAD.  Click-count between
+    = full-stream row-number gap minus one; both row numbers come
+    from ONE user_id exchange (the filtered second window re-uses the
+    partitioning — subset rule, no second shuffle).
+
+    Deterministic ordering: (ts, event_id) — ts alone collides.
+
+    Scale: two window passes over one user_id-partitioned exchange,
+    no join, no state explosion — pattern state is O(1) per row
+    (unlike a regex-NFA CEP engine, this compilation is possible for
+    any A B* C / A B? C / first-match-per-window pattern family; the
+    general nested-pattern case would go to
+    applyInPandasWithState)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w_all))
+    w_nb = Window.partitionBy("user_id").orderBy("rn")
+    nb = seq.filter(F.col("event_type") != "click").select(
+        "user_id", "event_id", "ts", "event_type", "rn",
+        F.lead("event_type").over(w_nb).alias("nxt_type"),
+        F.lead("event_id").over(w_nb).alias("nxt_id"),
+        F.lead("ts").over(w_nb).alias("nxt_ts"),
+        F.lead("rn").over(w_nb).alias("nxt_rn"),
+    )
+    return nb.filter(
+        (F.col("event_type") == "view") & (F.col("nxt_type") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.col("nxt_id").alias("end_event_id"),
+        (F.col("nxt_rn") - F.col("rn") - 1).cast("long").alias("n_clicks_between"),
+        (
+            F.unix_micros(F.col("nxt_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).cast("long").alias("gap_us"),
+    )

@@ -1244,3 +1244,53 @@ def test_decontaminate_scrub_masks_exactly_leaked_positions(spark):
                 assert got == "[removed]"
             else:
                 assert got == want  # clean remainder untouched
+
+
+def test_match_recognize_agrees_with_bruteforce_scan(spark):
+    # Python NFA replay of `view click* purchase` per user vs the
+    # windowed compilation — exact match set, counts, and gaps.
+    out = {
+        (r.user_id, r.start_event_id): (r.end_event_id, r.n_clicks_between)
+        for r in engine.QUERIES["evt_match_recognize"](spark, SF_DIR)
+        .filter(F.col("user_id") < 10)
+        .collect()
+    }
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    streams = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        streams.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, rows in streams.items():
+        for i, r in enumerate(rows):
+            if r.event_type != "view":
+                continue
+            clicks = 0
+            for s in rows[i + 1:]:
+                if s.event_type == "click":
+                    clicks += 1
+                    continue
+                if s.event_type == "purchase":
+                    want[(uid, r.event_id)] = (s.event_id, clicks)
+                break
+    assert out == want and want
+
+
+def test_delta_log_time_travel_snapshots(spark):
+    rows = engine.QUERIES["source_delta_log_time_travel"](spark, SF_DIR).collect()
+    v0 = {r.doc_id for r in rows if r.version == 0}
+    v1 = {r.doc_id for r in rows if r.version == 1}
+    assert v0 and v1
+    assert all(d % 3 in (0, 1) for d in v0)
+    assert all(d % 3 in (1, 2) for d in v1)
+    # the file B rows survive the version transition untouched; the
+    # removed file A's rows are gone from v1 but its parquet remains on
+    # disk (immutable file set + log replay = time travel)
+    assert {d for d in v0 if d % 3 == 1} == {d for d in v1 if d % 3 == 1}
+    import os, tempfile
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_io", "delta_log_table")
+    assert os.path.exists(os.path.join(table, "part-A.parquet"))
