@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_decontaminate_scrub",
     "source_delta_log_time_travel",
     "evt_match_recognize",
+    "stream_match_recognize",
 })
 
 

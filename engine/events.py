@@ -2747,9 +2747,11 @@ def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "evt_match_recognize",
-    oracle="""
+# Shared by the batch key below and stream_match_recognize
+# (engine/streaming.py): the streaming state machine over time-ordered
+# microbatches must emit EXACTLY the batch matches, so both carry the
+# same full oracle.
+MATCH_RECOGNIZE_ORACLE = """
     WITH seq AS (
         SELECT user_id, event_id, ts, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -2773,8 +2775,10 @@ def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_us
     FROM nb
     WHERE event_type = 'view' AND nxt_type = 'purchase'
-    """,
-)
+    """
+
+
+@query("evt_match_recognize", oracle=MATCH_RECOGNIZE_ORACLE)
 def evt_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-style event-pattern detection (SQL:2016 row
     pattern matching; Flink CEP's core shape) — Spark has no native

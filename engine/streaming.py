@@ -1685,3 +1685,101 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(state_rows).cast("long").alias("n_state_rows"),
         "n_clicks",
     )
+
+
+from engine.events import MATCH_RECOGNIZE_ORACLE
+
+
+@query("stream_match_recognize", oracle=MATCH_RECOGNIZE_ORACLE)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP: the `view click* purchase` row pattern of
+    `evt_match_recognize` (engine/events.py) as a per-user state
+    machine over real microbatches (applyInPandasWithState) — the
+    Flink-CEP shape Spark has no native operator for.  State is the
+    open 'view' candidate (id, ts, clicks-so-far); every non-click
+    event either closes it (purchase → emit match, append mode) or
+    replaces/clears it; clicks increment it.  The replay is split into
+    two TIME-ORDERED microbatches (staged mtimes), so open candidates
+    genuinely carry across a batch boundary — a match whose view and
+    purchase land in different batches is emitted by batch 2 from
+    state, which is the whole point of the key.
+
+    Matches are EXACTLY the batch key's output (same greedy A B* C
+    semantics, deterministic (ts, event_id) order), so the key carries
+    the same full oracle — the hash compare proves the streaming state
+    machine ≡ the batch window compilation.
+
+    Scale: state is O(1) per user (3 longs), grouped per user like
+    stream_stateful_counter (1500 groups × 2 batches at sf0.1 ≈ 2 s —
+    bounded kernel calls; at higher user cardinality the bucket-state
+    pattern in CLAUDE.md r10 applies); the kernel loop is per-event
+    sequential BY NATURE (CEP is a per-key automaton), ~70 events/user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def build(src: str) -> None:
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        mid = lo + (hi - lo) // 2
+        us = F.unix_micros(F.col("ts"))
+        stamped: set[str] = set()
+        ev.filter(us <= mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 0, stamped)
+        ev.filter(us > mid).coalesce(1).write.mode("append").parquet(src)
+        _stamp_phase(src, 1, stamped)
+
+    src = _staged_src("match_recognize", sf_dir, build)
+
+    def detect(key, pdfs, state: GroupState):
+        open_id, open_us, clicks = (
+            state.get if state.exists else (-1, -1, 0)
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, t_us, etype in zip(
+                pdf["event_id"], pdf["ts_us"], pdf["event_type"]
+            ):
+                if etype == "click":
+                    if open_id >= 0:
+                        clicks += 1
+                    continue
+                if open_id >= 0 and etype == "purchase":
+                    out.append(
+                        (key[0], open_id, eid, clicks, t_us - open_us)
+                    )
+                if etype == "view":
+                    open_id, open_us, clicks = eid, t_us, 0
+                else:
+                    open_id, open_us, clicks = -1, -1, 0
+        state.update((int(open_id), int(open_us), int(clicks)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "start_event_id", "end_event_id",
+                    "n_clicks_between", "gap_us",
+                ],
+            )
+
+    stream = _events_stream(spark, src, max_files_per_trigger=1).select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    matched = stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=(
+            "user_id long, start_event_id long, end_event_id long, "
+            "n_clicks_between long, gap_us long"
+        ),
+        stateStructType="open_id long, open_us long, clicks long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = _run_to_memory(matched, "append", "match_recognize")
+    return spark.table(qname)

@@ -1294,3 +1294,21 @@ def test_delta_log_time_travel_snapshots(spark):
     import os, tempfile
     table = os.path.join(tempfile.gettempdir(), "spark_graft_io", "delta_log_table")
     assert os.path.exists(os.path.join(table, "part-A.parquet"))
+
+
+def test_stream_match_recognize_carries_state_across_batches(spark):
+    # Equality with the batch key is hash-proven by the shared oracle;
+    # here: at least one emitted match must SPAN the two time-ordered
+    # microbatches (view <= mid < purchase) — i.e. the open candidate
+    # genuinely crossed a batch boundary through state.
+    rows = engine.QUERIES["stream_match_recognize"](spark, SF_DIR).collect()
+    assert rows
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts").collect()
+    us = {r.event_id: int(r.ts.timestamp() * 1_000_000) for r in ev}
+    lo, hi = min(us.values()), max(us.values())
+    mid = lo + (hi - lo) // 2
+    spanning = [
+        r for r in rows
+        if us[r.start_event_id] <= mid < us[r.end_event_id]
+    ]
+    assert spanning, "no match crossed the microbatch boundary — state carry untested"
