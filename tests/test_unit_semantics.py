@@ -939,6 +939,20 @@ def degenerate_dir(tmp_path_factory):
         "text_unigram_logprob",
         "sim_ndcg_eval",
         "feat_target_encode_loo",
+        # r13 keys on their edges: no qualifying eval plant (span keys
+        # → empty), K > n k-means (7 vectors, 8 centroids), an EMPTY
+        # doc selected for cross-lingual mirroring (no tokens → no
+        # mirror row on either engine), a 2-event stream with no
+        # pattern match, and a 2-node/1-edge LPA graph.
+        "text_decontaminate_spans",
+        "text_decontaminate_scrub",
+        "dedup_crosslingual_minhash",
+        "sim_kmeans_converge",
+        "sim_int8_quantize_roundtrip",
+        "graph_label_propagation",
+        "evt_match_recognize",
+        "source_delta_log_time_travel",
+        "stream_match_recognize",
     ],
 )
 def test_degenerate_corpus_parity(key, spark, degenerate_dir):
