@@ -113,6 +113,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "source_delta_log_time_travel",
     "evt_match_recognize",
     "stream_match_recognize",
+    "sim_kmeans_cluster_profile",
+    "text_contamination_report",
 })
 
 

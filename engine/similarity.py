@@ -2448,23 +2448,23 @@ def _km_oracle() -> str:
             GROUP BY a.cid, s.i
         ) GROUP BY cid
     )""")
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"""
-    SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM (
-        SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
-            PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM (
-            SELECT q.vec_id, c.cid,
-                   SUM((q.qv[s.i] - c.cv[s.i])
-                       * (q.qv[s.i] - c.cv[s.i])) AS d2
-            FROM q, c{_KM_UNROLL} c, {_DIMS} s
-            GROUP BY q.vec_id, c.cid
-        )
-    ) WHERE rn = 1
-    """
-    )
+    # `asg` = the full-corpus assignment against the converged c24 —
+    # the per-vector key selects from it directly; the cluster-profile
+    # key aggregates it (one chain, two final views).
+    parts.append(f"""asg AS MATERIALIZED (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM (
+                SELECT q.vec_id, c.cid,
+                       SUM((q.qv[s.i] - c.cv[s.i])
+                           * (q.qv[s.i] - c.cv[s.i])) AS d2
+                FROM q, c{_KM_UNROLL} c, {_DIMS} s
+                GROUP BY q.vec_id, c.cid
+            )
+        ) WHERE rn = 1
+    )""")
+    return "WITH " + ",\n    ".join(parts)
 
 
 def _km_train(rows) -> tuple:
@@ -2513,7 +2513,11 @@ def _km_train(rows) -> tuple:
     )
 
 
-@query("sim_kmeans_converge", oracle=_km_oracle())
+@query(
+    "sim_kmeans_converge",
+    oracle=_km_oracle()
+    + "\n    SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM asg",
+)
 def sim_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means clustering trained to CONVERGENCE (label
     stability), not a fixed iteration count — the production
@@ -2535,6 +2539,13 @@ def sim_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOUD cap at _KM_UNROLL (matching the oracle's unroll depth, 2×
     the measured convergence round).
     """
+    return _km_assignment(spark, sf_dir)
+
+
+def _km_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, d2) full-corpus assignment under the converged
+    coreset-trained model — shared by sim_kmeans_converge (per-vector
+    view) and sim_kmeans_cluster_profile (per-cluster aggregate)."""
     import numpy as np
     import pandas as pd
 
@@ -2558,6 +2569,41 @@ def sim_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.select("vec_id", _assign("embedding").alias("a")).select(
         "vec_id", F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2")
+    )
+
+
+@query(
+    "sim_kmeans_cluster_profile",
+    oracle=_km_oracle()
+    + """
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia,
+           CAST(MAX(d2) AS BIGINT) AS max_d2,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member
+    FROM asg GROUP BY cid
+    """,
+)
+def sim_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit of the CONVERGED k-means model — the
+    model-evaluation view a clustering deployment reports next to the
+    assignment: per-cluster size, exact integer inertia (Σd²), radius
+    proxy (max d²), and a deterministic representative (min vec_id).
+    All metrics are exact int64 sums of the same quantized distances
+    the assignment ranks by, so the profile carries the full unrolled
+    oracle (shared `asg` CTE chain with sim_kmeans_converge — one
+    construction, two views; the two keys can never disagree on the
+    model).
+
+    Scale: the map-only assignment pass feeds ONE k-group aggregate —
+    map-side partial aggregation means the shuffle carries K rows per
+    partition, nothing corpus-sized."""
+    asg = _km_assignment(spark, sf_dir)
+    return asg.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d2").alias("inertia"),
+        F.max("d2").alias("max_d2"),
+        F.min("vec_id").alias("min_member"),
     )
 
 

@@ -2493,3 +2493,80 @@ def text_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("scrubbed_text"),
     )
+
+
+@query(
+    "text_contamination_report",
+    oracle=f"""
+    WITH {_SPAN_CTES_SQL},
+    cov AS (
+        SELECT DISTINCT eval_id, CAST(p AS BIGINT) AS e_pos
+        FROM spans, UNNEST(range(t_start - diag,
+                                 t_start - diag + span_len)) AS u(p)
+    ),
+    agg AS (
+        SELECT eval_id,
+               CAST(COUNT(DISTINCT t_doc) AS BIGINT) AS n_train_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(MAX(span_len) AS BIGINT) AS max_span
+        FROM spans GROUP BY eval_id
+    ),
+    c AS (
+        SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS cov_tokens
+        FROM cov GROUP BY eval_id
+    )
+    SELECT a.eval_id, a.n_train_docs, a.n_spans, a.max_span,
+           CAST(12 + a.eval_id % 5 AS BIGINT) AS eval_len,
+           c.cov_tokens,
+           CAST(10000 * c.cov_tokens // (12 + a.eval_id % 5) AS BIGINT)
+               AS coverage_bp
+    FROM agg a JOIN c USING (eval_id)
+    """,
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-SIDE decontamination report — the view a benchmark
+    owner reads before trusting a score: per eval item, how many
+    training documents leak it, how many verbatim spans, the longest
+    run, and the share of the item's tokens covered by ANY leaked
+    span (coverage in basis points, computed over the distinct union
+    of covered eval positions so overlapping spans don't double-
+    count).  Third view over the shared span chain
+    (:data:`_SPAN_CTES_SQL` / :func:`_decon_spans`): locate (train
+    side), scrub (train rewrite), report (eval side) — one detection
+    semantics, three consumers.
+
+    Scale: spans are leak-density-bounded; the report is two
+    eval_id-keyed aggregates over span-sized (not corpus-sized)
+    frames — at 100 TB the corpus never re-enters after the anchor
+    join."""
+    _, spans = _decon_spans(spark, sf_dir)
+    spans = spans.persist()  # feeds the span aggregate AND the
+    # coverage explode (diamond rule)
+    cov = (
+        spans.select(
+            "eval_id",
+            F.explode(
+                F.sequence(
+                    F.col("t_start") - F.col("diag"),
+                    F.col("t_start") - F.col("diag") + F.col("span_len") - 1,
+                )
+            ).alias("p0"),
+        )
+        .select("eval_id", F.col("p0").cast("long").alias("e_pos"))
+        .distinct()
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("cov_tokens"))
+    )
+    agg = spans.groupBy("eval_id").agg(
+        F.countDistinct("t_doc").alias("n_train_docs"),
+        F.count("*").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    eval_len = (F.col("eval_id") % 5 + 12).cast("long")
+    return agg.join(cov, "eval_id").select(
+        "eval_id", "n_train_docs", "n_spans", "max_span",
+        eval_len.alias("eval_len"),
+        "cov_tokens",
+        F.expr("10000 * cov_tokens div (12 + eval_id % 5)")
+        .cast("long").alias("coverage_bp"),
+    )

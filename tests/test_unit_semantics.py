@@ -953,6 +953,8 @@ def degenerate_dir(tmp_path_factory):
         "evt_match_recognize",
         "source_delta_log_time_travel",
         "stream_match_recognize",
+        "sim_kmeans_cluster_profile",
+        "text_contamination_report",
     ],
 )
 def test_degenerate_corpus_parity(key, spark, degenerate_dir):
@@ -1326,3 +1328,15 @@ def test_stream_match_recognize_carries_state_across_batches(spark):
         if us[r.start_event_id] <= mid < us[r.end_event_id]
     ]
     assert spanning, "no match crossed the microbatch boundary — state carry untested"
+
+
+def test_contamination_report_full_coverage_of_planted_evals(spark):
+    # Every planted eval item is a verbatim slice of its origin, so its
+    # coverage must be EXACTLY 100% (10000 bp) and max_span >= its
+    # planted length; n_train_docs >= 1 (the origin).
+    rows = engine.QUERIES["text_contamination_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.eval_len == 12 + r.eval_id % 5
+        assert r.cov_tokens == r.eval_len and r.coverage_bp == 10000
+        assert r.max_span >= r.eval_len and r.n_train_docs >= 1
