@@ -98,23 +98,12 @@ def _bench_times() -> dict[str, float]:
 # Keys registered in the CURRENT round (pre-verified locally at driver
 # fidelity before registration): served after the older unverified
 # backlog so they cannot displace it from the driver's ~50-key
-# verification window.  Round-7 reset (r6 ADVICE): the set holds ONLY
-# this round's additions — earlier rounds' still-waiting keys are
-# ordinary backlog and must outrank these.  The 34-key round-6 backlog
-# + |this set| must stay ≤ ~50.
+# verification window.  The set holds ONLY this round's additions —
+# earlier rounds' still-waiting keys are ordinary backlog and must
+# outrank these.  Rotated at each round boundary once the cohort's
+# CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-13 additions (r12's 8 keys all drained to CORRECTNESS_r12)
-    "text_decontaminate_spans",
-    "sim_kmeans_converge",
-    "dedup_crosslingual_minhash",
-    "graph_label_propagation",
-    "sim_int8_quantize_roundtrip",
-    "text_decontaminate_scrub",
-    "source_delta_log_time_travel",
-    "evt_match_recognize",
-    "stream_match_recognize",
-    "sim_kmeans_cluster_profile",
-    "text_contamination_report",
+    # round-14 additions (r13's 11 keys all drained to CORRECTNESS_r13)
 })
 
 

@@ -1839,42 +1839,50 @@ def source_delta_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point of the format).  The bounded live-file list crosses to
     the driver via collect_model_artifact (metadata bounded by log
     size — the sanctioned fixed-set pattern), then one multi-path
-    parquet scan serves the snapshot."""
+    parquet scan serves the snapshot.  The staged table is an INPUT
+    (pure function of the corpus) so it builds once per corpus
+    fingerprint via staged_build_once (r13 ADVICE: the per-invocation
+    rmtree+rebuild charged every run 3 parquet writes and could race a
+    concurrent reader mid-replay)."""
     import glob
     import json as _json
     import shutil
 
     from pyspark.sql import Window as W
 
-    from engine.core import collect_model_artifact
+    from engine.core import collect_model_artifact, staged_build_once
 
-    table = _scratch_dir("delta_log_table")
+    def _build(table: str) -> None:
+        log_dir = os.path.join(table, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+
+        def _stage_file(name: str, residue: int) -> None:
+            tmp = os.path.join(table, f"_tmp_{name}")
+            d.filter(F.col("doc_id") % 3 == residue).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(table, name))
+            shutil.rmtree(tmp)
+
+        _stage_file("part-A.parquet", 0)
+        _stage_file("part-B.parquet", 1)
+        _stage_file("part-C.parquet", 2)
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {"minReaderVersion": 1}}) + "\n")
+            f.write(_json.dumps({"metaData": {"id": "spark-graft-delta"}}) + "\n")
+            f.write(_json.dumps({"add": {"path": "part-A.parquet"}}) + "\n")
+            f.write(_json.dumps({"add": {"path": "part-B.parquet"}}) + "\n")
+        with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"add": {"path": "part-C.parquet"}}) + "\n")
+            f.write(_json.dumps({"remove": {"path": "part-A.parquet"}}) + "\n")
+
+    table = staged_build_once("spark_graft_staging", "delta_log_table",
+                              sf_dir, _build)
     log_dir = os.path.join(table, "_delta_log")
-    shutil.rmtree(table, ignore_errors=True)
-    os.makedirs(log_dir)
-
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-
-    def _stage_file(name: str, residue: int) -> None:
-        tmp = os.path.join(table, f"_tmp_{name}")
-        d.filter(F.col("doc_id") % 3 == residue).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(table, name))
-        shutil.rmtree(tmp)
-
-    _stage_file("part-A.parquet", 0)
-    _stage_file("part-B.parquet", 1)
-    _stage_file("part-C.parquet", 2)
-    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
-        f.write(_json.dumps({"protocol": {"minReaderVersion": 1}}) + "\n")
-        f.write(_json.dumps({"metaData": {"id": "spark-graft-delta"}}) + "\n")
-        f.write(_json.dumps({"add": {"path": "part-A.parquet"}}) + "\n")
-        f.write(_json.dumps({"add": {"path": "part-B.parquet"}}) + "\n")
-    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
-        f.write(_json.dumps({"add": {"path": "part-C.parquet"}}) + "\n")
-        f.write(_json.dumps({"remove": {"path": "part-A.parquet"}}) + "\n")
 
     # Action replay: one JSON read per commit (log-bounded loop), then
     # last-action-per-path via a (path) window.
@@ -1902,7 +1910,11 @@ def source_delta_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def snapshot(version: int) -> DataFrame:
-        w = W.partitionBy("path").orderBy(F.desc("v"), F.asc("is_add"))
+        # Within one commit a remove+add for the same path is a legal
+        # re-add per delta PROTOCOL.md and the ADD wins reconciliation —
+        # order adds first at equal v (r13 ADVICE; the staged log never
+        # exercises this, but the replay now matches the public spec).
+        w = W.partitionBy("path").orderBy(F.desc("v"), F.desc("is_add"))
         live = (
             acts.filter(F.col("v") <= version)
             .withColumn("rn", F.row_number().over(w))

@@ -2677,6 +2677,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .persist()
     )
+    # Eager materialization: round 1's join consumes und on BOTH sides
+    # (labels derives from und), the r12 lazy-persist-race class — the
+    # cosine-edge subtree is the expensive part and would compute twice.
+    # Measured (sf0.1, 4 runs one session): lazy [9.48, 2.29, 1.76,
+    # 1.58] vs eager [9.03, 1.91, 1.58, 1.53] — eager wins every run.
+    und.count()
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -1152,7 +1152,7 @@ def test_kmeans_converge_margin_and_idempotence(spark):
     # round toward the cap, rather than letting the key start raising.
     from engine.core import collect_model_artifact
     from engine.similarity import (
-        _KM_A, _KM_B, _KM_CORE, _KM_P, _KM_UNROLL, _km_train,
+        _KM_A, _KM_B, _KM_CORE, _KM_P, _KM_SCALE, _KM_UNROLL, _km_train,
     )
 
     e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -1172,7 +1172,7 @@ def test_kmeans_converge_margin_and_idempotence(spark):
     order = np.argsort(ids)
     X = np.floor(
         np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
-                  for i in order]) * 4096
+                  for i in order]) * _KM_SCALE
     ).astype(np.int64)
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     pick = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, 0]
