@@ -2794,3 +2794,607 @@ def sim_int8_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("mse_e9"),
     )
+
+
+# -- cluster-balanced sampling (r14 breadth: data-curation sampler) ---------
+_CB_BUDGET = 200   # total sample size (Hamilton apportionment target)
+_CB_B = 98765      # hash offset — decorrelated from the coreset draw (_KM_B)
+
+
+@query(
+    "sample_cluster_balanced",
+    oracle=_km_oracle()
+    + f""",
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_c FROM asg GROUP BY cid),
+    tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n FROM sizes),
+    quo AS (
+        SELECT cid, n_c,
+               ({_CB_BUDGET} * n_c) // n AS base,
+               {_CB_BUDGET} - SUM(({_CB_BUDGET} * n_c) // n) OVER () AS leftover,
+               ROW_NUMBER() OVER (ORDER BY ({_CB_BUDGET} * n_c) % n DESC,
+                                  cid ASC) AS rrn
+        FROM sizes, tot
+    ),
+    quota AS (
+        SELECT cid,
+               CAST(base + CASE WHEN rrn <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM quo
+    ),
+    sel AS (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cid
+                   ORDER BY ((a.vec_id % {_KM_P}) * {_KM_A} + {_CB_B})
+                            % {_KM_P}, a.vec_id) AS sel_rank
+        FROM asg a
+    )
+    SELECT s.vec_id, s.cid, s.sel_rank, q.quota
+    FROM sel s JOIN quota q ON q.cid = s.cid
+    WHERE s.sel_rank <= q.quota
+    """,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity) sampling — the data-curation
+    sampler the mixture keys don't cover: a fixed budget of 200 rows
+    apportioned across the CONVERGED k-means clusters by HAMILTON'S
+    METHOD (largest remainder: base = floor(B·n_c/N) per cluster, the
+    B−Σbase leftover seats to the largest remainders, remainder ties
+    to the smaller cid), then a deterministic per-cluster draw (rank by
+    universal hash of vec_id, offset decorrelated from the coreset
+    draw).  Every step is exact integer arithmetic over the shared
+    `asg` chain (one construction with the kmeans keys — the sampler
+    can never disagree with the clustering), so the full pipeline
+    hash-verifies: apportionment, tie-breaks, and draw.
+
+    Scale: apportionment aggregates K rows (map-side combined);
+    the draw is TWO-PHASE so no stage keys on the K-partition cid
+    alone — a (cid, vec_id%32)-bucketed local rank keeps ≤budget rows
+    per bucket (256-way parallel window), then the global per-cluster
+    rank runs over ≤K·32·budget survivors (tiny); correct because a
+    global top-q member is necessarily in its bucket's top-q ≤
+    top-budget (q ≤ budget).  The oracle ranks one-phase — results are
+    provably identical, which the hash match demonstrates."""
+    asg = _km_assignment(spark, sf_dir).persist()
+    asg.count()  # diamond: sizes AND sel below (eager per the r12 race rule)
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("n_c"))
+    tot = sizes.agg(F.sum("n_c").alias("n"))
+    quo = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            F.expr(f"({_CB_BUDGET} * n_c) div n").alias("base"),
+            F.expr(f"({_CB_BUDGET} * n_c) % n").alias("rem"),
+        )
+        .select(
+            "cid",
+            "base",
+            (F.lit(_CB_BUDGET) - F.sum("base").over(Window.partitionBy()))
+            .alias("leftover"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("rem"), F.asc("cid")))
+            .alias("rrn"),
+        )
+    )
+    quota = quo.select(
+        "cid",
+        (
+            F.col("base")
+            + F.when(F.col("rrn") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+    hs = ((F.col("vec_id") % _KM_P) * _KM_A + _CB_B) % _KM_P
+    wb = Window.partitionBy("cid", F.pmod(F.col("vec_id"), F.lit(32))).orderBy(
+        hs.asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        asg.select("vec_id", "cid")
+        .withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= _CB_BUDGET)
+    )
+    wg = Window.partitionBy("cid").orderBy(hs.asc(), F.col("vec_id").asc())
+    sel = cand.select("vec_id", "cid").withColumn(
+        "sel_rank", F.row_number().over(wg)
+    )
+    return sel.join(F.broadcast(quota), "cid").filter(
+        F.col("sel_rank") <= F.col("quota")
+    ).select("vec_id", "cid", "sel_rank", "quota")
+
+
+# -- incremental IVF maintenance (r14 breadth: nightly-ingest ANN shape) ----
+
+
+@query(
+    "sim_ivf_incremental_upsert",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ec FROM embeddings
+        WHERE vec_id < 17 AND vec_id % 10 <> 7
+    ),
+    ac AS (
+        SELECT e.vec_id, c.cid,
+               FLOOR(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE)
+                                   * CAST(c.ec[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_key
+        FROM embeddings e, cents c, {_DIMS} s
+        GROUP BY e.vec_id, c.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid, cos_key FROM (
+            SELECT vec_id, cid, cos_key,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_key DESC, cid ASC) AS crn
+            FROM ac
+        ) WHERE crn = 1
+    ),
+    exist_n AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_before FROM a1
+        WHERE vec_id % 10 <> 7 GROUP BY cid
+    ),
+    newa AS (
+        SELECT vec_id, cid, CAST(cos_key AS BIGINT) AS cos_e6 FROM a1
+        WHERE vec_id % 10 = 7
+    ),
+    new_n AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new FROM newa GROUP BY cid
+    )
+    SELECT n.vec_id, n.cid AS list_id, n.cos_e6,
+           CAST(COALESCE(e.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(e.n_before, 0) + nn.n_new AS BIGINT) AS n_after
+    FROM newa n
+    LEFT JOIN exist_n e ON e.cid = n.cid
+    JOIN new_n nn ON nn.cid = n.cid
+    """,
+)
+def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the dedup_incremental_minhash
+    shape applied to vectors (r13 VERDICT next-capability (b)): a new
+    ingest batch (vec_id % 10 == 7) is assigned into the EXISTING fixed
+    IVF structure (centroids = the 16 lowest existing vec_ids) without
+    touching the stored lists' assignments, and the key reports the
+    maintenance audit a nightly upsert job emits: each new vector's
+    target list, its pinned assignment score, and the list occupancy
+    before/after the batch lands.
+
+    Assignment ranks on the e6-pinned cosine with a cid tiebreak
+    (sim_ivf_fixed_topk discipline) so both engines pick identical
+    lists even where raw doubles differ in the last ulp; occupancy
+    deltas are exact integer counts — full hash oracle.
+
+    Scale: the INCREMENTAL work is batch × K only — the new batch
+    broadcasts against the 16-row centroid table (map-only scoring +
+    one batch-sized window), never against the stored index; at 100 TB
+    the stored lists' occupancy is a catalog statistic, recomputed here
+    (one corpus-wide rn=1 pass) only because this container has no
+    persistent catalog between runs — the docstring-honest equivalent
+    of reading the stat table."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter((F.col("vec_id") < 17) & (F.col("vec_id") % 10 != 7)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    cos_key = F.floor(
+        _dot(F.col("embedding"), F.col("ec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
+    a1 = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos_key.alias("cos_key"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cid", "cos_key")
+        .persist()
+    )
+    a1.count()  # diamond: exist_n + newa (and newa twice) — eager per r12 rule
+    exist_n = (
+        a1.filter(F.col("vec_id") % 10 != 7)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_before"))
+    )
+    newa = a1.filter(F.col("vec_id") % 10 == 7).select(
+        "vec_id", "cid", F.col("cos_key").cast("long").alias("cos_e6")
+    )
+    new_n = newa.groupBy("cid").agg(F.count("*").alias("n_new"))
+    nb = F.coalesce(F.col("n_before"), F.lit(0).cast("long"))
+    return (
+        newa.join(F.broadcast(exist_n), "cid", "left")
+        .join(F.broadcast(new_n), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("list_id"),
+            "cos_e6",
+            nb.alias("n_before"),
+            (nb + F.col("n_new")).alias("n_after"),
+        )
+    )
+
+
+# -- hybrid retrieval fusion (r14 breadth: lexical + vector RRF) ------------
+from engine.text import _RET_A, _RET_B, _RET_P, _bm25_ctes  # noqa: E402
+
+_RRF_K = 60      # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_DEPTH = 20  # per-system candidate depth
+_RRF_TOPK = 10
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH {_bm25_ctes()},
+    lex AS (
+        SELECT q_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score_e4 DESC, doc_id ASC) AS lrnk
+        FROM sc WHERE doc_id <> q_id
+    ),
+    qv AS (SELECT vec_id AS q_id, embedding AS eq FROM embeddings
+           ORDER BY ((vec_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
+                    vec_id LIMIT 8),
+    vc AS (
+        SELECT q.q_id, e.vec_id AS doc_id,
+               FLOOR(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_e6
+        FROM qv q, embeddings e, {_DIMS} s
+        WHERE e.vec_id <> q.q_id
+        GROUP BY q.q_id, e.vec_id
+    ),
+    vec AS (
+        SELECT q_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_e6 DESC, doc_id ASC) AS vrnk
+        FROM vc
+    ),
+    l20 AS (SELECT * FROM lex WHERE lrnk <= {_RRF_DEPTH}),
+    v20 AS (SELECT * FROM vec WHERE vrnk <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(COALESCE(l.lrnk, 0) AS BIGINT) AS lex_rnk,
+               CAST(COALESCE(v.vrnk, 0) AS BIGINT) AS vec_rnk,
+               CAST(CASE WHEN l.lrnk IS NULL THEN 0
+                         ELSE 1000000 // ({_RRF_K} + l.lrnk) END
+                    + CASE WHEN v.vrnk IS NULL THEN 0
+                           ELSE 1000000 // ({_RRF_K} + v.vrnk) END
+                    AS BIGINT) AS rrf_e6
+        FROM l20 l FULL OUTER JOIN v20 v
+          ON v.q_id = l.q_id AND v.doc_id = l.doc_id
+    )
+    SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf_e6, frnk FROM (
+        SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf_e6,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY rrf_e6 DESC, doc_id ASC) AS frnk
+        FROM fused)
+    WHERE frnk <= {_RRF_TOPK}
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (RRF, Cormack et al.
+    2009) of the BM25 lexical ranking and the exact-cosine vector
+    ranking for the SAME bounded query set (the corpus aligns doc_id ≡
+    vec_id): per system, top-20 candidates excluding the query doc
+    itself; fused score = Σ 1e6 // (60 + rank) as EXACT integer
+    division (the order-preserving integer surrogate of 1/(60+r) —
+    deterministic on both engines, so the fusion hash-verifies
+    end-to-end including absent-from-one-system candidates, which
+    contribute 0 through the full-outer join).
+
+    Shares the BM25 `sc` chain with text_bm25_topk
+    (engine.text._bm25_scores / _bm25_ctes — one scorer, two keys) and
+    the hash-ranked query draw, so lexical and vector sides see the
+    identical query set by construction.
+
+    Scale: the lexical side is the bounded-query postings probe; the
+    vector side broadcasts 8 query vectors against the collection
+    (map-only scoring + per-query top-20); the fusion joins two
+    ≤8×20-row frames — negligible.  At 100 TB both candidate
+    generators would be their ANN/index variants (sim_ivf_fixed_topk /
+    text_bm25_topk); the fusion operator itself is rank-only and
+    scale-free."""
+    from engine.text import _bm25_scores
+
+    sc_ = _bm25_scores(spark, sf_dir)
+    wl = Window.partitionBy("q_id").orderBy(F.desc("score_e4"), F.asc("doc_id"))
+    lex = (
+        sc_.filter(F.col("doc_id") != F.col("q_id"))
+        .withColumn("lrnk", F.row_number().over(wl))
+        .filter(F.col("lrnk") <= _RRF_DEPTH)
+        .select("q_id", "doc_id", "lrnk")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = ((F.col("vec_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
+    qv = (
+        e.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
+    )
+    cos_e6 = F.floor(
+        _dot(F.col("eq"), F.col("embedding"))
+        / (_norm(F.col("eq")) * _norm(F.col("embedding")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("cos_e6"), F.asc("doc_id"))
+    vec = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("doc_id"), cos_e6.alias("cos_e6"))
+        .withColumn("vrnk", F.row_number().over(wv))
+        .filter(F.col("vrnk") <= _RRF_DEPTH)
+        .select("q_id", "doc_id", "vrnk")
+    )
+    rrf = (
+        F.when(F.col("lrnk").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"1000000 div ({_RRF_K} + lrnk)"))
+        + F.when(F.col("vrnk").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"1000000 div ({_RRF_K} + vrnk)"))
+    )
+    fused = lex.join(vec, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.coalesce(F.col("lrnk").cast("long"), F.lit(0)).alias("lex_rnk"),
+        F.coalesce(F.col("vrnk").cast("long"), F.lit(0)).alias("vec_rnk"),
+        rrf.cast("long").alias("rrf_e6"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+    return fused.withColumn("frnk", F.row_number().over(wf)).filter(
+        F.col("frnk") <= _RRF_TOPK
+    )
+
+
+# -- embedding distribution drift (r14 breadth: pipeline monitoring) --------
+_DRIFT_SCALE = 4096  # 2^12 quantization (power of two — exact products)
+
+
+@query(
+    "sim_embedding_drift",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+        SELECT label, vec_id % 2 AS half,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_DRIFT_SCALE})
+                        AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    per AS MATERIALIZED (
+        SELECT label, half, s.i AS pos,
+               CAST(SUM(qv[s.i]) AS BIGINT) // COUNT(*) AS c
+        FROM q, {_DIMS} s
+        GROUP BY label, half, s.i
+    ),
+    cnt AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM q GROUP BY label
+    ),
+    dr AS (
+        SELECT a.label,
+               CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS drift_l2sq
+        FROM per a JOIN per b ON b.label = a.label AND b.pos = a.pos
+        WHERE a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT d.label, c.n_a, c.n_b, d.drift_l2sq
+    FROM dr d JOIN cnt c ON c.label = d.label
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor — the vector-side sibling of
+    agg_quantile_drift/agg_ks_drift: per label, the squared L2 distance
+    between the two corpus halves' (vec_id parity) mean embeddings,
+    the day-over-day \"did the encoder or the data move?\" check an
+    embedding pipeline runs before trusting a new batch.  Exact by
+    integer quantization (floor(x·2^12) — the kmeans discipline):
+    per-dim sums are exact int64, centroids are truncating integer
+    division (Spark `div` ≡ DuckDB `//`), and the distance is an
+    integer sum — full hash oracle, no float tolerance anywhere.
+
+    Scale: posexplode feeds a hash aggregate whose map-side combine
+    bounds the exchange at labels × 2 × 64 rows per partition —
+    corpus-sized input, model-sized shuffle; the half-vs-half join and
+    drift aggregate run on (labels × 64)-row frames.  The per frame
+    feeds both sides of the half join, so it persists and materializes
+    eagerly (r12 race rule)."""
+    e = load(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _DRIFT_SCALE).cast("long"),
+    )
+    q = e.select(
+        "label", (F.col("vec_id") % 2).alias("half"), qv.alias("qv")
+    )
+    per = (
+        q.select("label", "half", F.posexplode("qv").alias("pos0", "comp"))
+        .select("label", "half", (F.col("pos0") + 1).alias("pos"), "comp")
+        .groupBy("label", "half", "pos")
+        .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
+        .select("label", "half", "pos", F.expr("s div n").alias("c"))
+        .persist()
+    )
+    per.count()  # diamond: both sides of the half join derive from per
+    cnt = q.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    a = per.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca")
+    )
+    b = per.filter(F.col("half") == 1).select(
+        F.col("label").alias("b_label"), F.col("pos").alias("b_pos"),
+        F.col("c").alias("cb"),
+    )
+    dr = (
+        a.join(b, (a.label == b.b_label) & (a.pos == b.b_pos))
+        .select(
+            "label",
+            # (ca-cb)*(ca-cb), NOT **2 — Column ** is float pow()
+            ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.sum("d2").alias("drift_l2sq"))
+    )
+    return dr.join(cnt, "label").select("label", "n_a", "n_b", "drift_l2sq")
+
+
+# -- k-core decomposition (r14 breadth: 4th iterative graph kernel) ---------
+_KCORE_K = 3        # core order under test (K=3: nontrivial at sf0.01/0.1)
+_KCORE_UNROLL = 18  # oracle unroll == Spark loud cap (2x measured
+                    # convergence: 7 rounds at sf0.01, 9 at sf0.1)
+
+
+def _kcore_oracle() -> str:
+    """Unroll-past-convergence twin (the r13 sim_kmeans_converge
+    pattern): peeling is MONOTONE — a converged peel round is the
+    identity — so a static unroll of depth >= the convergence round
+    equals the Spark side's converged edge set exactly.  Every chain
+    CTE MATERIALIZED (r13 trap: DuckDB inlines single-use CTEs and a
+    ~50-level inlined tree explodes planning)."""
+    parts = [_GRAPH_EDGES_SQL.strip().rstrip(),
+             "e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    prev = "e0"
+    for n in range(1, _KCORE_UNROLL + 1):
+        parts.append(f"""k{n} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT src AS node FROM {prev}
+            UNION ALL SELECT dst FROM {prev}
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    )""")
+        parts.append(f"""e{n} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN k{n} a ON a.node = e.src
+        JOIN k{n} b ON b.node = e.dst
+    )""")
+        prev = f"e{n}"
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        SELECT src AS node FROM {prev} UNION ALL SELECT dst FROM {prev}
+    ) GROUP BY node
+    """
+    )
+
+
+@query("graph_kcore_decompose", oracle=_kcore_oracle())
+def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition (Seidman 1983 degeneracy peeling) of the
+    block-cosine graph — the fourth iterative graph kernel next to
+    PageRank (fixed rounds), connected components (star contraction)
+    and label propagation (mode update), and the one whose update is a
+    SUBGRAPH-INDUCED filter: repeatedly delete every node of degree
+    < 3 in the CURRENT subgraph until none remains; the survivors are
+    the 3-core (the standard cohesive-subgroup / spam-cluster
+    detector).  Returns each core member with its within-core degree.
+
+    Convergence is detected by edge-count stability (peeling only
+    deletes: a round that removes no node removes no edge, and a
+    removed node always removes its incident edges), with a LOUD cap
+    at _KCORE_UNROLL; the oracle unrolls exactly that depth — sound
+    because a converged peel round is the identity
+    (unroll-past-convergence, the sim_kmeans_converge construction).
+
+    Scale: each round is one degree aggregate (map-side combined,
+    edge-proportional exchange) + two semi-joins against the surviving
+    node set — the Pregel message shape, O(E) per round, O(peel
+    depth) rounds; rounds run under 8 shuffle partitions
+    (driver-orchestrated tiny reduces) with eager per-round
+    checkpoints truncating the lineage, the CC/IVF loop discipline."""
+    from engine.core import scoped_shuffle_partitions
+
+    edges = _cos_block_edges(spark, sf_dir)
+    with scoped_shuffle_partitions(spark, 8):
+        E = edges.localCheckpoint(eager=True)
+        n_edges = E.count()
+        for _ in range(_KCORE_UNROLL):
+            deg = (
+                E.select(F.col("src").alias("node"))
+                .unionAll(E.select(F.col("dst").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+            E = (
+                E.join(keep, E.src == keep.node, "left_semi")
+                .join(keep, F.col("dst") == keep.node, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_new = E.count()
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+        else:
+            raise RuntimeError(
+                f"k-core peeling did not converge within {_KCORE_UNROLL} "
+                "rounds — the unrolled oracle would diverge; raise "
+                "_KCORE_UNROLL (and re-measure the margin) instead of "
+                "serving a non-converged core"
+            )
+    return (
+        E.select(F.col("src").alias("node"))
+        .unionAll(E.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+    )
+
+
+# -- ANN recall evaluation (r14 breadth: index-quality eval harness) --------
+from engine.core import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH ivf AS ({_ORACLES["sim_ivf_fixed_topk"]}),
+         knn AS ({_ORACLES["sim_knn_topk"]})
+    SELECT k.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(2000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS recall_bp
+    FROM knn k
+    LEFT JOIN ivf i ON i.q_id = k.q_id AND i.neighbor_id = k.neighbor_id
+    GROUP BY k.q_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality EVALUATION as an operator — recall@5 of the
+    hash-verified IVF index (sim_ivf_fixed_topk) against the exact
+    brute-force ground truth (sim_knn_topk) for the shared 5-query
+    set: the eval harness an ANN deployment runs before trusting an
+    index build, emitted as a queryable frame (per query: ground-truth
+    size, hits, recall in basis points — 2000·hits since k=5).  Both
+    sides are deterministic pinned-cosine rankings, so the WHOLE
+    evaluation carries a full hash oracle (the oracle composes the two
+    keys' committed oracle texts verbatim — module-level f-string, the
+    eval can never desync from the keys it grades).
+
+    Scale: both inputs are bounded per-query top-5 frames (the heavy
+    lifting — index probe, exact scan — happens inside the composed
+    chains at their documented scale shapes); the eval join is
+    25-row × 25-row."""
+    exact = sim_knn_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    ivf = sim_ivf_fixed_topk(spark, sf_dir).select(
+        F.col("q_id").alias("i_q"),
+        F.col("neighbor_id").alias("i_n"),
+        F.lit(1).alias("hit"),
+    )
+    j = exact.join(
+        ivf,
+        (exact.q_id == ivf.i_q) & (exact.neighbor_id == ivf.i_n),
+        "left",
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.groupBy("q_id").agg(
+        F.count("*").alias("n_exact"),
+        n_hits.alias("n_hits"),
+        (F.lit(2000) * n_hits).alias("recall_bp"),
+    )

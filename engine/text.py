@@ -2570,3 +2570,250 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * cov_tokens div (12 + eval_id % 5)")
         .cast("long").alias("coverage_bp"),
     )
+
+
+# -- BM25 retrieval (r14 breadth: the lexical-retrieval scale shape) --------
+# All four score constants are BINARY-EXACT doubles (k1 = 1.25, b = 0.75,
+# k1+1 = 2.25, 1-b = 0.25), so the rational part of the BM25 score is
+# bit-identical IEEE arithmetic on both engines; the single transcendental
+# (Robertson idf's ln) is floor-pinned to an e4 INTEGER before any product
+# (text_tfidf discipline), and the per-term contributions are summed as
+# exact int64 — order-independent, hash-safe.
+_BM25_NQ = 8          # bounded query set (hash-ranked — kmeans-coreset idiom)
+_BM25_TOPK = 10
+_RET_P = 2**31 - 1
+_RET_A = 1103515245 % _RET_P  # classic LCG multiplier (public constant)
+_RET_B = 54321                # distinct offset from the kmeans coreset draw
+
+
+def _bm25_ctes(nq: int = _BM25_NQ) -> str:
+    """DuckDB CTE chain ending in `bm AS (q_id, doc_id, score_e4, rnk)`
+    — shared by text_bm25_topk and the RRF fusion key so the two can
+    never disagree on the lexical ranking."""
+    return f"""
+    tok AS (
+        SELECT d.doc_id, t.tok AS token
+        FROM documents d, UNNEST({_TOKENS_SQL.format(c="d.text")}) AS t(tok)
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt
+           FROM dl),
+    dfb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+        SELECT token,
+               CAST(FLOOR(LN((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                             / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                          * 10000 + 0.5) AS BIGINT) AS idf_e4
+        FROM dfb, st
+    ),
+    qd AS (SELECT doc_id AS q_id FROM documents
+           ORDER BY ((doc_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
+                    doc_id LIMIT {nq}),
+    qt AS (SELECT q.q_id, tf.token FROM tf JOIN qd q ON tf.doc_id = q.q_id),
+    hits AS (
+        SELECT qt.q_id, tf.doc_id,
+               CAST(FLOOR(CAST(i.idf_e4 AS DOUBLE)
+                          * ((CAST(tf.cnt AS DOUBLE) * 2.25)
+                             / (CAST(tf.cnt AS DOUBLE)
+                                + 1.25 * (0.25 + 0.75
+                                          * (CAST(dl.dl AS DOUBLE)
+                                             / (CAST(st.tt AS DOUBLE)
+                                                / CAST(st.n AS DOUBLE))))))
+                          + 0.5) AS BIGINT) AS term_e4
+        FROM tf
+        JOIN qt ON qt.token = tf.token
+        JOIN idf i ON i.token = tf.token
+        JOIN dl ON dl.doc_id = tf.doc_id, st
+    ),
+    sc AS (
+        SELECT q_id, doc_id, CAST(SUM(term_e4) AS BIGINT) AS score_e4
+        FROM hits GROUP BY q_id, doc_id
+    ),
+    bm AS (
+        SELECT q_id, doc_id, score_e4,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score_e4 DESC, doc_id ASC) AS rnk
+        FROM sc
+    )"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str,
+                 nq: int = _BM25_NQ) -> DataFrame:
+    """(q_id, doc_id, score_e4) BM25 scores for the bounded hash-ranked
+    query set — the Spark twin of :func:`_bm25_ctes`'s `sc` CTE, shared
+    by text_bm25_topk and sim_rrf_fusion (the two can never disagree on
+    the lexical scores).
+
+    Scale shape: postings (tf) build with ONE (doc_id, token) shuffle
+    whose map-side partial agg bounds the exchange by per-partition
+    vocabulary; df/dl/avgdl are downstream aggregates of that table.
+    The query side is bounded by construction (nq hash-ranked docs →
+    their ≤nq×|doc| distinct terms), so the postings probe is a
+    broadcast term join — term-at-a-time scoring touches only the
+    probed terms' postings, never the corpus cross queries.  tf feeds
+    four consumers including both sides of the qt⋈tf self-join, so it
+    persists AND materializes eagerly (r12 lazy-persist-race rule)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")).persist()
+    tf.count()  # eager: qt⋈tf is a self-join through the cache
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tt"))
+    dfb = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nD = F.col("n").cast("double")
+    dfD = F.col("df").cast("double")
+    idf = dfb.crossJoin(F.broadcast(st)).select(
+        "token",
+        F.floor(
+            F.log((nD - dfD + F.lit(0.5)) / (dfD + F.lit(0.5)) + F.lit(1.0))
+            * 10000 + F.lit(0.5)
+        ).alias("idf_e4"),
+    )
+    h = ((F.col("doc_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
+    qd = (
+        d.select("doc_id")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .limit(nq)
+        .select(F.col("doc_id").alias("q_id"))
+    )
+    qt = tf.join(F.broadcast(qd), tf.doc_id == F.col("q_id")).select(
+        "q_id", "token"
+    )
+    cntD = F.col("cnt").cast("double")
+    avg = F.col("tt").cast("double") / F.col("n").cast("double")
+    den = cntD + F.lit(1.25) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avg)
+    )
+    term_e4 = F.floor(
+        F.col("idf_e4").cast("double") * ((cntD * F.lit(2.25)) / den)
+        + F.lit(0.5)
+    )
+    hits = (
+        tf.join(F.broadcast(qt), "token")
+        .join(idf, "token")  # vocabulary-sized — AQE size-selects
+        .join(dl, "doc_id")  # doc-count-sized — AQE size-selects
+        .crossJoin(F.broadcast(st))
+        .select("q_id", "doc_id", term_e4.alias("term_e4"))
+    )
+    return hits.groupBy("q_id", "doc_id").agg(
+        F.sum("term_e4").alias("score_e4")
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str,
+                 nq: int = _BM25_NQ) -> DataFrame:
+    """(q_id, doc_id, score_e4, rnk) — the `bm` CTE's Spark twin."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_e4"), F.asc("doc_id")
+    )
+    return _bm25_scores(spark, sf_dir, nq).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_ctes()}
+    SELECT q_id, doc_id, score_e4, rnk FROM bm WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck Jones probabilistic
+    ranking; the Lucene-default idf form ln((N-df+.5)/(df+.5)+1)):
+    top-10 documents per bounded query under k1=1.25, b=0.75 —
+    completing the retrieval story next to the vector side
+    (sim_knn_topk / sim_ndcg_eval).  The whole pipeline — postings
+    build, document-length normalization, idf, term-at-a-time scoring,
+    ranking — carries a full DuckDB hash oracle because every float is
+    either bit-identical rational IEEE (binary-exact constants) or
+    e4-pinned before use, and per-term scores sum as exact int64.
+
+    Scale: postings = ONE (doc, token) exchange (map-side combine
+    bounds it by per-partition vocabulary); the bounded query set
+    broadcasts into the postings probe so scoring touches only probed
+    terms' postings lists — the inverted-index access pattern, never
+    corpus × queries."""
+    r = _bm25_ranked(spark, sf_dir)
+    return r.filter(F.col("rnk") <= _BM25_TOPK)
+
+
+# -- sliding-window chunking (r14 breadth: the RAG/embedding chunker) -------
+_CHUNK_W = 32   # window width (tokens)
+_CHUNK_S = 24   # stride (8-token overlap between consecutive chunks)
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+               CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+                    ELSE 1 + (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                             // {_CHUNK_S} END AS n_chunks
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(c.ci AS BIGINT) AS chunk_idx,
+           CAST(c.ci * {_CHUNK_S} AS BIGINT) AS tok_start,
+           CAST(len(toks[c.ci * {_CHUNK_S} + 1 : c.ci * {_CHUNK_S} + {_CHUNK_W}])
+                AS BIGINT) AS n_chunk_tok,
+           array_to_string(
+               toks[c.ci * {_CHUNK_S} + 1 : c.ci * {_CHUNK_S} + {_CHUNK_W}],
+               ' ') AS chunk_text
+    FROM sized, UNNEST(range(0, n_chunks)) AS c(ci)
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document CHUNKING — the RAG / embedding-pipeline
+    splitter (LangChain's RecursiveTextSplitter shape, token flavor):
+    each document becomes overlapping 32-token windows at stride 24
+    (8-token overlap preserves context across cuts), emitted with the
+    seek metadata a retriever needs (chunk index, token offset, length,
+    text).  The final window clamps at the document tail (Spark
+    `slice` and DuckDB list-slicing both clamp — semantics align by
+    construction); chunk count = 1 + ceil((n−W)/S) for n > W else 1,
+    as exact integer arithmetic.
+
+    Distinct from pack_concat_chunks (cross-document PACKING manifests
+    for pretraining dataloaders): this is per-document SPLITTING with
+    overlap for retrieval indexing.
+
+    Scale: pure map-only per-row array work — tokens materialized ONCE
+    as a projected column (never re-derived inside the per-chunk
+    lambda — the O(n²) HOF re-evaluation trap), then a bounded
+    transform (≈n/S chunk slots per doc) of JVM slice+join builtins;
+    no shuffle at all, embarrassingly parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(
+            f"(size(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}"
+        ).cast("int")
+    )
+    sized = base.select("doc_id", "toks", n_chunks.alias("n_chunks"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda ci: F.struct(
+            ci.cast("long").alias("chunk_idx"),
+            (ci * _CHUNK_S).cast("long").alias("tok_start"),
+            F.slice(F.col("toks"), ci * _CHUNK_S + 1, _CHUNK_W).alias("ct"),
+        ),
+    )
+    ex = sized.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.size("c.ct").cast("long").alias("n_chunk_tok"),
+        F.array_join("c.ct", " ").alias("chunk_text"),
+    )

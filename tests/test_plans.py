@@ -183,6 +183,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # corpus-scale selection is the TakeOrderedAndProject above it,
         # plan-pinned by test_weighted_aes_plans_take_ordered)
         ("relational.py", "sample_weighted_aes"),
+        # largest-remainder ranking over the per-CLUSTER quota table —
+        # one row per k-means cluster (K ≤ 8, bounded by the model);
+        # the corpus-scale draw below it is the two-phase bucketed rank
+        ("similarity.py", "sample_cluster_balanced"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):

@@ -1340,3 +1340,36 @@ def test_contamination_report_full_coverage_of_planted_evals(spark):
         assert r.eval_len == 12 + r.eval_id % 5
         assert r.cov_tokens == r.eval_len and r.coverage_bp == 10000
         assert r.max_span >= r.eval_len and r.n_train_docs >= 1
+
+
+def test_kcore_margin_and_nontrivial(spark):
+    # the peel CONVERGES well inside the unroll cap (headroom 6, the
+    # kmeans-margin discipline) — fail early if a regenerated corpus
+    # pushes the peel depth toward the cap rather than letting the key
+    # start raising — and the sf0.01 3-core is NON-TRIVIAL (an empty
+    # core would make the oracle pass vacuously).
+    from engine.similarity import _KCORE_K, _KCORE_UNROLL, _cos_block_edges
+
+    E = {(r.src, r.dst) for r in _cos_block_edges(spark, SF_DIR).collect()}
+    nodes = {n for e in E for n in e}
+    rounds = 0
+    while True:
+        deg: dict = {}
+        for s, d in E:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        keep = {n for n in nodes if deg.get(n, 0) >= _KCORE_K}
+        if keep == nodes:
+            break
+        nodes = keep
+        E = {(s, d) for (s, d) in E if s in nodes and d in nodes}
+        rounds += 1
+        assert rounds <= _KCORE_UNROLL, "peel exceeded the unroll cap"
+    assert rounds <= _KCORE_UNROLL - 6, (
+        f"peel converged in {rounds} rounds, within 6 of the cap "
+        f"{_KCORE_UNROLL} — raise _KCORE_UNROLL before the corpus drifts"
+    )
+    assert len(nodes) > 0, "sf0.01 3-core is empty — vacuous oracle"
+    # converged peel is the identity (the property that makes the
+    # unrolled oracle exact for ANY depth >= convergence round)
+    assert all(deg[n] >= _KCORE_K for n in nodes)
