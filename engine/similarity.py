@@ -3108,24 +3108,51 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lrnk") <= _RRF_DEPTH)
         .select("q_id", "doc_id", "lrnk")
     )
+    # Vector side: Arrow-blocked numpy scoring (the sim_knn_topk_blocked
+    # physical plan — a 64-dim HOF fold per crossJoin pair is the
+    # interpreted-HOF trap at ~128 lambda evals/pair).  Queries are a
+    # bounded-by-construction trained-artifact-sized set (8 rows) riding
+    # the UDF closure; each batch computes one matmul in the ORACLE'S
+    # operation form (raw dot, one divide by the norm product), pins to
+    # e6 in-batch, and emits only its local top-20 per query — the
+    # global window merges block winners (local-k == global-k keeps
+    # every candidate).
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     h = ((F.col("vec_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
-    qv = (
-        e.orderBy(h.asc(), F.col("vec_id").asc())
-        .limit(8)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
-    )
-    cos_e6 = F.floor(
-        _dot(F.col("eq"), F.col("embedding"))
-        / (_norm(F.col("eq")) * _norm(F.col("embedding")))
-        * 1000000
-        + F.lit(0.5)
-    )
+    qv = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(8)
+    qrows = sorted(collect_model_artifact(qv), key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def block_top(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            en = np.sqrt((X * X).sum(axis=1))
+            key = np.floor(
+                X @ Q.T / (en[:, None] * qn[None, :]) * 1000000 + 0.5
+            ).astype(np.int64)
+            out = {"q_id": [], "doc_id": [], "cos_e6": []}
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                kj, ij = key[mask, j], ids[mask]
+                order = np.lexsort((ij, -kj))[:_RRF_DEPTH]
+                out["q_id"].extend([q_ids[j]] * len(order))
+                out["doc_id"].extend(ij[order])
+                out["cos_e6"].extend(kj[order])
+            yield pd.DataFrame(out)
+
     wv = Window.partitionBy("q_id").orderBy(F.desc("cos_e6"), F.asc("doc_id"))
     vec = (
-        e.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("doc_id"), cos_e6.alias("cos_e6"))
+        e.mapInPandas(block_top, "q_id bigint, doc_id bigint, cos_e6 bigint")
         .withColumn("vrnk", F.row_number().over(wv))
         .filter(F.col("vrnk") <= _RRF_DEPTH)
         .select("q_id", "doc_id", "vrnk")
