@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "graph_kcore_decompose",
     "sim_ann_recall_eval",
     "text_chunk_sliding",
+    "mm_chunk_manifest",
 })
 
 

@@ -666,3 +666,83 @@ def mm_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         dispatch,
         "media_id long, media_type string, metric_a long, metric_b long",
     )
+
+
+# -- chunk manifest (r14 breadth: the multipart-upload/shard manifest) ------
+_MANIFEST_CHUNK = 64  # bytes per chunk
+
+
+@query(
+    "mm_chunk_manifest",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    sized AS (
+        SELECT media_id, media_type, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM media
+    ),
+    idx AS (
+        SELECT media_id, media_type, text, n_bytes,
+               CAST(unnest(range(0, CAST(CEIL(n_bytes / {_MANIFEST_CHUNK}.0)
+                   AS BIGINT))) AS BIGINT) AS chunk_idx
+        FROM sized
+    )
+    SELECT media_id, media_type, n_bytes, chunk_idx,
+           chunk_idx * {_MANIFEST_CHUNK} AS byte_off,
+           CAST(octet_length(encode(substring(text,
+               CAST(chunk_idx * {_MANIFEST_CHUNK} + 1 AS INTEGER),
+               {_MANIFEST_CHUNK}))) AS BIGINT) AS chunk_bytes,
+           CASE WHEN (chunk_idx + 1) * {_MANIFEST_CHUNK} >= n_bytes
+                THEN 1 ELSE 0 END AS is_last,
+           md5(substring(text,
+               CAST(chunk_idx * {_MANIFEST_CHUNK} + 1 AS INTEGER),
+               {_MANIFEST_CHUNK})) AS chunk_md5
+    FROM idx
+    """,
+)
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range CHUNK MANIFEST over binary payloads — what a
+    data-lake multipart uploader / shard-integrity auditor emits per
+    blob: fixed 64-byte ranges with offset, actual length (the tail
+    clamps), a last-chunk flag, and a per-chunk MD5 checksum, all
+    computed JVM-side off the binary column (no decode, no Python).
+    The oracle mirrors byte ops with text ops, exact because the
+    corpus payload is the UTF-8 bytes of ASCII text (the _MEDIA_SQL
+    convention, mm_meta_extract precedent); DuckDB's md5 is
+    VARCHAR-only, which is equality-preserving on ASCII.
+
+    Scale: map-only per-row arithmetic + an indexed transform
+    (≈n_bytes/64 slots per blob) of substring+md5 builtins — no
+    shuffle; at 100 TB each executor manifests its own parquet split,
+    and the manifest (metadata-sized) is what ships, never payload
+    bytes."""
+    m = _media(spark, sf_dir)
+    n_bytes = F.length("payload").cast("long")
+    n_chunks = F.ceil(n_bytes / F.lit(_MANIFEST_CHUNK)).cast("int")
+    # sequence(0, -1) descends (mm_frame_sample trap): empty payloads
+    # must yield no chunks
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sized = m.select(
+        "media_id", "media_type", "payload", n_bytes.alias("n_bytes"),
+        F.explode(idxs).alias("ci"),
+    )
+    chunk = F.substring(
+        F.col("payload"),
+        (F.col("ci") * _MANIFEST_CHUNK + 1).cast("int"),
+        _MANIFEST_CHUNK,
+    )
+    return sized.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        (F.col("ci").cast("long") * _MANIFEST_CHUNK).alias("byte_off"),
+        F.length(chunk).cast("long").alias("chunk_bytes"),
+        F.when(
+            (F.col("ci").cast("long") + 1) * _MANIFEST_CHUNK >= F.col("n_bytes"),
+            1,
+        ).otherwise(0).alias("is_last"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
