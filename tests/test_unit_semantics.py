@@ -1373,3 +1373,96 @@ def test_kcore_margin_and_nontrivial(spark):
     # converged peel is the identity (the property that makes the
     # unrolled oracle exact for ANY depth >= convergence round)
     assert all(deg[n] >= _KCORE_K for n in nodes)
+
+
+def test_bm25_and_rrf_ranking_properties(spark):
+    # bm25: per query ranks are 1..n consecutive and scores are
+    # non-increasing along rank (tie-break never reorders scores)
+    rows = engine.QUERIES["text_bm25_topk"](spark, SF_DIR).collect()
+    byq: dict = {}
+    for r in rows:
+        byq.setdefault(r.q_id, []).append(r)
+    assert len(byq) == 8
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.score_e4 >= b.score_e4 for a, b in zip(rs, rs[1:]))
+    # rrf: the fused score is recomputable from the emitted ranks (0 =
+    # absent from that system's top-20), and a doc ranked 1 by BOTH
+    # systems must be the fusion's rank 1 (maximal attainable score)
+    fused = engine.QUERIES["sim_rrf_fusion"](spark, SF_DIR).collect()
+    for r in fused:
+        exp = (1000000 // (60 + r.lex_rnk) if r.lex_rnk else 0) + (
+            1000000 // (60 + r.vec_rnk) if r.vec_rnk else 0
+        )
+        assert r.rrf_e6 == exp
+    for r in fused:
+        if r.lex_rnk == 1 and r.vec_rnk == 1:
+            assert r.frnk == 1
+
+
+def test_cluster_balanced_and_ivf_upsert_accounting(spark):
+    # Hamilton apportionment: quotas sum EXACTLY to the budget, and the
+    # draw fills min(quota, cluster size) per cluster
+    from engine.similarity import _CB_BUDGET, _km_assignment
+
+    sel = engine.QUERIES["sample_cluster_balanced"](spark, SF_DIR).collect()
+    quota = {r.cid: r.quota for r in sel}
+    assert sum(quota.values()) == _CB_BUDGET
+    sizes = {
+        r.cid: r.n
+        for r in _km_assignment(spark, SF_DIR)
+        .groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    picked: dict = {}
+    for r in sel:
+        picked[r.cid] = picked.get(r.cid, 0) + 1
+    for cid, q in quota.items():
+        assert picked.get(cid, 0) == min(q, sizes[cid])
+    # incremental upsert: every audit row balances (n_after - n_before
+    # = that list's batch arrivals) and deltas sum to the batch size
+    up = engine.QUERIES["sim_ivf_incremental_upsert"](spark, SF_DIR).collect()
+    arrivals: dict = {}
+    for r in up:
+        arrivals[r.list_id] = arrivals.get(r.list_id, 0) + 1
+    assert all(r.n_after - r.n_before == arrivals[r.list_id] for r in up)
+    n_batch = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 10 == 7).count()
+    )
+    assert len(up) == n_batch
+
+
+def test_chunkers_cover_and_balance(spark):
+    # sliding chunker: per doc, chunks tile [0, n_tokens) with stride-
+    # width overlap and the tail clamps; manifest: per blob, chunk
+    # bytes sum to the blob length and exactly one chunk is last
+    from engine.text import _CHUNK_S, _CHUNK_W, _tokens
+
+    n_tok = {
+        r.doc_id: r.n
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(_tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    ch = engine.QUERIES["text_chunk_sliding"](spark, SF_DIR).collect()
+    byd: dict = {}
+    for r in ch:
+        byd.setdefault(r.doc_id, []).append(r)
+    assert set(byd) == set(n_tok)
+    for d, rs in byd.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.tok_start for r in rs] == [
+            i * _CHUNK_S for i in range(len(rs))
+        ]
+        # every token position is inside some chunk
+        covered = max(r.tok_start + r.n_chunk_tok for r in rs)
+        assert covered == n_tok[d]
+        assert all(r.n_chunk_tok == _CHUNK_W for r in rs[:-1])
+    mf = engine.QUERIES["mm_chunk_manifest"](spark, SF_DIR).collect()
+    byb: dict = {}
+    for r in mf:
+        byb.setdefault(r.media_id, []).append(r)
+    for b, rs in byb.items():
+        assert sum(r.chunk_bytes for r in rs) == rs[0].n_bytes
+        assert sum(r.is_last for r in rs) == 1
