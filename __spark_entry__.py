@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sim_ann_recall_eval",
     "text_chunk_sliding",
     "mm_chunk_manifest",
+    "dedup_minhash_calibration",
 })
 
 

@@ -2384,3 +2384,139 @@ def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common", "n_a", "n_b", "jac_e6",
         )
     )
+
+
+# -- MinHash estimator calibration (r14 breadth: sketch-quality eval) -------
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END)"
+    for i in range(_N_HASHES)
+)
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_KR_SHINGLES_SQL},
+    {_KR_MH_PAIRS_CTES},
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({_AGREE_SQL} AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN mins ma ON ma.doc_id = c.doc_a
+        JOIN mins mb ON mb.doc_id = c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, a.n_agree,
+           CAST(a.n_agree * 625 AS BIGINT) AS est_e4,
+           CAST((10000 * i.n_common) // (sa.n + sb.n - i.n_common)
+                AS BIGINT) AS jac_e4,
+           CAST(ABS(a.n_agree * 625
+                    - (10000 * i.n_common) // (sa.n + sb.n - i.n_common))
+                AS BIGINT) AS abs_err_e4
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    JOIN agree a ON a.doc_a = i.doc_a AND a.doc_b = i.doc_b
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality CALIBRATION report for the KR MinHash family —
+    the estimator-vs-truth eval next to sim_ann_recall_eval's index
+    eval: for every banded candidate pair (≥1 shared shingle), the
+    signature-agreement Jaccard estimate (n_agree/16, emitted as the
+    exact integer n_agree·625 in e4) against the exact Jaccard
+    (integer-division e4), plus the absolute error — what a dedup
+    deployment inspects before trusting a threshold (E[n_agree/16] =
+    J; observed spread at 16 hashes is the operating noise).  The
+    whole report is exact integer arithmetic over the SAME mins/cand/
+    inter CTEs the dedup keys commit (one chain, shared text — the
+    calibration can never desync from the dedup it grades).
+
+    Scale shape: kr_minhash chain discipline — persisted shingle
+    diamond, columnar 16-min reduce, bucket-local band join; the
+    agreement join touches only candidate pairs × the 16-column
+    signature table (never all-pairs); candidate-verify joins stay
+    unhinted (AQE size-selects).  mins persists (3 consumers: bands +
+    both agreement sides); its subtree is one groupBy over the cached
+    sh — lazy is the measured-cheap choice (kr_pairs_from_sh default,
+    minhash_polyhash precedent)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    sh = _kr_shingles(corpus).persist()
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("sh") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_M31))
+            .alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    ).persist()
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_mh_band_fold(b) for b in range(_N_HASHES // _BAND_SIZE)])
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma = mins.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{i}").alias(f"ma{i}") for i in range(_N_HASHES)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"mb{i}") for i in range(_N_HASHES)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    ).cast("long")
+    agree = (
+        cand.join(ma, cand.doc_a == ma.a_id)
+        .join(mb, cand.doc_b == mb.b_id)
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.withColumnRenamed("doc_id", "doc_a")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        sh_a.join(cand, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("sh") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac_e4 = F.expr("(10000 * n_common) div (n_a + n_b - n_common)")
+    est_e4 = (F.col("n_agree") * 625).cast("long")
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .join(agree, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est_e4.alias("est_e4"),
+            jac_e4.alias("jac_e4"),
+            F.abs(est_e4 - jac_e4).alias("abs_err_e4"),
+        )
+    )
