@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_chunk_sliding",
     "mm_chunk_manifest",
     "dedup_minhash_calibration",
+    "dq_dataset_diff",
 })
 
 

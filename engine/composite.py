@@ -3044,3 +3044,81 @@ def pipeline_corpus_clean_polyhash(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(exact_dup)
         .unionByName(low_quality)
     )
+
+
+# -- dataset version diff (r14 breadth: reproducibility audit) --------------
+_DIFF_ADD_OFFSET = 200_000
+
+
+@query(
+    "dq_dataset_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 5 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id + {_DIFF_ADD_OFFSET}, md5(text || ' new')
+        FROM documents WHERE doc_id % 7 = 1
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v2.h IS NULL THEN 'removed'
+                WHEN v1.h IS NULL THEN 'added'
+                WHEN v1.h = v2.h THEN 'unchanged'
+                ELSE 'modified' END AS status,
+           COALESCE(v1.h, '') AS v1_md5,
+           COALESCE(v2.h, '') AS v2_md5
+    FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+    """,
+)
+def dq_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET VERSION DIFF — the reproducibility audit a training-data
+    pipeline runs between corpus snapshots (the DVC/`git diff` of
+    datasets): per document id, classify added / removed / modified /
+    unchanged by content hash, with both versions' MD5s for the audit
+    trail.  The second version is derived in-key (the planted-corpus
+    idiom): %7=3 dropped, %7=5 modified, %7=1 re-added under a new id
+    — so every status class is exercised and the oracle replays the
+    derivation exactly.
+
+    Scale: two content-hash scans (map-only MD5 — at 100 TB the hash
+    column is what a manifest stores, so the scans are metadata reads)
+    and ONE full-outer hash join on doc_id; statuses are per-row CASE
+    arithmetic, no window, no skew (doc_id is unique per side).  The
+    output is id-space-sized, and a `status` rollup is one
+    map-side-combined count away."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        d.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 5,
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+            ).otherwise(F.md5("text")).alias("h"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+            )
+        )
+    )
+    v1 = v1.select(F.col("doc_id").alias("a_id"), F.col("h").alias("h1"))
+    v2 = v2.select(F.col("doc_id").alias("b_id"), F.col("h").alias("h2"))
+    j = v1.join(v2, v1.a_id == v2.b_id, "full_outer")
+    status = (
+        F.when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        status.alias("status"),
+        F.coalesce(F.col("h1"), F.lit("")).alias("v1_md5"),
+        F.coalesce(F.col("h2"), F.lit("")).alias("v2_md5"),
+    )
