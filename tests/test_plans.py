@@ -1478,3 +1478,12 @@ def test_crosslingual_lexicon_joins_equi_only(spark):
     plan = _plan(spark, "dedup_crosslingual_minhash")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin BuildLeft" not in plan, plan
+
+
+def test_chunkers_plan_map_only(spark):
+    # Both chunkers must stay shuffle-free end to end (map-only per-row
+    # array/byte work): any Exchange appearing here is a regression.
+    # Neither key persists, so substring counting is print-stable.
+    for key in ("text_chunk_sliding", "mm_chunk_manifest"):
+        plan = _plan(spark, key)
+        assert "Exchange" not in plan, f"{key} plans a shuffle:\n{plan}"
