@@ -115,6 +115,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "mm_chunk_manifest",
     "dedup_minhash_calibration",
     "dq_dataset_diff",
+    "join_asof_forward",
+    "sample_curriculum_order",
 })
 
 

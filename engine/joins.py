@@ -1794,3 +1794,59 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("key_a", "key_b", dist_e4.alias("dist_km_e4"))
         .filter(F.col("dist_km_e4") <= 400000)
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id AS click_id, user_id, next_purchase_us,
+           next_purchase_us - epoch_us(ts) AS wait_us
+    FROM u
+    WHERE event_type = 'click'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (earliest subsequent purchase per click, plus
+    the time-to-convert delta) — the direction twin of ``join_asof``'s
+    backward lookup and ``join_asof_nearest``: pandas
+    ``merge_asof(direction='forward')`` semantics as a single window
+    pass (running MIN of purchase time over the FOLLOWING frame), the
+    attribution side that answers "how long until this click
+    converted?".
+
+    Same scale shape as the backward key: union the two event streams,
+    ONE shuffle on user_id, no per-row lookup join; (user_id, ts,
+    event_id) gives a total order so both engines agree exactly, and
+    the microsecond epochs subtract as exact integers (unclicked
+    converts stay NULL through both engines)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_us", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "next_purchase_us",
+            (F.col("next_purchase_us") - F.unix_micros(F.col("ts")))
+            .alias("wait_us"),
+        )
+    )

@@ -2817,3 +2817,119 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.ct").cast("long").alias("n_chunk_tok"),
         F.array_join("c.ct", " ").alias("chunk_text"),
     )
+
+
+# -- curriculum ordering (r14 breadth: the training-order scheduler) --------
+_CURR_T1 = 7000  # phase-1 floor (quality e4) — corpus quartiles measured
+_CURR_T2 = 6300  # stable across sf0.01/sf0.1 (q1/med/q3 ≈ 5780/6250/6970)
+_CURR_T3 = 5800
+_CURR_B = 77777   # hash offset decorrelated from the retrieval query draw
+_CURR_SHARDS = 256
+
+
+@query(
+    "sample_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               len(list_distinct(toks)) AS nd,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS ns,
+               list_sum(list_transform(toks, x -> length(x))) AS sl
+        FROM t
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.5 * (CAST(nd AS DOUBLE) / n)
+                           + 0.3 * (1.0 - CAST(ns AS DOUBLE) / n)
+                           + 0.2 * LEAST(CAST(sl AS DOUBLE) / n / 8.0, 1.0))
+                          * 10000 + 0.5) AS BIGINT) AS q_e4,
+               ((doc_id % {_RET_P}) * {_RET_A} + {_CURR_B}) % {_RET_P} AS h
+        FROM m
+    )
+    SELECT doc_id, q_e4,
+           CAST(CASE WHEN q_e4 >= {_CURR_T1} THEN 1
+                     WHEN q_e4 >= {_CURR_T2} THEN 2
+                     WHEN q_e4 >= {_CURR_T3} THEN 3
+                     ELSE 4 END AS BIGINT) AS phase,
+           ROW_NUMBER() OVER (
+               ORDER BY CASE WHEN q_e4 >= {_CURR_T1} THEN 1
+                             WHEN q_e4 >= {_CURR_T2} THEN 2
+                             WHEN q_e4 >= {_CURR_T3} THEN 3
+                             ELSE 4 END,
+                        h % {_CURR_SHARDS}, h, doc_id) AS step
+    FROM ph
+    """,
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering — the training-order scheduler next to the
+    mixture/packing keys: every document gets a global step in an
+    easy→hard schedule (4 quality bands, highest first; fixed e4
+    thresholds at the measured stable corpus quartiles) with a
+    deterministic universal-hash shuffle inside each band.  The score
+    is the committed text_quality_score formula (shared SQL text), so
+    the curriculum can never disagree with the quality key.
+
+    Scale — a TOTAL training order without a global sort: step
+    assignment is TWO-LEVEL (the agg_ks_drift prefix-sum pattern
+    applied to ordering): a local rank inside each of 4×256
+    (phase, hash-shard) groups — well-distributed window partitions —
+    plus exact offsets from the bounded (phase, shard) count rollup
+    (1,024 rows, partition-free cumsum over a bounded aggregate).  The
+    oracle assigns the same order with ONE global ROW_NUMBER over
+    (phase, shard, h, doc_id) — the hash match proves the distributed
+    two-level assembly equals the total order exactly."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    avg_len = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n
+    )
+    q_e4 = F.floor(
+        (0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * F.least(avg_len / 8.0, F.lit(1.0)))
+        * 10000
+        + F.lit(0.5)
+    )
+    phase = (
+        F.when(F.col("q_e4") >= _CURR_T1, 1)
+        .when(F.col("q_e4") >= _CURR_T2, 2)
+        .when(F.col("q_e4") >= _CURR_T3, 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    h = ((F.col("doc_id") % _RET_P) * _RET_A + _CURR_B) % _RET_P
+    ph = d.select(
+        "doc_id", q_e4.alias("q_e4")
+    ).select(
+        "doc_id", "q_e4", phase.alias("phase"), h.alias("h"),
+        (h % _CURR_SHARDS).alias("shard"),
+    )
+    ph = ph.persist()
+    ph.count()  # diamond: local ranks AND the offset rollup (r12 race rule)
+    wl = Window.partitionBy("phase", "shard").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    local = ph.withColumn("lrnk", F.row_number().over(wl))
+    counts = ph.groupBy("phase", "shard").agg(F.count("*").alias("c"))
+    # partition-free cumsum over the BOUNDED (phase, shard) rollup —
+    # ≤ 4×256 rows at any corpus size (allow-listed in test_plans)
+    wo = Window.orderBy(F.asc("phase"), F.asc("shard")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "phase", "shard",
+        F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["phase", "shard"])
+        .select(
+            "doc_id", "q_e4", "phase",
+            (F.col("off") + F.col("lrnk")).alias("step"),
+        )
+    )

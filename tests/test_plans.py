@@ -187,6 +187,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # one row per k-means cluster (K ≤ 8, bounded by the model);
         # the corpus-scale draw below it is the two-phase bucketed rank
         ("similarity.py", "sample_cluster_balanced"),
+        # prefix-sum offsets over the (phase, shard) COUNT ROLLUP —
+        # bounded at 4×256 rows at any corpus size; the corpus-scale
+        # ranking is the (phase, shard)-partitioned local window
+        ("text.py", "sample_curriculum_order"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):
