@@ -2454,6 +2454,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     ).persist()
+    # Eager: mins feeds the band self-join AND both agreement sides (3
+    # racing consumers through one cache) — measured warm mins-of-3 at
+    # sf0.1: lazy 3.72 vs eager 3.43 s (sh stays lazy: eager-both 3.27
+    # was inside the same noise band, one extra job not justified).
+    mins.count()
     bands = mins.select(
         "doc_id",
         F.posexplode(
