@@ -2965,31 +2965,55 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas are exact integer counts — full hash oracle.
 
     Scale: the INCREMENTAL work is batch × K only — the new batch
-    broadcasts against the 16-row centroid table (map-only scoring +
-    one batch-sized window), never against the stored index; at 100 TB
+    scores against the 16-row centroid artifact in one Arrow matmul
+    per batch (map-only, argmin in-kernel: no window, no join), never
+    against the stored index; at 100 TB
     the stored lists' occupancy is a catalog statistic, recomputed here
     (one corpus-wide rn=1 pass) only because this container has no
     persistent catalog between runs — the docstring-honest equivalent
     of reading the stat table."""
+    # Assignment via the Arrow-blocked kernel (review r14: the
+    # crossJoin form folded dot + BOTH norms per (vector, centroid)
+    # pair — ~3k interpreted lambda evals per row, the documented HOF
+    # trap, and re-folded each node norm 16×).  The 16-row centroid
+    # table is a bounded trained artifact (collect_model_artifact +
+    # closure capture); each batch computes one matmul in the oracle's
+    # operation form, pins to e6 in-batch, and argmins WITH the cid
+    # tiebreak in-kernel — map-only, no window, no join.
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = e.filter((F.col("vec_id") < 17) & (F.col("vec_id") % 10 != 7)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
     )
-    cos_key = F.floor(
-        _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
-        * 1000000
-        + F.lit(0.5)
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
-    a1 = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cos_key.alias("cos_key"))
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cid", "cos_key")
-        .persist()
-    )
+    crows = sorted(collect_model_artifact(cents), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r["ec"], dtype=np.float64) for r in crows])
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            key = np.floor(
+                X @ C.T / (xn[:, None] * cn[None, :]) * 1000000 + 0.5
+            ).astype(np.int64)
+            pick = np.lexsort((np.broadcast_to(cids, key.shape), -key), axis=1)[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cid": cids[pick],
+                    "cos_key": key[np.arange(len(pick)), pick],
+                }
+            )
+
+    a1 = e.mapInPandas(assign, "vec_id bigint, cid bigint, cos_key bigint").persist()
     a1.count()  # diamond: exist_n + newa (and newa twice) — eager per r12 rule
     exist_n = (
         a1.filter(F.col("vec_id") % 10 != 7)
@@ -3025,7 +3049,7 @@ _RRF_TOPK = 10
 @query(
     "sim_rrf_fusion",
     oracle=f"""
-    WITH {_bm25_ctes()},
+    WITH {_bm25_ctes(q_src="embeddings")},
     lex AS (
         SELECT q_id, doc_id,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -3087,9 +3111,12 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute 0 through the full-outer join).
 
     Shares the BM25 `sc` chain with text_bm25_topk
-    (engine.text._bm25_scores / _bm25_ctes — one scorer, two keys) and
-    the hash-ranked query draw, so lexical and vector sides see the
-    identical query set by construction.
+    (engine.text._bm25_scores / _bm25_ctes — one scorer, two keys);
+    BOTH systems draw their queries from the EMBEDDINGS id domain
+    (q_src="embeddings"), so lexical and vector sides see the identical
+    query set at every sf — documents and embeddings differ in row
+    count at sf0.1 (5000 vs 2000), and a documents-side draw would
+    desync half the query set.
 
     Scale: the lexical side is the bounded-query postings probe; the
     vector side broadcasts 8 query vectors against the collection
@@ -3100,7 +3127,11 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-free."""
     from engine.text import _bm25_scores
 
-    sc_ = _bm25_scores(spark, sf_dir)
+    # Query draw from the EMBEDDINGS id domain (review r14: documents
+    # and embeddings diverge in row count at sf0.1 — 5000 vs 2000 — so
+    # a documents-side draw would give the two systems different query
+    # sets and half the fusion would degenerate to single-system rows).
+    sc_ = _bm25_scores(spark, sf_dir, q_src="embeddings")
     wl = Window.partitionBy("q_id").orderBy(F.desc("score_e4"), F.asc("doc_id"))
     lex = (
         sc_.filter(F.col("doc_id") != F.col("q_id"))
@@ -3364,12 +3395,17 @@ def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_KCORE_UNROLL (and re-measure the margin) instead of "
                 "serving a non-converged core"
             )
-    return (
-        E.select(F.col("src").alias("node"))
-        .unionAll(E.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("core_deg"))
-    )
+        # Final degree aggregate EXECUTES INSIDE the scope (eager
+        # checkpoint): a lazily returned frame would run this tiny
+        # reduce after the conf restores, at 32 partitions — the
+        # documented scoped-conf trap.
+        return (
+            E.select(F.col("src").alias("node"))
+            .unionAll(E.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("core_deg"))
+            .localCheckpoint(eager=True)
+        )
 
 
 # -- ANN recall evaluation (r14 breadth: index-quality eval harness) --------

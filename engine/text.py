@@ -380,10 +380,11 @@ def _langid_pred() -> F.Column:
     return pred
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH t AS (
+# Shared quality-scoring core — text_quality_score AND
+# sample_curriculum_order build on these (one formula, two keys: tuning
+# the weights can never desync the curriculum's banding from the
+# quality key it schedules by).
+_QUALITY_M_SQL = f"""t AS (
         SELECT doc_id,
                {_TOKENS_SQL.format(c="text")} AS toks
         FROM documents
@@ -395,15 +396,44 @@ def _langid_pred() -> F.Column:
                len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
                list_sum(list_transform(toks, x -> length(x))) AS sum_len
         FROM t
+    )"""
+_QUALITY_RAW_SQL = """(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                  + 0.2 * LEAST(CAST(sum_len AS DOUBLE) / n_tokens / 8.0, 1.0))"""
+
+
+def _quality_parts(toks: F.Column) -> dict:
+    """Spark twin of the m CTE + raw score: {n_tokens, ttr, stop,
+    avg_len, raw} columns over a token-array column."""
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    avg_len = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n
     )
+    raw = 0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * F.least(
+        avg_len / 8.0, F.lit(1.0)
+    )
+    return {
+        "n_tokens": F.size(toks),
+        "ttr": ttr,
+        "stop": stop,
+        "avg_len": avg_len,
+        "raw": raw,
+    }
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_QUALITY_M_SQL}
     SELECT doc_id,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
            CAST(n_stop AS DOUBLE) / n_tokens     AS stop_ratio,
            CAST(sum_len AS DOUBLE) / n_tokens    AS avg_word_len,
-           FLOOR((0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-                  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-                  + 0.2 * LEAST(CAST(sum_len AS DOUBLE) / n_tokens / 8.0, 1.0))
+           FLOOR({_QUALITY_RAW_SQL}
                  * 10000 + 0.5) / 10000 AS quality
     FROM m
     """,
@@ -412,25 +442,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: type-token ratio + stopword share +
     capped average word length, combined into one pinned score — the
     shape of a pretraining-corpus filter.  Per-row array math only; the
-    score never shuffles."""
+    score never shuffles.  Scoring core shared with
+    sample_curriculum_order (_QUALITY_M_SQL/_QUALITY_RAW_SQL/
+    _quality_parts)."""
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks).cast("double")
-    ttr = F.size(F.array_distinct(toks)) / n
-    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
-    avg_len = (
-        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
-    )
-    quality = _fix4(
-        0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * F.least(avg_len / 8.0, F.lit(1.0))
-    )
+    p = _quality_parts(_tokens(F.col("text")))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        ttr.alias("type_token_ratio"),
-        stop.alias("stop_ratio"),
-        avg_len.alias("avg_word_len"),
-        quality.alias("quality"),
+        p["n_tokens"].alias("n_tokens"),
+        p["ttr"].alias("type_token_ratio"),
+        p["stop"].alias("stop_ratio"),
+        p["avg_len"].alias("avg_word_len"),
+        _fix4(p["raw"]).alias("quality"),
     )
 
 
@@ -2586,10 +2609,14 @@ _RET_A = 1103515245 % _RET_P  # classic LCG multiplier (public constant)
 _RET_B = 54321                # distinct offset from the kmeans coreset draw
 
 
-def _bm25_ctes(nq: int = _BM25_NQ) -> str:
+def _bm25_ctes(nq: int = _BM25_NQ, q_src: str = "documents") -> str:
     """DuckDB CTE chain ending in `bm AS (q_id, doc_id, score_e4, rnk)`
     — shared by text_bm25_topk and the RRF fusion key so the two can
-    never disagree on the lexical ranking."""
+    never disagree on the lexical ranking.  ``q_src`` picks the table
+    whose id domain the query draw ranks over: the fusion key draws
+    from ``embeddings`` so both retrieval systems share one query set
+    even where |documents| != |embeddings| (sf0.1: 5000 vs 2000)."""
+    q_col = "vec_id" if q_src == "embeddings" else "doc_id"
     return f"""
     tok AS (
         SELECT d.doc_id, t.tok AS token
@@ -2610,9 +2637,9 @@ def _bm25_ctes(nq: int = _BM25_NQ) -> str:
                           * 10000 + 0.5) AS BIGINT) AS idf_e4
         FROM dfb, st
     ),
-    qd AS (SELECT doc_id AS q_id FROM documents
-           ORDER BY ((doc_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
-                    doc_id LIMIT {nq}),
+    qd AS (SELECT {q_col} AS q_id FROM {q_src}
+           ORDER BY (({q_col} % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
+                    {q_col} LIMIT {nq}),
     qt AS (SELECT q.q_id, tf.token FROM tf JOIN qd q ON tf.doc_id = q.q_id),
     hits AS (
         SELECT qt.q_id, tf.doc_id,
@@ -2642,11 +2669,14 @@ def _bm25_ctes(nq: int = _BM25_NQ) -> str:
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str,
-                 nq: int = _BM25_NQ) -> DataFrame:
+                 nq: int = _BM25_NQ,
+                 q_src: str = "documents") -> DataFrame:
     """(q_id, doc_id, score_e4) BM25 scores for the bounded hash-ranked
     query set — the Spark twin of :func:`_bm25_ctes`'s `sc` CTE, shared
     by text_bm25_topk and sim_rrf_fusion (the two can never disagree on
-    the lexical scores).
+    the lexical scores).  ``q_src`` mirrors :func:`_bm25_ctes`: the
+    fusion key draws its query ids from the embeddings table so the
+    lexical and vector systems share one query set at every sf.
 
     Scale shape: postings (tf) build with ONE (doc_id, token) shuffle
     whose map-side partial agg bounds the exchange by per-partition
@@ -2673,12 +2703,17 @@ def _bm25_scores(spark: SparkSession, sf_dir: str,
             * 10000 + F.lit(0.5)
         ).alias("idf_e4"),
     )
-    h = ((F.col("doc_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
+    q_base, q_col = (
+        (load(spark, sf_dir, "embeddings"), "vec_id")
+        if q_src == "embeddings"
+        else (d, "doc_id")
+    )
+    h = ((F.col(q_col) % _RET_P) * _RET_A + _RET_B) % _RET_P
     qd = (
-        d.select("doc_id")
-        .orderBy(h.asc(), F.col("doc_id").asc())
+        q_base.select(q_col)
+        .orderBy(h.asc(), F.col(q_col).asc())
         .limit(nq)
-        .select(F.col("doc_id").alias("q_id"))
+        .select(F.col(q_col).alias("q_id"))
     )
     qt = tf.join(F.broadcast(qd), tf.doc_id == F.col("q_id")).select(
         "q_id", "token"
@@ -2830,22 +2865,10 @@ _CURR_SHARDS = 256
 @query(
     "sample_curriculum_order",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS toks FROM documents
-    ),
-    m AS (
-        SELECT doc_id,
-               len(toks) AS n,
-               len(list_distinct(toks)) AS nd,
-               len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS ns,
-               list_sum(list_transform(toks, x -> length(x))) AS sl
-        FROM t
-    ),
+    WITH {_QUALITY_M_SQL},
     ph AS (
         SELECT doc_id,
-               CAST(FLOOR((0.5 * (CAST(nd AS DOUBLE) / n)
-                           + 0.3 * (1.0 - CAST(ns AS DOUBLE) / n)
-                           + 0.2 * LEAST(CAST(sl AS DOUBLE) / n / 8.0, 1.0))
+               CAST(FLOOR({_QUALITY_RAW_SQL}
                           * 10000 + 0.5) AS BIGINT) AS q_e4,
                ((doc_id % {_RET_P}) * {_RET_A} + {_CURR_B}) % {_RET_P} AS h
         FROM m
@@ -2883,18 +2906,8 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (phase, shard, h, doc_id) — the hash match proves the distributed
     two-level assembly equals the total order exactly."""
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks).cast("double")
-    ttr = F.size(F.array_distinct(toks)) / n
-    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
-    avg_len = (
-        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
-        / n
-    )
     q_e4 = F.floor(
-        (0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * F.least(avg_len / 8.0, F.lit(1.0)))
-        * 10000
-        + F.lit(0.5)
+        _quality_parts(_tokens(F.col("text")))["raw"] * 10000 + F.lit(0.5)
     )
     phase = (
         F.when(F.col("q_e4") >= _CURR_T1, 1)
