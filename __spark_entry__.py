@@ -103,20 +103,7 @@ def _bench_times() -> dict[str, float]:
 # outrank these.  Rotated at each round boundary once the cohort's
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-14 additions (r13's 11 keys all drained to CORRECTNESS_r13)
-    "text_bm25_topk",
-    "sample_cluster_balanced",
-    "sim_ivf_incremental_upsert",
-    "sim_rrf_fusion",
-    "sim_embedding_drift",
-    "graph_kcore_decompose",
-    "sim_ann_recall_eval",
-    "text_chunk_sliding",
-    "mm_chunk_manifest",
-    "dedup_minhash_calibration",
-    "dq_dataset_diff",
-    "join_asof_forward",
-    "sample_curriculum_order",
+    # round-15 additions (r14's 13 keys all drained to CORRECTNESS_r14)
 })
 
 
