@@ -3090,7 +3090,27 @@ def dq_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is id-space-sized, and a `status` rollup is one
     map-side-combined count away."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    # Id-space tripwire (r14 ADVICE #3): re-added ids live at doc_id +
+    # _DIFF_ADD_OFFSET, which is disjoint from real v1 ids ONLY while
+    # every corpus doc_id stays below the offset.  A corpus
+    # regeneration with a larger id space would alias re-added onto
+    # real ids (both engines consistently — the hash would still match
+    # while doc_id silently stopped being unique).  assert_true folded
+    # into the emitted id (coalesce keeps it un-prunable, adds 0 when
+    # the invariant holds) turns that silent aliasing into a loud
+    # per-row failure, the same better-loud discipline as the CC
+    # convergence cap (engine/dedup.py).
+    guarded_id = F.col("doc_id") + F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < F.lit(_DIFF_ADD_OFFSET),
+            F.lit(
+                "dq_dataset_diff: corpus doc_id >= _DIFF_ADD_OFFSET — "
+                "re-added ids would alias real v1 ids; raise the offset"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    v1 = d.select(guarded_id.alias("doc_id"), F.md5("text").alias("h"))
     v2 = (
         d.filter(F.col("doc_id") % 7 != 3)
         .select(

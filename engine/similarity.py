@@ -3421,8 +3421,13 @@ from engine.core import ORACLES as _ORACLES  # noqa: E402
            CAST(COUNT(*) AS BIGINT) AS n_exact,
            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hits,
-           CAST(2000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
-                           THEN 1 ELSE 0 END) AS BIGINT) AS recall_bp
+           -- 10000*hits // n_exact, NOT a hard-coded 10000/k multiplier:
+           -- n_exact comes from the same ground-truth frame, so a future
+           -- top-k change in the composed keys rescales recall_bp
+           -- automatically instead of silently misscaling (r14 ADVICE #2)
+           CAST(10000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS recall_bp
     FROM knn k
     LEFT JOIN ivf i ON i.q_id = k.q_id AND i.neighbor_id = k.neighbor_id
     GROUP BY k.q_id
@@ -3434,7 +3439,8 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ground truth (sim_knn_topk) for the shared 5-query
     set: the eval harness an ANN deployment runs before trusting an
     index build, emitted as a queryable frame (per query: ground-truth
-    size, hits, recall in basis points — 2000·hits since k=5).  Both
+    size, hits, recall in basis points — 10000·hits div n_exact, so the
+    scale tracks the composed keys' k by construction).  Both
     sides are deterministic pinned-cosine rankings, so the WHOLE
     evaluation carries a full hash oracle (the oracle composes the two
     keys' committed oracle texts verbatim — module-level f-string, the
@@ -3456,8 +3462,15 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-    return j.groupBy("q_id").agg(
-        F.count("*").alias("n_exact"),
-        n_hits.alias("n_hits"),
-        (F.lit(2000) * n_hits).alias("recall_bp"),
+    # recall_bp self-calibrates from the ground-truth count (see oracle
+    # comment): 10000·hits div n_exact, integer-exact on both engines.
+    return (
+        j.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"), n_hits.alias("n_hits"))
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("10000 * n_hits div n_exact").alias("recall_bp"),
+        )
     )
