@@ -748,7 +748,57 @@ def _cms_positions(keys):
     )
 
 
-@query("agg_cms_heavy_hitters", oracle=None)  # rows-only: sketch estimate
+def _cms_oracle() -> str:
+    """DuckDB twin of agg_cms_heavy_hitters — exact because the whole
+    sketch is the repo's deterministic universal-hash family (NOT
+    xxhash): counters are plain grouped counts of ((a·(key%P)+b)%P)%W
+    positions, and each point estimate is the MIN over the D counters
+    its key probes.  a < 2³¹ and key%P < 2³¹ keep every product below
+    2⁶² — BIGINT-safe on both engines."""
+    hashes = ", ".join(
+        f"({j}, {_CMS_A[j]}, {_CMS_B[j]})" for j in range(_CMS_D)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 10 = 0
+                    THEN 1000000 + (user_id // 10) % 5
+                    ELSE user_id END AS key
+        FROM events
+    ),
+    h(j, a, b) AS (VALUES {hashes}),
+    counters AS (
+        SELECT h.j,
+               ((h.a * (k.key % {_CMS_P}) + h.b) % {_CMS_P}) % {_CMS_W}
+                   AS pos,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed k CROSS JOIN h
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM keyed GROUP BY key
+    ),
+    cand AS (
+        SELECT * FROM exact WHERE key >= 1000000 OR key < 5
+    ),
+    est AS (
+        SELECT c.key, c.exact_count,
+               CAST(MIN(ct.cnt) AS BIGINT) AS est_count
+        FROM cand c
+        CROSS JOIN h
+        JOIN counters ct
+          ON ct.j = h.j
+         AND ct.pos = ((h.a * (c.key % {_CMS_P}) + h.b) % {_CMS_P})
+                      % {_CMS_W}
+        GROUP BY c.key, c.exact_count
+    )
+    SELECT key, est_count, exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@query("agg_cms_heavy_hitters", oracle=_cms_oracle())
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters — the third mergeable sketch next
     to HLL (distinct) and bitmap (exact distinct): frequency estimation
@@ -767,9 +817,15 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — both properties pinned against exact counts in
     tests/test_unit_semantics.py.
 
-    Rows-only: the estimate depends on the hash family, not
-    SQL-reproducible.  Output: (key, est_count, exact_count, overcount)
-    for the 5 planted heavies + 5 organic keys."""
+    HASH-VERIFIED since r15 (was declared rows-only r5-r14): unlike the
+    xxhash sketches, this CMS's hash family is the repo's own universal
+    polyhash — pure integer math a second engine CAN replay — and the
+    merged counter table is partition-order-independent (counts are
+    associative), so the full (key, est, exact, overcount) output
+    carries an exact DuckDB oracle: the one sketch whose estimates are
+    reproducible-by-construction rather than declared-approximate.
+    Output: (key, est_count, exact_count, overcount) for the 5 planted
+    heavies + 5 organic keys."""
     import numpy as np
     import pandas as pd
 
