@@ -104,6 +104,8 @@ def _bench_times() -> dict[str, float]:
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-15 additions (r14's 13 keys all drained to CORRECTNESS_r14)
+    "mm_tar_index",
+    "mm_wds_sample_group",
 })
 
 

@@ -746,3 +746,299 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("is_last"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# -- WebDataset tar shard index (r15: the LLM-ingest shape the family
+# -- lacked — r14 VERDICT "next round" #2) ----------------------------------
+_TAR_SHARDS = 16
+_TAR_JSON_SKIP = 3  # doc_id % 7 == 3 ships without its .json sidecar
+#                     (planted incompleteness; 7 is coprime with the
+#                     corpus' 20-source cycle and the 16-shard cycle —
+#                     every shard sees complete AND incomplete samples)
+
+
+def _wds_member_json(doc_id: int, source: str) -> str:
+    """The .json sidecar payload — byte-reconstructable in SQL."""
+    return f'{{"id":{doc_id},"source":"{source}"}}'
+
+
+# Oracle fragment: the sidecar text rebuilt with string concatenation
+# (ASCII corpus ⇒ octet_length(encode(x)) and md5 mirror the bytes).
+_WDS_JSON_SQL = """'{"id":' || doc_id || ',"source":"' || source || '"}'"""
+
+
+def _wds_tar_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Staged WebDataset-style tar shards, built ONCE per corpus
+    fingerprint (engine.core.staged_build_once) by a DISTRIBUTED
+    shard writer: documents hash into {_TAR_SHARDS} shards
+    (doc_id % shards), and each shard group assembles its own USTAR
+    archive in one applyInPandas call — real `tarfile` bytes (fixed
+    mtime/uid/gid ⇒ deterministic), two members per document
+    (NNNNNNNN.txt payload + NNNNNNNN.json sidecar, sidecar skipped at
+    the planted residue), members ordered (doc_id, .txt before .json).
+    This is exactly how a 100 TB pipeline shards a corpus into
+    WebDataset tars: executors write their own shard archives in
+    parallel; nothing data-sized crosses the driver."""
+    import io
+    import os
+    import tarfile
+
+    from engine.core import scoped_shuffle_partitions, staged_build_once
+    from engine.io import load as _load
+
+    def _build(d: str) -> None:
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            buf = io.BytesIO()
+            with tarfile.open(
+                fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+            ) as tf:
+
+                def add(name: str, payload: bytes) -> None:
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = 0o644
+                    tf.addfile(ti, io.BytesIO(payload))
+
+                for doc_id, source, text in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]
+                ):
+                    doc_id = int(doc_id)
+                    # lpad-vs-printf tripwire: the oracle's lpad(...,8)
+                    # TRUNCATES past 8 digits where %08d grows — fail
+                    # loudly before the two engines could diverge.
+                    if doc_id >= 10**8:
+                        raise RuntimeError(
+                            "wds shard writer: doc_id >= 1e8 breaks the "
+                            "8-digit member-name convention"
+                        )
+                    stem = f"{doc_id:08d}"
+                    add(f"{stem}.txt", text.encode("utf-8"))
+                    if doc_id % 7 != _TAR_JSON_SKIP:
+                        add(
+                            f"{stem}.json",
+                            _wds_member_json(doc_id, source).encode("utf-8"),
+                        )
+            with open(
+                os.path.join(d, f"shard_{shard:04d}.tar"), "wb"
+            ) as f:
+                f.write(buf.getvalue())
+            return pd.DataFrame({"shard": [shard]})
+
+        with scoped_shuffle_partitions(spark, 8):
+            (
+                docs.withColumn(
+                    "shard", (F.col("doc_id") % _TAR_SHARDS).cast("long")
+                )
+                .groupBy("shard")
+                .applyInPandas(write_shard, "shard long")
+                .count()  # eager: the staging marker must postdate the files
+            )
+
+    return staged_build_once("spark_graft_staging", "wds_tar", sf_dir, _build)
+
+
+def _tar_member_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tar-header walk for the two WebDataset keys: binaryFile
+    scan of the staged shards → ONE Arrow kernel per archive that
+    chains 512-byte USTAR headers (name, octal size decode, offset
+    advance by 512 + padded payload, stop at the zero block) and
+    VALIDATES each header (ustar magic + stored-vs-recomputed
+    checksum with the chksum field blanked — hdr_ok carries the
+    verdict so the oracle's constant 1 hash-proves writer AND parser).
+    Map-only: per archive the kernel emits a metadata-sized manifest;
+    payload bytes never leave the kernel (only their md5 does)."""
+    import hashlib
+
+    from typing import Iterator
+
+    # pathGlobFilter, not a literal "/*.tar" glob path: the latter trips
+    # FileStreamSink.hasMetadata's existence probe into a WARN + stack
+    # trace on every run (and the "_"-prefixed staging marker is
+    # invisible to the file source anyway).
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(_wds_tar_dir(spark, sf_dir))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard_(\d+)\.tar", 1)
+            .cast("long")
+            .alias("shard"),
+            "content",
+        )
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "shard": [], "member_idx": [], "name": [],
+                "header_off": [], "data_off": [], "data_bytes": [],
+                "hdr_ok": [], "member_md5": [],
+            }
+            for shard, content in zip(pdf["shard"], pdf["content"]):
+                content = bytes(content)
+                off, idx = 0, 0
+                while off + 512 <= len(content):
+                    hdr = content[off : off + 512]
+                    if hdr == b"\0" * 512:  # end-of-archive marker
+                        break
+                    name = hdr[0:100].split(b"\0", 1)[0].decode("ascii")
+                    size = int(hdr[124:136].split(b"\0", 1)[0].strip(), 8)
+                    stored = int(hdr[148:156].split(b"\0", 1)[0].strip(), 8)
+                    calc = sum(hdr[0:148]) + 8 * 32 + sum(hdr[156:512])
+                    ok = int(hdr[257:262] == b"ustar" and stored == calc)
+                    data = content[off + 512 : off + 512 + size]
+                    out["shard"].append(int(shard))
+                    out["member_idx"].append(idx)
+                    out["name"].append(name)
+                    out["header_off"].append(off)
+                    out["data_off"].append(off + 512)
+                    out["data_bytes"].append(size)
+                    out["hdr_ok"].append(ok)
+                    out["member_md5"].append(hashlib.md5(data).hexdigest())
+                    idx += 1
+                    off += 512 + ((size + 511) // 512) * 512
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(
+        walk,
+        "shard long, member_idx long, name string, header_off long, "
+        "data_off long, data_bytes long, hdr_ok int, member_md5 string",
+    )
+
+
+# Oracle twin of the member stream: one row per tar member derived
+# straight from documents (name convention, sidecar skip, byte sizes).
+_WDS_MEMBERS_SQL = f"""
+    SELECT doc_id,
+           doc_id % {_TAR_SHARDS} AS shard,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+           0 AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+           md5(text) AS member_md5
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           doc_id % {_TAR_SHARDS},
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.json',
+           1,
+           CAST(octet_length(encode({_WDS_JSON_SQL})) AS BIGINT),
+           md5({_WDS_JSON_SQL})
+    FROM documents WHERE doc_id % 7 <> {_TAR_JSON_SKIP}
+"""
+
+
+@query(
+    "mm_tar_index",
+    oracle=f"""
+    WITH members AS ({_WDS_MEMBERS_SQL}),
+    ordered AS (
+        SELECT shard, name, data_bytes, member_md5,
+               ROW_NUMBER() OVER w - 1 AS member_idx,
+               COALESCE(SUM(512 + 512 * ((data_bytes + 511) // 512))
+                        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                        0) AS header_off
+        FROM members
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id, kind)
+    )
+    SELECT shard,
+           CAST(member_idx AS BIGINT) AS member_idx,
+           name,
+           CAST(header_off AS BIGINT) AS header_off,
+           CAST(header_off + 512 AS BIGINT) AS data_off,
+           data_bytes,
+           CAST(1 AS INTEGER) AS hdr_ok,
+           member_md5
+    FROM ordered
+    """,
+)
+def mm_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset/tar SHARD INDEX — the random-access manifest an LLM
+    ingest pipeline derives once per tar shard so training jobs can
+    seek members without streaming whole archives: per member, its
+    name, exact header/data byte offsets, payload size, a validated
+    header (ustar magic + recomputed checksum), and the payload MD5.
+
+    The shards are REAL tar archives (stdlib `tarfile`, deterministic
+    USTAR bytes) staged once per corpus fingerprint by a distributed
+    per-shard writer (:func:`_wds_tar_dir`); the index side then reads
+    them back as opaque binary and re-derives the structure purely
+    from the 512-byte header chain — writer and parser share no state,
+    so the oracle (offsets recomputed arithmetically from documents
+    via a per-shard prefix sum, hdr_ok pinned to the constant 1)
+    hash-proves BOTH directions of the format round-trip.
+
+    Scale: one binaryFile split per shard, map-only kernel, and the
+    emitted index is metadata-sized (what ships at 100 TB is the
+    manifest, never payload bytes — the mm_chunk_manifest discipline).
+    A petabyte corpus means millions of shards, not bigger ones: the
+    per-archive walk stays O(members)."""
+    return _tar_member_manifest(spark, sf_dir)
+
+
+@query(
+    "mm_wds_sample_group",
+    oracle=f"""
+    WITH members AS ({_WDS_MEMBERS_SQL})
+    SELECT shard,
+           doc_id AS sample_key,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS has_txt,
+           CAST(MAX(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS has_json,
+           CAST(SUM(data_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(CASE WHEN kind = 0 THEN member_md5 END) AS VARCHAR)
+               AS txt_md5,
+           CAST(CASE WHEN MAX(CASE WHEN kind = 0 THEN 1 ELSE 0 END) = 1
+                      AND MAX(CASE WHEN kind = 1 THEN 1 ELSE 0 END) = 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS complete
+    FROM members
+    GROUP BY shard, doc_id
+    """,
+)
+def mm_wds_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SAMPLE GROUPING — the step after the tar index that
+    turns a member stream into TRAINING SAMPLES: members sharing a key
+    stem (the 8-digit basename before the extension) assemble into one
+    multimodal sample with per-modality presence flags, total payload
+    bytes, the text payload's md5, and a completeness verdict (the
+    planted residue ships .txt without its .json sidecar, so the audit
+    finds real incomplete samples in every shard).
+
+    Runs over the SAME parsed manifest as mm_tar_index (shared walk —
+    one staging, one parse) and reduces with ONE exchange on
+    (shard, sample_key); at 100 TB samples are grouped within their
+    shard by construction (WebDataset's contract: a sample's members
+    are contiguous in one archive), so the groupBy never crosses
+    shards and re-shards cleanly by archive."""
+    m = _tar_member_manifest(spark, sf_dir).select(
+        "shard",
+        "name",
+        "data_bytes",
+        "member_md5",
+        F.substring("name", 1, 8).cast("long").alias("sample_key"),
+        (F.substring("name", 10, 4) == "txt").cast("int").alias("is_txt"),
+        (F.substring("name", 10, 4) == "json").cast("int").alias("is_json"),
+    )
+    txt_flag = F.max("is_txt")
+    json_flag = F.max("is_json")
+    return m.groupBy("shard", "sample_key").agg(
+        F.count("*").alias("n_members"),
+        txt_flag.alias("has_txt"),
+        json_flag.alias("has_json"),
+        F.sum("data_bytes").alias("total_bytes"),
+        F.min(F.when(F.col("is_txt") == 1, F.col("member_md5"))).alias(
+            "txt_md5"
+        ),
+        (txt_flag * json_flag).alias("complete"),
+    )

@@ -1491,3 +1491,14 @@ def test_chunkers_plan_map_only(spark):
     for key in ("text_chunk_sliding", "mm_chunk_manifest"):
         plan = _plan(spark, key)
         assert "Exchange" not in plan, f"{key} plans a shuffle:\n{plan}"
+
+
+def test_tar_index_plan_map_only(spark):
+    # The shard index is a binaryFile scan + one Arrow kernel: any
+    # Exchange is a regression (manifests are per-archive by
+    # construction).  The sample grouper reduces the manifest with
+    # exactly one exchange on (shard, sample_key).
+    plan = _plan(spark, "mm_tar_index")
+    assert "Exchange" not in plan, f"mm_tar_index plans a shuffle:\n{plan}"
+    plan = _plan(spark, "mm_wds_sample_group")
+    assert plan.count("Exchange") == 1, plan
