@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-15 additions (r14's 13 keys all drained to CORRECTNESS_r14)
     "mm_tar_index",
     "mm_wds_sample_group",
+    "sketch_histogram_quantile_merge",
 })
 
 

@@ -220,3 +220,182 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- deterministic mergeable quantile histogram (r15: the hash-VERIFIED
+# -- mergeable-quantile twin next to rows-only KLL — r14 VERDICT #3) --------
+_QH_BIN_W = 64          # cents per bin (power of two; est error ≤ 64 cents)
+_QH_QS = (50, 90, 99)   # queried percentiles
+
+
+@query(
+    "sketch_histogram_quantile_merge",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    -- the per-day partial stage is pure associativity: summing partial
+    -- bin counts over days equals counting straight into bins, so the
+    -- oracle collapses it (the Spark side keeps both stages to
+    -- demonstrate the merge; a unit test pins the equality)
+    merged AS (
+        SELECT event_type, cents // {_QH_BIN_W} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM merged
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM merged GROUP BY 1
+    ),
+    targets AS (
+        SELECT t.event_type, t.n, q.q_pct,
+               (t.n * q.q_pct + 99) // 100 AS target
+        FROM tot t, (VALUES (50), (90), (99)) q(q_pct)
+    ),
+    chosen AS (
+        SELECT t.event_type, t.q_pct, t.n, t.target,
+               MIN(cu.bin) AS bin
+        FROM targets t
+        JOIN cum cu ON cu.event_type = t.event_type AND cu.cum >= t.target
+        GROUP BY 1, 2, 3, 4
+    ),
+    est AS (
+        SELECT ch.event_type, ch.q_pct, ch.n, ch.target,
+               CAST(ch.bin * {_QH_BIN_W}
+                    + ((ch.target - (cu.cum - cu.cnt)) * {_QH_BIN_W})
+                      // cu.cnt AS BIGINT) AS est_cents
+        FROM chosen ch
+        JOIN cum cu ON cu.event_type = ch.event_type AND cu.bin = ch.bin
+    ),
+    vcum AS (
+        SELECT event_type, cents,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+        FROM (SELECT event_type, cents, COUNT(*) AS c FROM c GROUP BY 1, 2)
+    ),
+    exact AS (
+        SELECT t.event_type, t.q_pct, MIN(v.cents) AS exact_cents
+        FROM targets t
+        JOIN vcum v ON v.event_type = t.event_type AND v.cum >= t.target
+        GROUP BY 1, 2
+    )
+    SELECT e.event_type,
+           CAST(e.q_pct AS INTEGER) AS q_pct,
+           e.n,
+           e.est_cents,
+           CAST(x.exact_cents AS BIGINT) AS exact_cents,
+           CAST(ABS(e.est_cents - x.exact_cents) AS BIGINT) AS abs_err_cents
+    FROM est e
+    JOIN exact x ON x.event_type = e.event_type AND x.q_pct = e.q_pct
+    """,
+)
+def sketch_histogram_quantile_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC MERGEABLE QUANTILE HISTOGRAM — the hash-verified
+    mergeable-quantile structure next to the declared-rows-only KLL
+    (`sketch_kll_quantiles`): values quantize to exact integer cents,
+    cents land in fixed power-of-two-width bins, and the sketch IS the
+    int64 bin-count vector — merging two sketches is elementwise
+    addition, so per-segment histograms roll up EXACTLY regardless of
+    partitioning, arrival order, or merge tree shape (the property KLL
+    only has approximately, with level-randomized compaction on top).
+
+    The key runs the full two-phase life cycle the structure exists
+    for: per-(event_type, day) PARTIAL histograms (the persisted
+    per-segment sketches — map-side combinable), MERGE by bin-count
+    sum, then three percentile queries (p50/p90/p99) answered by a
+    cumulative walk with integer in-bin interpolation.  The exact
+    rank-target value is computed alongside and the absolute error
+    emitted — bounded ≤ bin width BY CONSTRUCTION (the target rank
+    falls inside the chosen bin; pinned in tests together with
+    partial-merge ≡ direct-count associativity).
+
+    Scale: stage 1 reduces 100 TB to (types × days × ≤876 bins) rows
+    with map-side combine; everything after is metadata-sized.  Two
+    small exchanges ((type,day,bin) then (type,bin)) + per-type
+    windows over bounded bin lists.  DuckDB twin collapses the
+    partial stage by associativity — which is exactly the claim being
+    verified."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        cents.alias("cents"),
+    )
+    partial = (
+        base.withColumn("bin", F.expr(f"cents div {_QH_BIN_W}"))
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = partial.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(wb))
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    targets = tot.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q_pct"),
+    ).withColumn("target", F.expr("(n * q_pct + 99) div 100"))
+    cand = cum.join(targets, "event_type").filter(
+        F.col("cum") >= F.col("target")
+    )
+    chosen = cand.groupBy("event_type", "q_pct", "n", "target").agg(
+        F.min("bin").alias("bin"),
+        F.min_by(F.struct("cnt", "cum"), "bin").alias("s"),
+    )
+    est = chosen.select(
+        "event_type",
+        "q_pct",
+        "n",
+        "target",
+        F.expr(
+            f"bin * {_QH_BIN_W}"
+            f" + ((target - (s.cum - s.cnt)) * {_QH_BIN_W}) div s.cnt"
+        ).alias("est_cents"),
+    )
+    vcum = (
+        base.groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                W.partitionBy("event_type")
+                .orderBy("cents")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    exact = (
+        vcum.join(
+            targets.select("event_type", "q_pct", "target"), "event_type"
+        )
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("event_type", "q_pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return est.join(exact, ["event_type", "q_pct"]).select(
+        "event_type",
+        "q_pct",
+        "n",
+        "est_cents",
+        "exact_cents",
+        F.abs(F.col("est_cents") - F.col("exact_cents")).alias(
+            "abs_err_cents"
+        ),
+    )

@@ -1512,3 +1512,39 @@ def test_wds_sample_group_completeness(spark):
         assert r.has_json == expect_json
         assert r.complete == expect_json
         assert r.n_members == 1 + expect_json
+
+
+def test_quantile_histogram_error_bound_and_mergeability(spark):
+    """The two properties the mergeable histogram exists for: (1) the
+    estimate's absolute error is bounded by the bin width BY
+    CONSTRUCTION (target rank falls inside the chosen bin), (2) the
+    per-day partial stage merges EXACTLY — summing partial bin counts
+    over segments equals counting straight into bins (int64 addition is
+    associative; the KLL sketch next door only has this approximately)."""
+    from engine.sketches import _QH_BIN_W
+
+    rows = engine.QUERIES["sketch_histogram_quantile_merge"](
+        spark, SF_DIR
+    ).collect()
+    assert rows and {r.q_pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert 0 <= r.abs_err_cents <= _QH_BIN_W, r
+
+    # two-phase (day partials then merge) vs direct, as plain frames
+    ev = load(spark, SF_DIR, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        cents.alias("cents"),
+    ).select(
+        "event_type", "day", F.expr(f"cents div {_QH_BIN_W}").alias("bin")
+    )
+    two = (
+        base.groupBy("event_type", "day", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    one = base.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
