@@ -107,6 +107,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "mm_tar_index",
     "mm_wds_sample_group",
     "sketch_histogram_quantile_merge",
+    "source_fixed_width",
+    "dq_referential_integrity",
+    "dedup_bloom_seen_gate",
+    "graph_jaccard_neighbors",
 })
 
 

@@ -3142,3 +3142,198 @@ def dq_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("h1"), F.lit("")).alias("v1_md5"),
         F.coalesce(F.col("h2"), F.lit("")).alias("v2_md5"),
     )
+
+
+# -- referential-integrity audit (r15: the FK-orphan check every
+# -- warehouse DQ suite runs; violations PLANTED at distinct prime
+# -- residues so every audited relation exercises real orphans) -------------
+_RI_BIG = 1_000_000_000  # planted FK offset: provably outside any parent
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=f"""
+    WITH dli AS (
+        SELECT CASE WHEN l_orderkey % 97 = 3
+                    THEN l_orderkey + {_RI_BIG} ELSE l_orderkey END AS fk_order,
+               CASE WHEN l_orderkey % 97 = 1
+                    THEN l_partkey + {_RI_BIG} ELSE l_partkey END AS fk_part,
+               CASE WHEN l_orderkey % 97 = 2
+                    THEN l_suppkey + {_RI_BIG} ELSE l_suppkey END AS fk_supp
+        FROM lineitem
+    ),
+    li AS (
+        SELECT d.*, p.p_partkey, s.s_suppkey, o.o_orderkey
+        FROM dli d
+        LEFT JOIN part p ON d.fk_part = p.p_partkey
+        LEFT JOIN supplier s ON d.fk_supp = s.s_suppkey
+        LEFT JOIN orders o ON d.fk_order = o.o_orderkey
+    ),
+    audits AS (
+        SELECT 'lineitem.l_partkey->part' AS relation,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS n_orphans,
+               MIN(CASE WHEN p_partkey IS NULL THEN fk_part END) AS mn,
+               MAX(CASE WHEN p_partkey IS NULL THEN fk_part END) AS mx
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+               SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END),
+               MIN(CASE WHEN s_suppkey IS NULL THEN fk_supp END),
+               MAX(CASE WHEN s_suppkey IS NULL THEN fk_supp END)
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+               MIN(CASE WHEN o_orderkey IS NULL THEN fk_order END),
+               MAX(CASE WHEN o_orderkey IS NULL THEN fk_order END)
+        FROM li
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', COUNT(*),
+               SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+               MIN(CASE WHEN c.c_custkey IS NULL THEN d.fk_cust END),
+               MAX(CASE WHEN c.c_custkey IS NULL THEN d.fk_cust END)
+        FROM (SELECT CASE WHEN o_orderkey % 89 = 4
+                          THEN o_custkey + {_RI_BIG} ELSE o_custkey END
+                     AS fk_cust
+              FROM orders) d
+        LEFT JOIN customer c ON d.fk_cust = c.c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation', COUNT(*),
+               SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END),
+               MIN(CASE WHEN n.n_nationkey IS NULL THEN d.fk_nation END),
+               MAX(CASE WHEN n.n_nationkey IS NULL THEN d.fk_nation END)
+        FROM (SELECT CASE WHEN c_custkey % 83 = 5
+                          THEN c_nationkey + 100 ELSE c_nationkey END
+                     AS fk_nation
+              FROM customer) d
+        LEFT JOIN nation n ON d.fk_nation = n.n_nationkey
+    )
+    SELECT relation,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_rate_e6,
+           CAST(COALESCE(mn, -1) AS BIGINT) AS min_orphan_key,
+           CAST(COALESCE(mx, -1) AS BIGINT) AS max_orphan_key
+    FROM audits
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT — the FK-orphan sweep a warehouse DQ
+    suite runs before trusting a load: five parent-child relations of
+    the TPC-H graph checked in one job, each reporting row count,
+    orphan count, integer orphan rate (e6) and the min/max orphan key
+    for triage.  The pristine corpus would make every count zero, so
+    violations are PLANTED at distinct prime residues (97/89/83 —
+    coprime with every other plant cycle in the repo) with a +1e9 key
+    offset provably outside any parent's domain; the oracle replays the
+    derivation, so the audit's ability to FIND each class is what gets
+    hash-verified.
+
+    Scale design: the three lineitem FKs are audited in ONE fact scan —
+    three left joins hang off a single pass (part/supplier broadcast;
+    orders co-shuffles — the standard fact⋈fact shape), then one
+    global aggregate emits all three audit rows via stack().  Never
+    three rescans of the 100 TB child.  The orders and customer audits
+    are one broadcast join each.  Output is 5 rows — audit-sized."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 97 == 3, F.col("l_orderkey") + _RI_BIG
+        ).otherwise(F.col("l_orderkey")).alias("fk_order"),
+        F.when(
+            F.col("l_orderkey") % 97 == 1, F.col("l_partkey") + _RI_BIG
+        ).otherwise(F.col("l_partkey")).alias("fk_part"),
+        F.when(
+            F.col("l_orderkey") % 97 == 2, F.col("l_suppkey") + _RI_BIG
+        ).otherwise(F.col("l_suppkey")).alias("fk_supp"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    joined = (
+        li.join(F.broadcast(part), li.fk_part == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.fk_supp == supp.s_suppkey, "left")
+        .join(orders.select("o_orderkey"), li.fk_order == F.col("o_orderkey"),
+              "left")
+    )
+
+    def audit(parent_key: str, fk: str):
+        orphan = F.col(parent_key).isNull()
+        return [
+            F.count("*"),
+            F.sum(orphan.cast("long")),
+            F.min(F.when(orphan, F.col(fk))),
+            F.max(F.when(orphan, F.col(fk))),
+        ]
+
+    li_row = joined.agg(
+        *[
+            a.alias(f"c{i}")
+            for i, a in enumerate(
+                audit("p_partkey", "fk_part")
+                + audit("s_suppkey", "fk_supp")
+                + audit("o_orderkey", "fk_order")
+            )
+        ]
+    )
+    li_long = li_row.selectExpr(
+        "stack(3, "
+        "'lineitem.l_partkey->part', c0, c1, c2, c3, "
+        "'lineitem.l_suppkey->supplier', c4, c5, c6, c7, "
+        "'lineitem.l_orderkey->orders', c8, c9, c10, c11"
+        ") AS (relation, n_rows, n_orphans, mn, mx)"
+    )
+
+    ord_dirty = orders.select(
+        F.when(
+            F.col("o_orderkey") % 89 == 4, F.col("o_custkey") + _RI_BIG
+        ).otherwise(F.col("o_custkey")).alias("fk_cust")
+    )
+    ord_row = (
+        ord_dirty.join(
+            F.broadcast(cust.select("c_custkey")),
+            ord_dirty.fk_cust == F.col("c_custkey"),
+            "left",
+        )
+        .agg(*[a.alias(f"c{i}")
+               for i, a in enumerate(audit("c_custkey", "fk_cust"))])
+        .selectExpr(
+            "stack(1, 'orders.o_custkey->customer', c0, c1, c2, c3)"
+            " AS (relation, n_rows, n_orphans, mn, mx)"
+        )
+    )
+
+    cust_dirty = cust.select(
+        F.when(
+            F.col("c_custkey") % 83 == 5, F.col("c_nationkey") + 100
+        ).otherwise(F.col("c_nationkey")).alias("fk_nation")
+    )
+    cust_row = (
+        cust_dirty.join(
+            F.broadcast(nation),
+            cust_dirty.fk_nation == F.col("n_nationkey"),
+            "left",
+        )
+        .agg(*[a.alias(f"c{i}")
+               for i, a in enumerate(audit("n_nationkey", "fk_nation"))])
+        .selectExpr(
+            "stack(1, 'customer.c_nationkey->nation', c0, c1, c2, c3)"
+            " AS (relation, n_rows, n_orphans, mn, mx)"
+        )
+    )
+
+    return (
+        li_long.unionByName(ord_row)
+        .unionByName(cust_row)
+        .select(
+            "relation",
+            "n_rows",
+            "n_orphans",
+            F.expr("n_orphans * 1000000 div n_rows").alias("orphan_rate_e6"),
+            F.coalesce(F.col("mn"), F.lit(-1)).alias("min_orphan_key"),
+            F.coalesce(F.col("mx"), F.lit(-1)).alias("max_orphan_key"),
+        )
+    )

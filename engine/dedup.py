@@ -2525,3 +2525,154 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_e4 - jac_e4).alias("abs_err_e4"),
         )
     )
+
+
+# -- bloom "seen before" gate (r15: the fixed-memory membership screen a
+# -- crawler runs against its whole history before paying exact dedup) ------
+_BG_M = 1 << 16  # bloom slots: FIXED size regardless of corpus (the point)
+_BG_K = 3        # hash probes per key
+_BG_A = [(2654435761 * (2 * j + 5)) % _M31 or 1 for j in range(_BG_K)]
+_BG_B = [(40503 * (j + 3) * (j + 3) + 987654321 + 7 * j) % _M31
+         for j in range(_BG_K)]
+_BG_NEW_OFFSET = 300_000  # batch ids (distinct from every other plant)
+
+
+def _bg_oracle() -> str:
+    hashes = ", ".join(
+        f"({j}, {_BG_A[j]}, {_BG_B[j]})" for j in range(_BG_K)
+    )
+    return f"""
+    WITH v1 AS (
+        SELECT DISTINCT
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS k
+        FROM documents
+    ),
+    h(j, a, b) AS (VALUES {hashes}),
+    bits AS (
+        SELECT DISTINCT ((h.a * (v1.k % {_M31}) + h.b) % {_M31}) % {_BG_M}
+                   AS pos
+        FROM v1 CROSS JOIN h
+    ),
+    batch AS (
+        SELECT doc_id + {_BG_NEW_OFFSET} AS new_id,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS k
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + {_BG_NEW_OFFSET},
+               CAST('0x' || substring(md5(text || ' fresh'), 1, 15)
+                    AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    probed AS (
+        SELECT b.new_id, b.k,
+               CAST(SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos_hits
+        FROM batch b
+        CROSS JOIN h
+        LEFT JOIN bits
+          ON bits.pos = ((h.a * (b.k % {_M31}) + h.b) % {_M31}) % {_BG_M}
+        GROUP BY b.new_id, b.k
+    ),
+    flagged AS (
+        SELECT p.new_id, p.n_pos_hits,
+               CASE WHEN v1.k IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+        FROM probed p LEFT JOIN v1 ON v1.k = p.k
+    )
+    SELECT new_id, n_pos_hits,
+           CAST(is_exact AS INTEGER) AS is_exact,
+           CASE WHEN n_pos_hits = {_BG_K} AND is_exact = 1 THEN 'dup'
+                WHEN n_pos_hits = {_BG_K} THEN 'false_positive'
+                WHEN is_exact = 1 THEN 'MISS_BUG'
+                ELSE 'new' END AS label
+    FROM flagged
+    """
+
+
+@query("dedup_bloom_seen_gate", oracle=_bg_oracle())
+def dedup_bloom_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM "seen before" GATE — the fixed-memory membership screen a
+    100 TB crawler runs on every incoming batch before paying exact
+    dedup: the whole seen-corpus folds into a {_BG_M}-slot bit set
+    (content key = the first 60 bits of md5, probed at {_BG_K}
+    universal-hash positions), the new batch (planted: verbatim
+    re-crawls at doc_id%3=0, genuinely-new texts at %3=1) checks its
+    positions against it, and each doc is labeled dup / new /
+    false_positive.  No false negatives by construction (an exact
+    member's positions are all set), so 'MISS_BUG' appearing means the
+    gate is broken — the unit test pins its absence and the oracle
+    replays the classification bit-for-bit (every hash in the chain is
+    the repo's deterministic polyhash; the md5→int key is conv() here,
+    CAST('0x…') there, equal by fn_hash_md5's cross-engine md5 parity).
+
+    Scale: the bit set is ≤ {_BG_M} distinct positions REGARDLESS of
+    corpus size — always broadcastable (that is the bloom trade), so
+    the gate itself is one map-side probe per batch row, no shuffle of
+    the seen set.  The exact-membership join here is the AUDIT that
+    hash-verifies the false-positive labels (the CMS exact_count
+    discipline); production keeps only the broadcast probe and routes
+    hits to verification."""
+    d = load(spark, sf_dir, "documents")
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    v1 = d.select(key.alias("k")).distinct()
+    pos_of = lambda j, k: ((F.lit(_BG_A[j]) * (k % _M31) + F.lit(_BG_B[j]))  # noqa: E731
+                           % _M31) % _BG_M
+    bits = (
+        v1.select(
+            F.explode(
+                F.array(*[pos_of(j, F.col("k")) for j in range(_BG_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + _BG_NEW_OFFSET).alias("new_id"),
+            key.alias("k"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + _BG_NEW_OFFSET).alias("new_id"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("text"), F.lit(" fresh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("k"),
+            )
+        )
+    )
+    probed = (
+        batch.select(
+            "new_id",
+            "k",
+            F.explode(
+                F.array(*[pos_of(j, F.col("k")) for j in range(_BG_K)])
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("new_id", "k")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_pos_hits"))
+    )
+    flagged = probed.join(
+        v1.withColumn("exact", F.lit(1)), "k", "left"
+    ).select(
+        "new_id",
+        "n_pos_hits",
+        F.coalesce(F.col("exact"), F.lit(0)).alias("is_exact"),
+    )
+    return flagged.select(
+        "new_id",
+        "n_pos_hits",
+        "is_exact",
+        F.when(
+            (F.col("n_pos_hits") == _BG_K) & (F.col("is_exact") == 1),
+            F.lit("dup"),
+        )
+        .when(F.col("n_pos_hits") == _BG_K, F.lit("false_positive"))
+        .when(F.col("is_exact") == 1, F.lit("MISS_BUG"))
+        .otherwise(F.lit("new"))
+        .alias("label"),
+    )

@@ -1931,3 +1931,78 @@ def source_delta_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snapshot(0).unionByName(snapshot(1))
+
+
+# -- fixed-width file source (r15: the mainframe/COBOL-layout ingest
+# -- shape the source family lacked) ----------------------------------------
+# Layout (58 bytes/line): orderkey %010d | custkey %010d | status %s(1)
+#   | total_cents %012d | orderdate yyyy-MM-dd (10) | priority %-15s
+_FW_LINE_LEN = 58
+
+
+@query(
+    "source_fixed_width",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           CAST({_FW_LINE_LEN} AS BIGINT) AS line_len
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text source — the mainframe/COBOL copybook layout
+    that still feeds real warehouse backfills: a 58-byte-per-line file
+    staged once from orders (distributed `write.text` of a
+    format_string projection; total price as zero-padded integer CENTS
+    so the round-trip never depends on float formatting), read back
+    with `spark.read.text` and parsed by COLUMN POSITION — substring
+    slices, ANSI casts (leading zeros are legal longs), rtrim on the
+    space-padded field, to_date on the ISO slice.  The parquet-derived
+    oracle hash-proves the full format round-trip including types;
+    line_len pins the record width (a torn write would shift every
+    subsequent field).
+
+    Scale: fixed-width lines split at arbitrary byte offsets like any
+    text source (no footer, no schema page), so a 100 TB extract
+    parallelizes per HDFS block; the parse is per-row JVM substring
+    arithmetic — map-only, no Python, no shuffle before the (absent)
+    aggregation.  Filter pushdown doesn't exist on raw text, which is
+    the honest cost of the format — the key filters AFTER parse, and
+    the residue is mirrored in the oracle."""
+
+    def _build(d: str) -> None:
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                F.format_string(
+                    "%010d%010d%s%012d%s%-15s",
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long"),
+                    F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+                    F.col("o_orderpriority"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(d)
+        )
+
+    path = _staged_sink("fixed_width", sf_dir, _build)
+    lines = spark.read.text(path)
+    sub = lambda a, b: F.substring(F.col("value"), a, b)  # noqa: E731
+    return lines.select(
+        sub(1, 10).cast("long").alias("o_orderkey"),
+        sub(11, 10).cast("long").alias("o_custkey"),
+        sub(21, 1).alias("o_orderstatus"),
+        sub(22, 12).cast("long").alias("total_cents"),
+        F.to_date(sub(34, 10)).alias("order_date"),
+        F.rtrim(sub(44, 15)).alias("o_orderpriority"),
+        F.length("value").cast("long").alias("line_len"),
+    ).filter(F.col("o_orderkey") % 7 == 0)

@@ -3474,3 +3474,92 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * n_hits div n_exact").alias("recall_bp"),
         )
     )
+
+
+# -- neighbor-set Jaccard similarity (r15: the 5th graph kernel — the
+# -- structural-equivalence scorer entity resolution runs over adjacency) ---
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_GRAPH_EDGES_SQL},
+    und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges
+    ),
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+    ),
+    common AS (
+        SELECT a.u AS node_a, b.u AS node_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+        GROUP BY 1, 2
+    )
+    SELECT c.node_a, c.node_b, c.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(c.n_common * 10000
+                // (da.deg + db.deg - c.n_common) AS BIGINT) AS jaccard_e4
+    FROM common c
+    JOIN deg da ON da.u = c.node_a
+    JOIN deg db ON db.u = c.node_b
+    WHERE c.n_common >= 2
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBOR-SET JACCARD similarity — the structural-equivalence
+    kernel (entity resolution / role discovery: two nodes are similar
+    when they connect to the same others, whether or not they touch):
+    per co-wedged pair, |N(a)∩N(b)| via one path-2 self-join grouped on
+    the shared neighbor, degrees joined in, Jaccard as exact integer
+    e4 (common·10000 div (deg_a+deg_b−common)) — the same agreement
+    arithmetic as the MinHash keys, here over TRUE adjacency sets.
+
+    Input graph: the shared block-local pinned-cosine edges
+    (:func:`_cos_block_edges` — 5th kernel over it after triangles /
+    PageRank / BFS / k-core).  The wedge join is the classic Σdeg(w)²
+    term; here it is BOUNDED BY CONSTRUCTION (block-local edges cap
+    degree at the block width), which is the same guard a 100 TB run
+    applies explicitly (degree cap + hub sampling before the
+    self-join, the copurchase-key discipline).  The undirected view is
+    materialized EAGERLY before feeding both sides of the self-join —
+    a lazy persist diamond would race both join stages into computing
+    the quadratic scoring subtree twice (the r12
+    kr_simhash_pairs_from_sums lesson, measured ~2x there).
+
+    Output: pairs with ≥2 common neighbors (mirrored bound), their
+    common count, degrees, and jaccard_e4."""
+    edges = _cos_block_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("u"),
+                               F.col("src").alias("v")))
+        .persist()
+    )
+    und.count()  # eager: both self-join sides read the cache, not the plan
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    a = und.select(F.col("u").alias("node_a"), F.col("v").alias("w"))
+    b = und.select(F.col("u").alias("node_b"), F.col("v").alias("w_b"))
+    common = (
+        a.join(b, (a.w == b.w_b) & (a.node_a < b.node_b))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("u").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr("n_common * 10000 div (deg_a + deg_b - n_common)")
+            .alias("jaccard_e4"),
+        )
+    )

@@ -1548,3 +1548,74 @@ def test_quantile_histogram_error_bound_and_mergeability(spark):
     )
     one = base.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_fixed_width_parse_round_trip(spark):
+    """Fixed-width reader semantics: every line is exactly the declared
+    width (a torn write would shift every later field), the space-padded
+    priority field rtrims back to its source value (including multi-word
+    priorities), and leading-zero numerics cast cleanly."""
+    from engine.io import _FW_LINE_LEN
+
+    rows = engine.QUERIES["source_fixed_width"](spark, SF_DIR).collect()
+    assert rows and all(r.line_len == _FW_LINE_LEN for r in rows)
+    src = {
+        r.o_orderkey: r
+        for r in load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .collect()
+    }
+    assert {r.o_orderkey for r in rows} == set(src)
+    for r in rows[:50]:
+        s = src[r.o_orderkey]
+        assert r.o_orderpriority == s.o_orderpriority  # rtrim exact
+        assert not r.o_orderpriority.endswith(" ")
+        assert r.o_custkey == s.o_custkey
+
+
+def test_referential_integrity_finds_planted_orphans(spark):
+    """Every audited relation must FIND its planted violation class,
+    and the +1e9 plants must surface as the orphan keys."""
+    from engine.composite import _RI_BIG
+
+    rows = {r.relation: r for r in
+            engine.QUERIES["dq_referential_integrity"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "lineitem.l_partkey->part", "lineitem.l_suppkey->supplier",
+        "lineitem.l_orderkey->orders", "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+    }
+    for rel, r in rows.items():
+        assert r.n_orphans > 0, rel  # plant exercised
+        assert 0 < r.orphan_rate_e6 < 1_000_000, rel
+        if "customer.c_nationkey" not in rel:
+            assert r.min_orphan_key >= _RI_BIG, rel
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    """The bloom gate's structural guarantees: an exact member's
+    positions are all set (MISS_BUG never appears), every verbatim
+    re-crawl is labeled dup, and hit counts stay within [0, k]."""
+    from engine.dedup import _BG_K, _BG_NEW_OFFSET
+
+    rows = engine.QUERIES["dedup_bloom_seen_gate"](spark, SF_DIR).collect()
+    labels = {r.label for r in rows}
+    assert "MISS_BUG" not in labels
+    assert "dup" in labels and "new" in labels
+    for r in rows:
+        assert 0 <= r.n_pos_hits <= _BG_K
+        if r.is_exact:
+            assert r.label == "dup"
+        if (r.new_id - _BG_NEW_OFFSET) % 3 == 0:
+            assert r.label == "dup"  # verbatim re-crawl: exact + hit
+
+
+def test_jaccard_neighbors_bounds(spark):
+    """Neighbor-Jaccard sanity: common ≤ min(deg), jaccard in (0, 1e4],
+    and pairs are canonically ordered (a < b)."""
+    rows = engine.QUERIES["graph_jaccard_neighbors"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.node_a < r.node_b
+        assert 2 <= r.n_common <= min(r.deg_a, r.deg_b)
+        assert 0 < r.jaccard_e4 <= 10000
