@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dq_referential_integrity",
     "dedup_bloom_seen_gate",
     "graph_jaccard_neighbors",
+    "sim_ann_lsh_multiprobe",
 })
 
 

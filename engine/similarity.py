@@ -388,6 +388,45 @@ _ALSH_TBL, _ALSH_BITS = 8, 4
 _ALSH_M31 = 2_147_483_647
 
 
+def _alsh_entries(e: DataFrame) -> DataFrame:
+    """(vec_id, t, b) LSH table entries for the hash-verified
+    quantized-hyperplane family — shared by ``sim_ann_lsh_fixed_topk``
+    (8 tables, single probe) and ``sim_ann_lsh_multiprobe`` (first 4
+    tables + Hamming-1 probes): one Arrow matmul per batch computes all
+    {_ALSH_TBL} signatures; plane p's ±1 signs come from the
+    quadratic-residue hash over j = p·64 + d, so restricting to t < T
+    keeps plane identities stable across both keys and their oracles."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = _ALSH_TBL * _ALSH_BITS
+    j = np.arange(n_planes * 64, dtype=np.int64).reshape(n_planes, 64)
+    h = (j * 2654435761 + 97003999) % _ALSH_M31
+    S = 1 - 2 * ((h * h) % _ALSH_M31 % 2)
+
+    @F.pandas_udf("array<long>")
+    def _alsh_sigs(emb):
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        qm = np.floor(m * _ALSH_Q).astype(np.int64)
+        bits = (qm @ S.T >= 0).astype(np.int64)
+        return pd.Series(
+            np.stack(
+                [
+                    (
+                        bits[:, t * _ALSH_BITS : (t + 1) * _ALSH_BITS]
+                        * (1 << np.arange(_ALSH_BITS))
+                    ).sum(axis=1)
+                    for t in range(_ALSH_TBL)
+                ],
+                axis=1,
+            ).tolist()
+        )
+
+    return e.select(
+        "vec_id", _alsh_sigs("embedding").alias("sigs")
+    ).select("vec_id", F.posexplode("sigs").alias("t", "b"))
+
+
 @query(
     "sim_ann_lsh_fixed_topk",
     oracle=f"""
@@ -475,42 +514,142 @@ def sim_ann_lsh_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-before-distinct discipline, array payloads never cross the
     pair-dedup exchange).  No broadcast hints — the 5-query side is
     trivially small and AQE sees it (r12 audit)."""
-    import numpy as np
-    import pandas as pd
-
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    n_planes = _ALSH_TBL * _ALSH_BITS
-    j = np.arange(n_planes * 64, dtype=np.int64).reshape(n_planes, 64)
-    h = (j * 2654435761 + 97003999) % _ALSH_M31
-    S = 1 - 2 * ((h * h) % _ALSH_M31 % 2)
-
-    @F.pandas_udf("array<long>")
-    def _alsh_sigs(emb):
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        qm = np.floor(m * _ALSH_Q).astype(np.int64)
-        bits = (qm @ S.T >= 0).astype(np.int64)
-        return pd.Series(
-            np.stack(
-                [
-                    (
-                        bits[:, t * _ALSH_BITS : (t + 1) * _ALSH_BITS]
-                        * (1 << np.arange(_ALSH_BITS))
-                    ).sum(axis=1)
-                    for t in range(_ALSH_TBL)
-                ],
-                axis=1,
-            ).tolist()
-        )
-
-    entries = e.select(
-        "vec_id", _alsh_sigs("embedding").alias("sigs")
-    ).select("vec_id", F.posexplode("sigs").alias("t", "b"))
+    entries = _alsh_entries(e)
     qe = entries.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "t", "b"
     )
     cand = (
         entries.join(qe, ["t", "b"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en")
+    )
+    cos = _dot(F.col("eq"), F.col("en")) / (
+        _norm(F.col("eq")) * _norm(F.col("en"))
+    )
+    scored = (
+        cand.join(eq, "q_id")
+        .join(en, "neighbor_id")
+        .select("q_id", "neighbor_id", _fix(cos, 10000).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+_MP_TBL = 4  # multiprobe uses HALF the tables (planes 0..15)
+_MP_FLIPS = (0, 1, 2, 4, 8)  # exact bucket + the 4 Hamming-1 neighbors
+
+
+@query(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_ALSH_Q}) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT q.vec_id, pl.p AS plane,
+               SUM((1 - 2 * (((((pl.p * 64 + dd.d) * 2654435761 + 97003999)
+                               % {_ALSH_M31})
+                              * (((pl.p * 64 + dd.d) * 2654435761 + 97003999)
+                                 % {_ALSH_M31}))
+                             % {_ALSH_M31} % 2))
+                   * qv[CAST(dd.d AS INTEGER) + 1]) AS y
+        FROM q, UNNEST(range({_MP_TBL * _ALSH_BITS})) pl(p),
+             UNNEST(range(64)) dd(d)
+        GROUP BY 1, 2
+    ),
+    entries AS (
+        SELECT vec_id, plane // {_ALSH_BITS} AS t,
+               SUM(CASE WHEN y >= 0
+                        THEN CAST(1 AS BIGINT)
+                             << CAST(plane % {_ALSH_BITS} AS INTEGER)
+                        ELSE 0 END) AS b
+        FROM proj GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, t, xor(b, f.flip) AS b
+        FROM entries, UNNEST([{", ".join(str(f) for f in _MP_FLIPS)}]) f(flip)
+        WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT DISTINCT p.q_id, e.vec_id AS neighbor_id
+        FROM probes p JOIN entries e
+          ON e.t = p.t AND e.b = p.b AND e.vec_id <> p.q_id
+    ),
+    comps AS (
+        SELECT c.q_id, c.neighbor_id,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS dot,
+               SUM(CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(eq.embedding[i] AS DOUBLE)) AS nq2,
+               SUM(CAST(en.embedding[i] AS DOUBLE)
+                   * CAST(en.embedding[i] AS DOUBLE)) AS ne2
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id,
+        {_DIMS} s
+        GROUP BY c.q_id, c.neighbor_id
+    ),
+    scored AS (
+        SELECT q_id, neighbor_id,
+               FLOOR(dot / (SQRT(nq2) * SQRT(ne2)) * 10000 + 0.5) / 10000
+                   AS cosine
+        FROM comps
+    )
+    SELECT q_id, neighbor_id, cosine, rn
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH ANN top-k — the production memory/recall trade
+    the single-probe key can't show: instead of doubling TABLES to
+    recover recall (each table duplicates the whole index), the query
+    also probes the buckets at Hamming distance 1 from its own
+    signature — here HALF the tables of ``sim_ann_lsh_fixed_topk``
+    (4 of its 8, plane identities shared via :func:`_alsh_entries`)
+    with 5 probes each (exact + 4 bit-flips).  Candidate volume per
+    query is 5·N/2⁴ per table vs the 8-table key's 8·N/2⁴ — less
+    index memory AND fewer lookups at comparable recall; the unit test
+    pins multiprobe recall ≥ the same-4-tables single-probe recall
+    (candidates are a superset by construction, and exact-cosine
+    re-ranking is monotone in the candidate set).
+
+    Everything stays in the hash-verified quantized family: signatures
+    from ONE Arrow matmul (shared helper), probe signatures by integer
+    XOR (exactly mirrored in the oracle), candidates
+    filter-before-distinct on skinny pairs, pinned-cosine re-rank with
+    the neighbor_id tiebreak.  Scale: probes multiply QUERY-side rows
+    only (5 per table), never index entries; the probe join stays
+    bucket-local."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    entries = _alsh_entries(e).filter(F.col("t") < _MP_TBL)
+    probes = (
+        entries.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "t",
+            F.explode(
+                F.array(
+                    *[F.col("b").bitwiseXOR(F.lit(f)) for f in _MP_FLIPS]
+                )
+            ).alias("b"),
+        )
+    )
+    cand = (
+        entries.join(probes, ["t", "b"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()

@@ -1619,3 +1619,58 @@ def test_jaccard_neighbors_bounds(spark):
         assert r.node_a < r.node_b
         assert 2 <= r.n_common <= min(r.deg_a, r.deg_b)
         assert 0 < r.jaccard_e4 <= 10000
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's whole claim: with the SAME 4 tables, adding the
+    Hamming-1 probes can only grow the candidate set, and exact-cosine
+    re-ranking is monotone in the candidate set — so multiprobe top-5
+    recall vs the exact ground truth must be >= the single-probe
+    4-table recall (whose candidates are the flip=0 subset)."""
+    import math
+
+    from engine.io import load as _load
+    from engine.similarity import _MP_TBL, _alsh_entries
+
+    e = _load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    entries = _alsh_entries(e).filter(F.col("t") < _MP_TBL)
+    qe = entries.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "t", "b"
+    )
+    single: dict = {}
+    for r in (
+        entries.join(qe, ["t", "b"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+        .collect()
+    ):
+        single.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in engine.QUERIES["sim_knn_topk"](spark, SF_DIR)
+        .select("q_id", "neighbor_id")
+        .collect()
+    }
+    mp_top = {
+        (r.q_id, r.neighbor_id)
+        for r in engine.QUERIES["sim_ann_lsh_multiprobe"](spark, SF_DIR)
+        .select("q_id", "neighbor_id")
+        .collect()
+    }
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+
+    def pinned_cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+        na = math.sqrt(sum(float(x) * float(x) for x in va))
+        nb = math.sqrt(sum(float(x) * float(x) for x in vb))
+        return math.floor(dot / (na * nb) * 10000 + 0.5) / 10000
+
+    sp_hits = 0
+    for q, cands in single.items():
+        top5 = sorted(((pinned_cos(q, n), -n) for n in cands), reverse=True)[:5]
+        sp_hits += sum(1 for c, negn in top5 if (q, -negn) in exact)
+    mp_hits = len(mp_top & exact)
+    assert mp_hits >= sp_hits, (mp_hits, sp_hits)
+    assert mp_hits > 0
