@@ -825,7 +825,9 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an exact DuckDB oracle: the one sketch whose estimates are
     reproducible-by-construction rather than declared-approximate.
     Output: (key, est_count, exact_count, overcount) for the 5 planted
-    heavies + 5 organic keys."""
+    heavies + 4 organic keys (user_id 0 satisfies %10==0 and folds into
+    heavy 1000000, so the key<5 candidate residue yields {1,2,3,4} —
+    9 rows)."""
     import numpy as np
     import pandas as pd
 

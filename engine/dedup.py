@@ -2592,8 +2592,8 @@ def _bg_oracle() -> str:
 def dedup_bloom_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM "seen before" GATE — the fixed-memory membership screen a
     100 TB crawler runs on every incoming batch before paying exact
-    dedup: the whole seen-corpus folds into a {_BG_M}-slot bit set
-    (content key = the first 60 bits of md5, probed at {_BG_K}
+    dedup: the whole seen-corpus folds into a 65536-slot bit set
+    (content key = the first 60 bits of md5, probed at 3
     universal-hash positions), the new batch (planted: verbatim
     re-crawls at doc_id%3=0, genuinely-new texts at %3=1) checks its
     positions against it, and each doc is labeled dup / new /
@@ -2604,7 +2604,7 @@ def dedup_bloom_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's deterministic polyhash; the md5→int key is conv() here,
     CAST('0x…') there, equal by fn_hash_md5's cross-engine md5 parity).
 
-    Scale: the bit set is ≤ {_BG_M} distinct positions REGARDLESS of
+    Scale: the bit set is ≤ 65536 distinct positions REGARDLESS of
     corpus size — always broadcastable (that is the bloom trade), so
     the gate itself is one map-side probe per batch row, no shuffle of
     the seen set.  The exact-membership join here is the AUDIT that
@@ -2613,7 +2613,12 @@ def dedup_bloom_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits to verification."""
     d = load(spark, sf_dir, "documents")
     key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    v1 = d.select(key.alias("k")).distinct()
+    # v1 feeds BOTH the bit-set build and the exact-membership audit:
+    # persist + eager count, or each consumer re-derives the documents
+    # scan + per-row md5/conv + the distinct's exchange (the
+    # referenced-more-than-once persist rule).
+    v1 = d.select(key.alias("k")).distinct().persist()
+    v1.count()
     pos_of = lambda j, k: ((F.lit(_BG_A[j]) * (k % _M31) + F.lit(_BG_B[j]))  # noqa: E731
                            % _M31) % _BG_M
     bits = (

@@ -770,7 +770,7 @@ _WDS_JSON_SQL = """'{"id":' || doc_id || ',"source":"' || source || '"}'"""
 def _wds_tar_dir(spark: SparkSession, sf_dir: str) -> str:
     """Staged WebDataset-style tar shards, built ONCE per corpus
     fingerprint (engine.core.staged_build_once) by a DISTRIBUTED
-    shard writer: documents hash into {_TAR_SHARDS} shards
+    shard writer: documents hash into 16 shards
     (doc_id % shards), and each shard group assembles its own USTAR
     archive in one applyInPandas call — real `tarfile` bytes (fixed
     mtime/uid/gid ⇒ deterministic), two members per document

@@ -393,7 +393,7 @@ def _alsh_entries(e: DataFrame) -> DataFrame:
     quantized-hyperplane family — shared by ``sim_ann_lsh_fixed_topk``
     (8 tables, single probe) and ``sim_ann_lsh_multiprobe`` (first 4
     tables + Hamming-1 probes): one Arrow matmul per batch computes all
-    {_ALSH_TBL} signatures; plane p's ±1 signs come from the
+    8 signatures; plane p's ±1 signs come from the
     quadratic-residue hash over j = p·64 + d, so restricting to t < T
     keeps plane identities stable across both keys and their oracles."""
     import numpy as np
@@ -3671,6 +3671,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: pairs with ≥2 common neighbors (mirrored bound), their
     common count, degrees, and jaccard_e4."""
     edges = _cos_block_edges(spark, sf_dir)
+    # Materialize the EXPENSIVE subtree first: edges is the lazily
+    # persisted quadratic-scoring diamond, and und's two unionAll
+    # branches (then the self-join's two sides) would otherwise race
+    # its uncached partitions into computing the block-cosine pass
+    # twice (the r12 lesson applied at the right level — the first cut
+    # eager-counted only und, one level too high).  Once und is cached
+    # the edges cache has no further consumer — release it.
+    edges.count()
     und = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("u"),
@@ -3678,6 +3686,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     und.count()  # eager: both self-join sides read the cache, not the plan
+    edges.unpersist()
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
     a = und.select(F.col("u").alias("node_a"), F.col("v").alias("w"))
     b = und.select(F.col("u").alias("node_b"), F.col("v").alias("w_b"))

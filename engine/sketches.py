@@ -337,9 +337,18 @@ def sketch_histogram_quantile_merge(
         .groupBy("event_type", "day", "bin")
         .agg(F.count("*").alias("cnt"))
     )
-    merged = partial.groupBy("event_type", "bin").agg(
-        F.sum("cnt").alias("cnt")
+    # merged (≤ types × 876 bins) feeds cum AND tot AND, through
+    # targets, the exact-rank join: persist the tiny frame or every
+    # consumer re-runs the scan + both aggregation exchanges.  The
+    # exact-rank side (vcum) deliberately RE-SCANS events instead of
+    # caching `base`: at 100 TB a second columnar scan is the right
+    # trade against pinning the whole fact table in executor memory.
+    merged = (
+        partial.groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
     )
+    merged.count()
     wb = (
         W.partitionBy("event_type")
         .orderBy("bin")
