@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_bloom_seen_gate",
     "graph_jaccard_neighbors",
     "sim_ann_lsh_multiprobe",
+    "sim_ivfpq_adc_topk",
 })
 
 

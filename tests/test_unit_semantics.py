@@ -1674,3 +1674,53 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     mp_hits = len(mp_top & exact)
     assert mp_hits >= sp_hits, (mp_hits, sp_hits)
     assert mp_hits > 0
+
+
+def test_ivfpq_structural_invariants(spark):
+    """Compound-index structure: every query emits exactly top-5 rows,
+    ADC distances are non-negative and rank-consistent, and every
+    emitted neighbor LIVES in one of the query's 2 probed lists (the
+    probe ceiling — the invariant that distinguishes IVFPQ from flat
+    PQ's all-vector scan)."""
+    from engine.io import load as _load
+    from engine.similarity import _IVF_PROBES, _IVF_K, _dot, _fix, _norm
+
+    e = _load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    cos_key = F.floor(
+        _dot(F.col("embedding"), F.col("ec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_key"), F.asc("cid")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos_key.alias("cos_key"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _IVF_PROBES)
+        .collect()
+    )
+    own_list = {r.vec_id: r.cid for r in ranked if r.crn == 1}
+    probed = {}
+    for r in ranked:
+        if r.vec_id < 5:
+            probed.setdefault(r.vec_id, set()).add(r.cid)
+
+    rows = engine.QUERIES["sim_ivfpq_adc_topk"](spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        rs.sort(key=lambda r: r.rn)
+        assert all(r.adc_dist >= 0 for r in rs)
+        assert [r.adc_dist for r in rs] == sorted(r.adc_dist for r in rs)
+        for r in rs:
+            assert own_list[r.neighbor_id] in probed[q]  # probe ceiling
+            assert r.neighbor_id != q
