@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "graph_jaccard_neighbors",
     "sim_ann_lsh_multiprobe",
     "sim_ivfpq_adc_topk",
+    "mm_tar_split_plan",
 })
 
 

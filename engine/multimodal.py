@@ -1042,3 +1042,73 @@ def mm_wds_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (txt_flag * json_flag).alias("complete"),
     )
+
+
+# -- tar read-split planner (r15: the step that makes tar PARALLELIZABLE —
+# -- archives aren't block-splittable, the index is what plans the tasks) ---
+_TAR_SPLIT_BYTES = 4096  # target bytes per read split
+
+
+@query(
+    "mm_tar_split_plan",
+    oracle=f"""
+    WITH members AS ({_WDS_MEMBERS_SQL}),
+    ordered AS (
+        SELECT shard, name, data_bytes,
+               512 + 512 * ((data_bytes + 511) // 512) AS span,
+               COALESCE(SUM(512 + 512 * ((data_bytes + 511) // 512))
+                        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                        0) AS header_off
+        FROM members
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id, kind)
+    )
+    SELECT shard,
+           CAST(header_off // {_TAR_SPLIT_BYTES} AS BIGINT) AS split_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(name) AS first_member,
+           CAST(MIN(header_off) AS BIGINT) AS bytes_start,
+           CAST(MAX(header_off + span) AS BIGINT) AS bytes_end,
+           CAST(SUM(data_bytes) AS BIGINT) AS payload_bytes
+    FROM ordered
+    GROUP BY shard, header_off // {_TAR_SPLIT_BYTES}
+    """,
+)
+def mm_tar_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR READ-SPLIT PLAN — why a 100 TB WebDataset pipeline builds
+    the index at all: tar has no block structure (members are found
+    only by walking the header chain), so unlike parquet a raw archive
+    admits ONE reader.  The planner turns the member manifest into
+    byte-range read tasks: a member belongs to the split its header
+    starts in (header_off div 4096 — the Hadoop record-to-split rule,
+    so every member is read exactly once and split ranges may overlap
+    a boundary by at most one member), and each split row carries the
+    seek range + first member name a task needs to start mid-archive
+    without re-walking from byte 0.
+
+    Derived from the SAME parsed manifest as mm_tar_index (shared
+    staging + walk, third consumer); the plan is one map projection +
+    one (shard, split_id) reduce — metadata-sized in and out.  At
+    scale the split target is the FS block size and the plan feeds the
+    task scheduler; re-planning for a different target touches only
+    the manifest, never archive bytes."""
+    m = _tar_member_manifest(spark, sf_dir)
+    span = (
+        F.lit(512)
+        + F.lit(512) * F.expr("(data_bytes + 511) div 512")
+    )
+    planned = m.select(
+        "shard",
+        "name",
+        "data_bytes",
+        "header_off",
+        span.alias("span"),
+        F.expr(f"header_off div {_TAR_SPLIT_BYTES}").alias("split_id"),
+    )
+    return planned.groupBy("shard", "split_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("name").alias("first_member"),
+        F.min("header_off").alias("bytes_start"),
+        F.max(F.col("header_off") + F.col("span")).alias("bytes_end"),
+        F.sum("data_bytes").alias("payload_bytes"),
+    )

@@ -1724,3 +1724,34 @@ def test_ivfpq_structural_invariants(spark):
         for r in rs:
             assert own_list[r.neighbor_id] in probed[q]  # probe ceiling
             assert r.neighbor_id != q
+
+
+def test_tar_split_plan_covers_members_once(spark):
+    """Split-plan semantics: splits within a shard tile the member
+    stream without gaps or double-reads — per shard, split n_members
+    sum to the manifest's member count, byte ranges are monotone
+    (bytes_start ordered by split_id, each range starting inside its
+    nominal 4096-byte slot), and payload_bytes reconcile with the
+    manifest."""
+    from engine.multimodal import _TAR_SPLIT_BYTES
+
+    manifest = engine.QUERIES["mm_tar_index"](spark, SF_DIR).collect()
+    n_members = {}
+    payload = {}
+    for r in manifest:
+        n_members[r.shard] = n_members.get(r.shard, 0) + 1
+        payload[r.shard] = payload.get(r.shard, 0) + r.data_bytes
+    plan = engine.QUERIES["mm_tar_split_plan"](spark, SF_DIR).collect()
+    by_shard: dict = {}
+    for r in plan:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(n_members)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.split_id)
+        assert sum(r.n_members for r in rows) == n_members[shard]
+        assert sum(r.payload_bytes for r in rows) == payload[shard]
+        for r in rows:
+            # a member belongs to the split its header STARTS in
+            assert r.bytes_start // _TAR_SPLIT_BYTES == r.split_id
+        starts = [r.bytes_start for r in rows]
+        assert starts == sorted(starts)
