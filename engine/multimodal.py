@@ -1066,7 +1066,10 @@ _TAR_SPLIT_BYTES = 4096  # target bytes per read split
     SELECT shard,
            CAST(header_off // {_TAR_SPLIT_BYTES} AS BIGINT) AS split_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           MIN(name) AS first_member,
+           -- the member AT bytes_start, not MIN(name): lexicographic
+           -- min names .json before .txt whenever one doc's two
+           -- headers share a split slot (r15 review finding)
+           arg_min(name, header_off) AS first_member,
            CAST(MIN(header_off) AS BIGINT) AS bytes_start,
            CAST(MAX(header_off + span) AS BIGINT) AS bytes_end,
            CAST(SUM(data_bytes) AS BIGINT) AS payload_bytes
@@ -1107,7 +1110,9 @@ def mm_tar_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return planned.groupBy("shard", "split_id").agg(
         F.count("*").alias("n_members"),
-        F.min("name").alias("first_member"),
+        # min_by on header_off: the member a seek to bytes_start LANDS
+        # on (offsets are unique per shard, so no tie ambiguity)
+        F.min_by("name", "header_off").alias("first_member"),
         F.min("header_off").alias("bytes_start"),
         F.max(F.col("header_off") + F.col("span")).alias("bytes_end"),
         F.sum("data_bytes").alias("payload_bytes"),

@@ -791,6 +791,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
+                      eager: bool = False) -> DataFrame:
+    """The fixed-IVF routing diamond shared by ``sim_ivf_fixed_topk``,
+    ``sim_ivfpq_adc_topk`` and their tests: pinned 6-decimal cosine
+    against the 16 lowest-vec_id centroids, cid tiebreak, rn <= 2
+    probes, persisted (extracted r15 — the block existed in
+    three hand-copies whose pinning constant / tiebreak / probe count
+    could silently desynchronize).  ``eager`` materializes the cache
+    before multi-consumer fan-out (the ivfpq key reads it from three
+    consumers including a bounded artifact collect)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    cos_key = F.floor(
+        _dot(F.col("embedding"), F.col("ec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _IVF_PROBES)
+        .persist()
+    )
+    if eager:
+        ranked.count()
+    return ranked
+
+
 @query(
     "sim_ivf_fixed_topk",
     oracle=f"""
@@ -870,24 +903,7 @@ def sim_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the 2 probed lists' occupancy (~2N/K candidates per
     query), never all-pairs.  The assignment diamond (inverted lists +
     probes) is persisted with rn≤2 rows only."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
-    )
-    cos_key = F.floor(
-        _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
-        * 1000000
-        + F.lit(0.5)
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= _IVF_PROBES)
-        .persist()  # diamond: feeds inverted lists AND probes
-    )
+    ranked = _ivf_fixed_ranked(spark, sf_dir)  # diamond: lists AND probes
     inv = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
@@ -1172,7 +1188,7 @@ _PQF_Q = 1 << 20  # quantization scale (power of two: exact double mult)
                                     ORDER BY adc_dist ASC, neighbor_id ASC)
                      AS rn
           FROM adc)
-    WHERE rn <= 5
+    WHERE rn <= {_PQ_TOPK}
     """,
 )
 def sim_pq_fixed_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3774,21 +3790,9 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
     )
-    cos_key = F.floor(
-        _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
-        * 1000000
-        + F.lit(0.5)
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= _IVF_PROBES)
-        .persist()  # diamond: inverted lists + probes + codebook artifact
-    )
-    ranked.count()  # eager: three consumers must read the cache
+    # shared routing diamond, eager: three consumers (inverted lists,
+    # probes, codebook artifact collect) must read the cache
+    ranked = _ivf_fixed_ranked(spark, sf_dir, eager=True)
     inv = ranked.filter(F.col("crn") == 1).select(
         "vec_id", F.col("cid").alias("list_id"), "embedding"
     )

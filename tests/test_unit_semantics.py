@@ -1682,27 +1682,11 @@ def test_ivfpq_structural_invariants(spark):
     emitted neighbor LIVES in one of the query's 2 probed lists (the
     probe ceiling — the invariant that distinguishes IVFPQ from flat
     PQ's all-vector scan)."""
-    from engine.io import load as _load
-    from engine.similarity import _IVF_PROBES, _IVF_K, _dot, _fix, _norm
+    from engine.similarity import _ivf_fixed_ranked
 
-    e = _load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
-    )
-    cos_key = F.floor(
-        _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
-        * 1000000
-        + F.lit(0.5)
-    )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_key"), F.asc("cid")
-    )
     ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cos_key.alias("cos_key"))
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= _IVF_PROBES)
+        _ivf_fixed_ranked(spark, SF_DIR)
+        .select("vec_id", "cid", "crn")
         .collect()
     )
     own_list = {r.vec_id: r.cid for r in ranked if r.crn == 1}
@@ -1755,3 +1739,23 @@ def test_tar_split_plan_covers_members_once(spark):
             assert r.bytes_start // _TAR_SPLIT_BYTES == r.split_id
         starts = [r.bytes_start for r in rows]
         assert starts == sorted(starts)
+        # CONTIGUITY: splits tile the member region without gaps — each
+        # split ends exactly where the next begins (members are
+        # physically contiguous, so any hole means the span formula
+        # diverged from the writer's actual padding), and the final
+        # split's end sits within the archive file (which may only be
+        # longer by the zero-block end-of-archive padding).
+        for a, b in zip(rows, rows[1:]):
+            assert a.bytes_end == b.bytes_start, (a, b)
+        import os
+
+        from engine.multimodal import _wds_tar_dir
+
+        tar_path = os.path.join(
+            _wds_tar_dir(spark, SF_DIR), f"shard_{shard:04d}.tar"
+        )
+        size = os.path.getsize(tar_path)
+        assert rows[-1].bytes_end <= size
+        # tarfile end-of-archive = two zero blocks, then pad to the next
+        # RECORDSIZE (10240) multiple: worst case 1024 + 10239 bytes
+        assert size - rows[-1].bytes_end < 1024 + 10240
