@@ -103,17 +103,7 @@ def _bench_times() -> dict[str, float]:
 # outrank these.  Rotated at each round boundary once the cohort's
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-15 additions (r14's 13 keys all drained to CORRECTNESS_r14)
-    "mm_tar_index",
-    "mm_wds_sample_group",
-    "sketch_histogram_quantile_merge",
-    "source_fixed_width",
-    "dq_referential_integrity",
-    "dedup_bloom_seen_gate",
-    "graph_jaccard_neighbors",
-    "sim_ann_lsh_multiprobe",
-    "sim_ivfpq_adc_topk",
-    "mm_tar_split_plan",
+    # round-16 additions (r15's 10 keys all drained to CORRECTNESS_r15)
 })
 
 
