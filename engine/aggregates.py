@@ -834,7 +834,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hh = F.when(
         F.col("user_id") % 10 == 0,
-        F.lit(1_000_000) + (F.col("user_id") / 10).cast("long") % 5,
+        F.lit(1_000_000) + F.expr("user_id div 10") % 5,
     ).otherwise(F.col("user_id"))
     keyed = ev.select(hh.alias("key"))
 

@@ -791,6 +791,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+_IVF_RANKED_MEMO: dict[tuple[str, str], DataFrame] = {}
+_IVF_RANKED_EAGER: set[tuple[str, str]] = set()
+
+
 def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
                       eager: bool = False) -> DataFrame:
     """The fixed-IVF routing diamond shared by ``sim_ivf_fixed_topk``,
@@ -800,7 +804,20 @@ def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
     three hand-copies whose pinning constant / tiebreak / probe count
     could silently desynchronize).  ``eager`` materializes the cache
     before multi-consumer fan-out (the ivfpq key reads it from three
-    consumers including a bounded artifact collect)."""
+    consumers including a bounded artifact collect).
+
+    Memoized per (applicationId, sf_dir) — NOT id(spark), which CPython
+    reuses after GC — so a full parity/bench session registers ONE
+    cached copy of the broadcast-16 crossJoin output instead of one per
+    consuming key (r15 ADVICE: three consumers each persisted their own
+    identical plan and never unpersisted)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_RANKED_MEMO.get(memo_key)
+    if cached is not None:
+        if eager and memo_key not in _IVF_RANKED_EAGER:
+            cached.count()
+            _IVF_RANKED_EAGER.add(memo_key)
+        return cached
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
@@ -819,8 +836,10 @@ def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
         .filter(F.col("crn") <= _IVF_PROBES)
         .persist()
     )
+    _IVF_RANKED_MEMO[memo_key] = ranked
     if eager:
         ranked.count()
+        _IVF_RANKED_EAGER.add(memo_key)
     return ranked
 
 
@@ -3062,19 +3081,22 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_incremental_upsert",
     oracle=f"""
-    WITH cents AS (
-        SELECT vec_id AS cid, embedding AS ec FROM embeddings
+    WITH qq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, qv AS cv FROM qq
         WHERE vec_id < 17 AND vec_id % 10 <> 7
     ),
     ac AS (
         SELECT e.vec_id, c.cid,
-               FLOOR(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
-                     / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
-                                 * CAST(e.embedding[i] AS DOUBLE)))
-                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE)
-                                   * CAST(c.ec[i] AS DOUBLE))))
+               FLOOR(CAST(SUM(e.qv[i] * c.cv[i]) AS DOUBLE)
+                     / (SQRT(CAST(SUM(e.qv[i] * e.qv[i]) AS DOUBLE))
+                        * SQRT(CAST(SUM(c.cv[i] * c.cv[i]) AS DOUBLE)))
                      * 1000000 + 0.5) AS cos_key
-        FROM embeddings e, cents c, {_DIMS} s
+        FROM qq e, cents c, {_DIMS} s
         GROUP BY e.vec_id, c.cid
     ),
     a1 AS (
@@ -3114,10 +3136,14 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target list, its pinned assignment score, and the list occupancy
     before/after the batch lands.
 
-    Assignment ranks on the e6-pinned cosine with a cid tiebreak
-    (sim_ivf_fixed_topk discipline) so both engines pick identical
-    lists even where raw doubles differ in the last ulp; occupancy
-    deltas are exact integer counts — full hash oracle.
+    Assignment ranks on the e6-pinned cosine of _KM_SCALE-QUANTIZED
+    vectors (r16 de-risk: floor(x·2^12) int64 — dot and norm sums are
+    exact integers ≤ 2^30, order-independent in float64, so the pinned
+    key is bit-identical by CONSTRUCTION on both engines rather than
+    tolerance-by-measurement against numpy pairwise vs DuckDB
+    sequential summation) with a cid tiebreak (sim_ivf_fixed_topk
+    discipline); occupancy deltas are exact integer counts — full hash
+    oracle.
 
     Scale: the INCREMENTAL work is batch × K only — the new batch
     scores against the 16-row centroid artifact in one Arrow matmul
@@ -3146,7 +3172,15 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     crows = sorted(collect_model_artifact(cents), key=lambda r: r["cid"])
     cids = np.array([r["cid"] for r in crows], dtype=np.int64)
-    C = np.stack([np.asarray(r["ec"], dtype=np.float64) for r in crows])
+    # floor(x·2^12) quantization: every product ≤ 2^24 and every 64-dim
+    # sum ≤ 2^30 is an exact integer in float64, so the BLAS matmul
+    # equals DuckDB's BIGINT SUM bit-for-bit regardless of summation
+    # order, and the downstream sqrt/divide/floor chain (correctly
+    # rounded IEEE ops on identical inputs) matches exactly.
+    C = np.floor(
+        np.stack([np.asarray(r["ec"], dtype=np.float64) for r in crows])
+        * _KM_SCALE
+    )
     cn = np.sqrt((C * C).sum(axis=1))
 
     def assign(batches):
@@ -3154,7 +3188,10 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _KM_SCALE
+            )
             xn = np.sqrt((X * X).sum(axis=1))
             key = np.floor(
                 X @ C.T / (xn[:, None] * cn[None, :]) * 1000000 + 0.5
@@ -3211,17 +3248,21 @@ _RRF_TOPK = 10
                                   ORDER BY score_e4 DESC, doc_id ASC) AS lrnk
         FROM sc WHERE doc_id <> q_id
     ),
-    qv AS (SELECT vec_id AS q_id, embedding AS eq FROM embeddings
+    qq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS q_id, qv AS eq FROM qq
            ORDER BY ((vec_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
                     vec_id LIMIT 8),
     vc AS (
         SELECT q.q_id, e.vec_id AS doc_id,
-               FLOOR(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
-                     / (SQRT(SUM(CAST(q.eq[i] AS DOUBLE) * CAST(q.eq[i] AS DOUBLE)))
-                        * SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
-                                   * CAST(e.embedding[i] AS DOUBLE))))
+               FLOOR(CAST(SUM(q.eq[i] * e.qv[i]) AS DOUBLE)
+                     / (SQRT(CAST(SUM(q.eq[i] * q.eq[i]) AS DOUBLE))
+                        * SQRT(CAST(SUM(e.qv[i] * e.qv[i]) AS DOUBLE)))
                      * 1000000 + 0.5) AS cos_e6
-        FROM qv q, embeddings e, {_DIMS} s
+        FROM qv q, qq e, {_DIMS} s
         WHERE e.vec_id <> q.q_id
         GROUP BY q.q_id, e.vec_id
     ),
@@ -3313,7 +3354,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(8)
     qrows = sorted(collect_model_artifact(qv), key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    # _KM_SCALE quantization (r16 de-risk): exact-integer dot/norm sums
+    # in float64 — bit-identical to the oracle's BIGINT sums by
+    # construction (see sim_ivf_incremental_upsert).
+    Q = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+        * _KM_SCALE
+    )
     qn = np.sqrt((Q * Q).sum(axis=1))
 
     def block_top(batches):
@@ -3321,7 +3368,10 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _KM_SCALE
+            )
             en = np.sqrt((X * X).sum(axis=1))
             key = np.floor(
                 X @ Q.T / (en[:, None] * qn[None, :]) * 1000000 + 0.5
