@@ -104,6 +104,10 @@ def _bench_times() -> dict[str, float]:
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-16 additions (r15's 10 keys all drained to CORRECTNESS_r15)
+    "limit_keyset_pagination",
+    "dedup_span_selfsim",
+    "text_nb_train",
+    "text_nb_apply",
 })
 
 

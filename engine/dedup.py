@@ -2681,3 +2681,173 @@ def dedup_bloom_seen_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("new"))
         .alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train-vs-train repeated-substring dedup (r16: the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" shape at
+# position granularity — the corpus-side twin of the eval-side
+# text_decontaminate_spans machinery, engine/text.py)
+# ---------------------------------------------------------------------------
+
+_SSIM_W = 8      # anchor width in tokens — detects all runs >= W
+_SSIM_MIN = 12   # report threshold: emitted spans must run >= this
+_SSIM_DFCAP = 64  # anchor skew guard: drop grams seen > cap times
+
+
+@query(
+    "dedup_span_selfsim",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    g0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i, i + {_SSIM_W} - 1), ' ')
+                   AS gram
+        FROM toks,
+             UNNEST(range(1, GREATEST(len(t) - {_SSIM_W} + 1, 0) + 1)) AS s(i)
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, pos, gram FROM (
+            SELECT doc_id, pos, gram,
+                   COUNT(*) OVER (PARTITION BY gram) AS df
+            FROM g0
+        ) WHERE df <= {_SSIM_DFCAP}
+    ),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS a_pos, a.pos - b.pos AS diag
+        FROM g a JOIN g b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, a_pos,
+               a_pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY a_pos) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, diag, MIN(a_pos) AS a_start,
+               MAX(a_pos) - MIN(a_pos) + {_SSIM_W} AS span_len
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING MAX(a_pos) - MIN(a_pos) + {_SSIM_W} >= {_SSIM_MIN}
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_start - diag AS BIGINT) AS b_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+               list_slice(k.t, a_start, a_start + span_len - 1), ' ')
+               AS span_text
+    FROM spans JOIN toks k ON k.doc_id = spans.doc_a
+    """,
+)
+def dedup_span_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-vs-TRAIN repeated-substring dedup at POSITION granularity
+    (Lee et al. 2022, deduplicating-repeated-substrings): every maximal
+    verbatim token run >= 12 tokens shared between two DIFFERENT
+    training documents, with exact start offsets on BOTH sides — the
+    corpus-side sibling of text_decontaminate_spans (which points the
+    same anchors-on-a-diagonal machinery at a bounded eval set).
+    Downstream, a scrubber cuts the doc_b occurrence and keeps doc_a's
+    (the doc_a < doc_b orientation makes "first occurrence wins"
+    deterministic).
+
+    Algorithm: positioned 8-token anchor grams built JVM-side from ONE
+    per-doc window (7 ``lead``s over the posexploded token stream — no
+    per-position HOF slice: an 8-wide indexed ``transform`` costs ~8
+    interpreted element_at evals per position, the winnowing trap);
+    anchors self-join on the gram string (doc_a < doc_b); consecutive
+    hits on one alignment DIAGONAL (a_pos - b_pos) merge into maximal
+    runs via gaps-and-islands; a run of W matching tokens yields exactly
+    W-7 consecutive anchor hits, so span_len = max - min + 8
+    reconstructs W exactly.
+
+    Scale design: unlike the eval-side key there is NO broadcastable
+    side — the anchor stream self-joins at corpus scale, which is safe
+    exactly because 8-gram anchors are RARE (candidate volume is
+    sum(df^2) over grams, near-linear for W=8; 3-grams would square the
+    stop-phrase mass).  The residual skew risk — one boilerplate gram
+    repeated across the corpus — is capped by df <= 64 (oracle-mirrored;
+    a no-op on this corpus where max df = 3, by design: the guard bounds
+    the worst case without changing observed semantics).  Shuffle
+    audit: exchange 1 = per-doc lead window; exchange 2 = gram window
+    for the df gate, whose partitioning the self-join then REUSES (both
+    sides read the same persisted, gram-partitioned frame — subset
+    rule, no third exchange for the join); exchange 3 = the islands
+    window on (doc_a, doc_b, diag), whose groupBy keys are a superset.
+    The persisted anchor frame is eagerly materialized before the
+    self-join (r12: a lazy persist feeding both sides of a self-join
+    gets raced and computes the subtree twice)."""
+    from engine.text import _tokens as _text_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", k).over(wl) for k in range(1, _SSIM_W)
+    ]
+    g0 = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", _SSIM_W - 1).over(wl).alias("l_last"),
+        )
+        .filter(F.col("l_last").isNotNull())
+        .drop("l_last")
+    )
+    wg = Window.partitionBy("gram")
+    g = (
+        g0.withColumn("df", F.count("*").over(wg))
+        .filter(F.col("df") <= _SSIM_DFCAP)
+        .drop("df")
+        .persist()
+    )
+    g.count()  # eager: g feeds BOTH sides of the self-join below
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("a_pos"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("b_pos"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "a_pos",
+            (F.col("a_pos") - F.col("b_pos")).alias("diag"),
+        )
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("a_pos")
+    spans = (
+        hits.withColumn("grp", F.col("a_pos") - F.row_number().over(wi))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("a_pos").alias("a_start"),
+            (F.max("a_pos") - F.min("a_pos") + _SSIM_W).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _SSIM_MIN)
+    )
+    return spans.join(
+        toks.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a"
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("a_start").cast("long").alias("a_start"),
+        (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.col("a_start").cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )

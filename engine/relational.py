@@ -383,6 +383,73 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "limit_keyset_pagination",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                  o_orderkey ASC) AS rn
+        FROM orders
+    ),
+    b AS (SELECT o_totalprice AS bp, o_orderkey AS bk FROM ranked
+          WHERE rn = 40)
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders, b
+    WHERE o_totalprice < bp OR (o_totalprice = bp AND o_orderkey > bk)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the scale-safe sibling limit_offset_pagination's
+    docstring promises: page 4 (rows 41-55) fetched as
+    ``WHERE (price, key) < last_seen ORDER BY … LIMIT 15`` instead of
+    discarding 40 rows through a single-partition offset stream.  The
+    page boundary (the 40th row's (o_totalprice, o_orderkey)) is derived
+    in-query from a bounded top-40 TakeOrderedAndProject — in production
+    it is the caller-held cursor from the previous page, so the fetch
+    cost is CONSTANT in page depth: a pushed-down range filter
+    (o_totalprice <= bp reaches the parquet scan) plus a per-partition
+    top-15 heap merge, never a global sort, never an offset discard.
+
+    Hash-equal to OFFSET 40 LIMIT 15 by construction (the ORDER BY ends
+    in the unique o_orderkey, so the tuple predicate slices the same
+    total order the offset twin walks)."""
+    o = load(spark, sf_dir, "orders")
+    # last_seen cursor = the 40th row of the (price DESC, key ASC)
+    # order: top-40 heap, then the 1-row reverse-order head of it.
+    boundary = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(40)
+        .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("bp"),
+            F.col("o_orderkey").alias("bk"),
+        )
+    )
+    after_cursor = (F.col("o_totalprice") < F.col("bp")) | (
+        (F.col("o_totalprice") == F.col("bp"))
+        & (F.col("o_orderkey") > F.col("bk"))
+    )
+    return (
+        o.crossJoin(F.broadcast(boundary))
+        .filter(after_cursor)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@query(
     "sample_deterministic",
     oracle="""
     SELECT l_returnflag,

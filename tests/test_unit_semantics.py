@@ -1759,3 +1759,60 @@ def test_tar_split_plan_covers_members_once(spark):
         # tarfile end-of-archive = two zero blocks, then pad to the next
         # RECORDSIZE (10240) multiple: worst case 1024 + 10239 bytes
         assert size - rows[-1].bytes_end < 1024 + 10240
+
+
+def test_keyset_page_equals_offset_page(spark):
+    # the keyset fetch must slice the SAME total order the offset twin
+    # walks: page 4 (rows 41-55) row-for-row identical
+    ks = engine.QUERIES["limit_keyset_pagination"](spark, SF_DIR).collect()
+    off = engine.QUERIES["limit_offset_pagination"](spark, SF_DIR).collect()
+    assert len(ks) == 15
+    assert sorted(map(tuple, ks)) == sorted(map(tuple, off))
+
+
+def test_span_selfsim_verbatim_and_maximal(spark):
+    # every emitted span is (1) a VERBATIM token-for-token match between
+    # the two documents and (2) MAXIMAL — extending one token on either
+    # side breaks the match (or falls off a document boundary)
+    from engine.text import _tokens
+
+    toks = {
+        r.doc_id: r.t
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+        .collect()
+    }
+    rows = engine.QUERIES["dedup_span_selfsim"](spark, SF_DIR).collect()
+    assert rows, "corpus has organic cross-doc repeats by construction"
+    for r in rows:
+        ta, tb = toks[r.doc_a], toks[r.doc_b]
+        ai, bi = r.a_start - 1, r.b_start - 1  # emitted offsets are 1-based
+        assert ta[ai : ai + r.span_len] == tb[bi : bi + r.span_len]
+        assert r.span_text == " ".join(ta[ai : ai + r.span_len])
+        if ai > 0 and bi > 0:
+            assert ta[ai - 1] != tb[bi - 1], "left-extensible span"
+        ae, be = ai + r.span_len, bi + r.span_len
+        if ae < len(ta) and be < len(tb):
+            assert ta[ae] != tb[be], "right-extensible span"
+
+
+def test_nb_train_apply_consistency(spark):
+    # model sanity: every observed (class, term) likelihood beats the
+    # unseen-term default (n_tc >= 1 => ln((n+1)/D) > ln(1/D)); priors
+    # are negative and sum-to-~1 in prob space (loose: both < 0)
+    model = engine.QUERIES["text_nb_train"](spark, SF_DIR).collect()
+    assert model
+    for r in model:
+        assert r.ll_e4 > r.ll0_e4
+        assert r.prior_e4 < 0 and r.ll0_e4 < 0
+        assert r.n_tc >= 1
+    # apply: scores recompute the emitted prediction; the distilled
+    # classifier genuinely learns the stopword-ratio teacher (94/100
+    # measured at sf0.01 — pin a safe floor, corpus reseeds per round)
+    rows = engine.QUERIES["text_nb_apply"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.pred_hq == (1 if r.score1_e4 > r.score0_e4 else 0)
+        assert r.correct == (1 if r.pred_hq == r.true_hq else 0)
+    acc = sum(r.correct for r in rows) / len(rows)
+    assert acc >= 0.75, f"distillation accuracy collapsed: {acc}"
