@@ -108,6 +108,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "dedup_span_selfsim",
     "text_nb_train",
     "text_nb_apply",
+    "mm_shard_rebalance",
+    "stream_state_ttl",
 })
 
 

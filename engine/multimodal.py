@@ -21,7 +21,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import query
@@ -1116,4 +1116,127 @@ def mm_tar_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("header_off").alias("bytes_start"),
         F.max(F.col("header_off") + F.col("span")).alias("bytes_end"),
         F.sum("data_bytes").alias("payload_bytes"),
+    )
+
+
+# -- tar shard WRITE planner (r16: the write-side twin of the read-split
+# -- planner — normalize shard sizes without breaking sample contiguity) ----
+_REBAL_TARGET = 16384  # target bytes per output shard
+
+
+@query(
+    "mm_shard_rebalance",
+    oracle=f"""
+    WITH RECURSIVE members AS ({_WDS_MEMBERS_SQL}),
+    samp AS (
+        SELECT shard, doc_id AS sample_key,
+               CAST(SUM(512 + 512 * ((data_bytes + 511) // 512)) AS BIGINT)
+                   AS sample_bytes
+        FROM members GROUP BY shard, doc_id
+    ),
+    t AS (
+        SELECT shard, sample_key, sample_bytes,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY sample_key) AS rk
+        FROM samp
+    ),
+    rec AS (
+        SELECT shard, CAST(0 AS BIGINT) AS rk,
+               CAST(NULL AS BIGINT) AS sample_key,
+               CAST(NULL AS BIGINT) AS sample_bytes,
+               CAST(0 AS BIGINT) AS out_seq, CAST(0 AS BIGINT) AS fill
+        FROM (SELECT DISTINCT shard FROM t)
+      UNION ALL
+        SELECT r.shard, t.rk, t.sample_key, t.sample_bytes,
+               CASE WHEN r.fill > 0
+                         AND r.fill + t.sample_bytes > {_REBAL_TARGET}
+                    THEN r.out_seq + 1 ELSE r.out_seq END,
+               CASE WHEN r.fill > 0
+                         AND r.fill + t.sample_bytes > {_REBAL_TARGET}
+                    THEN t.sample_bytes ELSE r.fill + t.sample_bytes END
+        FROM rec r JOIN t ON t.shard = r.shard AND t.rk = r.rk + 1
+    ),
+    asg AS (SELECT shard, sample_key, sample_bytes, out_seq
+            FROM rec WHERE rk > 0)
+    SELECT shard, sample_key, sample_bytes, out_seq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard, out_seq
+                                   ORDER BY sample_key) AS BIGINT)
+               AS pos_in_out,
+           CAST(SUM(sample_bytes) OVER (PARTITION BY shard, out_seq)
+                AS BIGINT) AS out_bytes
+    FROM asg
+    """,
+)
+def mm_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR SHARD WRITE PLAN — the write-side twin of mm_tar_split_plan:
+    re-shard oversized WebDataset archives into size-balanced output
+    shards WITHOUT breaking sample contiguity (WebDataset's contract:
+    a sample's members live consecutively in one archive, so the
+    planning unit is the SAMPLE, never the member).  Per input shard,
+    samples are walked in key order and a new output shard opens when
+    the running tar-byte fill would exceed the 16384-byte target —
+    sequential NEXT-FIT, exactly what a streaming shard writer does
+    (first-fit would reorder samples across open archives; a writer
+    has ONE archive open).  An oversized single sample still lands in
+    its own shard (no silent data loss, the pack_bin_firstfit rule).
+
+    Derived from the SAME parsed member manifest as mm_tar_index
+    (shared staging + walk, fourth consumer): sample_bytes = sum of
+    512-byte headers + 512-padded payloads, so planned output sizes
+    are EXACT archive bytes, not estimates.  Genuinely imperative
+    placement (each cut depends on all prior fills) → Arrow-batched
+    applyInPandas per input shard (16 bounded groups — state never
+    crosses a group); the oracle replays the identical walk as a
+    per-shard recursive CTE with (out_seq, fill) integer state, so
+    the driver hash-proves the imperative kernel end-to-end.
+
+    Scale: planning is metadata-only (manifest in, manifest out —
+    archive bytes never move until the plan executes); groups
+    distribute by input shard, recursion depth = samples per shard.
+    Output: one row per sample with its target shard sequence,
+    position, and the output shard's exact final byte size."""
+    import pandas as pd
+
+    m = _tar_member_manifest(spark, sf_dir)
+    samp = (
+        m.select(
+            "shard",
+            F.substring("name", 1, 8).cast("long").alias("sample_key"),
+            (
+                F.lit(512) + F.lit(512) * F.expr("(data_bytes + 511) div 512")
+            ).alias("span"),
+        )
+        .groupBy("shard", "sample_key")
+        .agg(F.sum("span").alias("sample_bytes"))
+    )
+
+    def plan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_key").reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs: list[int] = []
+        for b in pdf["sample_bytes"]:
+            b = int(b)
+            if fill > 0 and fill + b > _REBAL_TARGET:
+                seq, fill = seq + 1, b
+            else:
+                fill += b
+            seqs.append(seq)
+        pdf["out_seq"] = pd.array(seqs, dtype="int64")
+        return pdf
+
+    asg = samp.groupBy("shard").applyInPandas(
+        plan,
+        schema="shard long, sample_key long, sample_bytes long, out_seq long",
+    )
+    w = Window.partitionBy("shard", "out_seq")
+    return asg.select(
+        "shard",
+        "sample_key",
+        "sample_bytes",
+        "out_seq",
+        F.row_number()
+        .over(w.orderBy("sample_key"))
+        .cast("long")
+        .alias("pos_in_out"),
+        F.sum("sample_bytes").over(w).cast("long").alias("out_bytes"),
     )

@@ -1783,3 +1783,179 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = _run_to_memory(matched, "append", "match_recognize")
     return spark.table(qname)
+
+
+# -- state TTL / eviction audit (r16: surface EventTimeTimeout semantics
+# -- as data — the state-lifecycle behavior every production stateful
+# -- pipeline depends on but rarely pins) -----------------------------------
+
+
+@query(
+    "stream_state_ttl",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) < lo + (hi - lo) // 3
+                    THEN CASE WHEN user_id % 3 = 0
+                                   AND epoch_us(ts) >= lo + (hi - lo) // 6
+                              THEN -1 ELSE 0 END
+                    WHEN epoch_us(ts) < lo + (2 * (hi - lo)) // 3
+                    THEN CASE WHEN user_id % 3 = 0 THEN -1 ELSE 1 END
+                    ELSE CASE WHEN user_id % 5 = 0 THEN -1 ELSE 2 END
+               END AS ph
+        FROM events, b
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ph = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN ph = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN ph = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               MAX(CASE WHEN ph = 0 THEN us END) AS l0,
+               MAX(CASE WHEN ph = 1 THEN us END) AS l1,
+               MAX(CASE WHEN ph = 2 THEN us END) AS l2
+        FROM e WHERE ph >= 0 GROUP BY user_id
+    ),
+    wm AS (
+        SELECT MAX(CASE WHEN ph = 0 THEN us END) // 1000 AS wm0_ms,
+               MAX(CASE WHEN ph IN (0, 1) THEN us END) // 1000 AS wm1_ms,
+               MAX(us) // 1000 AS wm2_ms,
+               ((SELECT (hi - lo) // 10 FROM b)) // 1000 AS ttl_ms
+        FROM e WHERE ph >= 0
+    ),
+    ev1 AS (  -- batch-1/2 eviction verdicts per user (reused downstream)
+        SELECT *,
+               CASE WHEN e1 = 0 AND n2 = 0 AND (n0 > 0 OR n1 > 0)
+                         AND alive_l // 1000 + ttl_ms <= wm1_ms
+                    THEN 1 ELSE 0 END AS e2
+        FROM (
+            SELECT u.*, wm.wm0_ms, wm.wm1_ms, wm.wm2_ms, wm.ttl_ms,
+                   CASE WHEN n1 = 0 AND n0 > 0
+                             AND l0 // 1000 + ttl_ms <= wm0_ms
+                        THEN 1 ELSE 0 END AS e1,
+                   CASE WHEN n1 > 0 THEN n0 + n1 ELSE n0 END AS alive_n,
+                   CASE WHEN n1 > 0 THEN l1 ELSE l0 END AS alive_l
+            FROM u CROSS JOIN wm
+        )
+    )
+    SELECT user_id, n0 AS n, l0 AS last_us, CAST(0 AS INTEGER) AS evicted
+    FROM ev1 WHERE n0 > 0
+    UNION ALL
+    SELECT user_id, n0 + n1, l1, 0 FROM ev1 WHERE n1 > 0
+    UNION ALL
+    SELECT user_id, n0, l0, 1 FROM ev1 WHERE e1 = 1
+    UNION ALL
+    SELECT user_id,
+           CASE WHEN n1 > 0 THEN n0 + n1 + n2
+                WHEN e1 = 1 THEN n2 ELSE n0 + n2 END,
+           l2, 0
+    FROM ev1 WHERE n2 > 0
+    UNION ALL
+    SELECT user_id, alive_n, alive_l, 1 FROM ev1 WHERE e2 = 1
+    UNION ALL
+    -- final empty microbatch: availableNow runs one more batch after
+    -- the last data so the watermark advance (to the global staged
+    -- max) can fire remaining expired timeouts
+    SELECT user_id,
+           CASE WHEN n1 > 0 THEN n0 + n1 + n2
+                WHEN e1 = 1 THEN n2 ELSE n0 + n2 END,
+           l2, 1
+    FROM ev1 WHERE n2 > 0 AND l2 // 1000 + ttl_ms <= wm2_ms
+    UNION ALL
+    SELECT user_id, alive_n, alive_l, 1 FROM ev1
+    WHERE n2 = 0 AND e1 = 0 AND e2 = 0 AND (n0 > 0 OR n1 > 0)
+      AND alive_l // 1000 + ttl_ms <= wm2_ms
+    """,
+)
+def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE TTL / EVICTION AUDIT — ``applyInPandasWithState`` with
+    ``EventTimeTimeout`` surfaced AS DATA: per-user counting state sets
+    its timeout to (last event + TTL); when the event-time watermark
+    passes an idle group's deadline, Spark hands the group one final
+    ``hasTimedOut`` call — the kernel emits an eviction record (the
+    state's count + last-seen) and removes the state, so a user re-seen
+    later starts a FRESH epoch (the count visibly resets).  This is the
+    state-lifecycle contract a 100 TB streaming job relies on to keep
+    state bounded, pinned here end-to-end rather than assumed.
+
+    Deterministic by the stream_watermark_late r11 precedent: the
+    replay is three staged files with explicit monotone mtimes +
+    maxFilesPerTrigger=1, so watermark progression — and therefore
+    every eviction — is a PURE FUNCTION of the staged bytes.  The
+    phases are engineered off the corpus time span (terciles; TTL =
+    span/10): user_id%3==0 histories are truncated at span/6 and sit
+    out phase 1, so their deadline expires ~2 days before the batch-1
+    watermark (eviction GUARANTEED by construction, not distribution);
+    user_id%5==0 sit out phase 2 and evict iff their phase-1 deadline
+    predates the batch-2 watermark (condition-mirrored per user);
+    %3-not-%5 users return in phase 2 and prove the post-eviction
+    reset.  The full emission log (update + eviction rows) hash-checks
+    against a DuckDB replay of the watermark/timeout arithmetic at
+    Spark's millisecond timeout precision; a tripwire test asserts
+    every deadline sits > 1 s from its watermark so the <=-vs-<
+    operator choice and the µs→ms floor can never flip a verdict.
+
+    Scale: state is one (long, long) per active user, TTL-bounded —
+    eviction IS the mechanism that keeps the state store O(active
+    users) instead of O(ever-seen users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + (2 * (hi - lo)) // 3
+    half0 = lo + (hi - lo) // 6
+    ttl_ms = ((hi - lo) // 10) // 1000
+
+    def build(src: str) -> None:
+        us = F.unix_micros(F.col("ts"))
+        u3 = F.col("user_id") % 3 == 0
+        phases = [
+            ev.filter((us < b1) & ~(u3 & (us >= half0))),
+            ev.filter((us >= b1) & (us < b2) & ~u3),
+            ev.filter((us >= b2) & (F.col("user_id") % 5 != 0)),
+        ]
+        stamped: set[str] = set()
+        for i, ph in enumerate(phases):
+            ph.coalesce(1).write.mode("append").parquet(src)
+            _stamp_phase(src, i, stamped)
+
+    src = _staged_src("state_ttl", sf_dir, build)
+
+    def ttl_count(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n],
+                 "last_us": [last_us], "evicted": [1]}
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["ts"].max().value) // 1000)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n],
+             "last_us": [last_us], "evicted": [0]}
+        )
+
+    stream = _events_stream(spark, src, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    audited = stream.groupBy("user_id").applyInPandasWithState(
+        ttl_count,
+        outputStructType="user_id long, n long, last_us long, evicted int",
+        stateStructType="n long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    qname = _run_to_memory(audited, "update", "state_ttl")
+    return spark.table(qname).select("user_id", "n", "last_us", "evicted")

@@ -272,3 +272,66 @@ def test_source_python_stream_offset_continuation(spark):
         agg[g][1] += (j * 37) % 1000
     want = sorted((g, n, s, 2) for g, (n, s) in agg.items())
     assert got == want
+
+
+def test_state_ttl_margins_and_lifecycle(spark):
+    # (1) tripwire: every user's timeout deadline sits > 1 s away from
+    # every watermark it is compared against, so the <=-vs-< operator
+    # choice and the us->ms floor can never flip an eviction verdict
+    # after a corpus regen; (2) lifecycle: guaranteed-eviction cohort
+    # (user_id%3==0 truncated histories) all evict in batch 1, and a
+    # re-seen-after-eviction user's count RESTARTS (fresh epoch < old)
+    ev = load(spark, SF_DIR, "events").select("ts", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + (2 * (hi - lo)) // 3
+    half0 = lo + (hi - lo) // 6
+    ttl_ms = ((hi - lo) // 10) // 1000
+    us = F.unix_micros(F.col("ts"))
+    u3 = F.col("user_id") % 3 == 0
+    staged = ev.select("user_id", us.alias("us")).filter(
+        ((us < b1) & ~(u3 & (us >= half0)))
+        | ((us >= b1) & (us < b2) & ~u3)
+        | ((us >= b2) & (F.col("user_id") % 5 != 0))
+    )
+    rows = staged.collect()
+    import collections
+    last = collections.defaultdict(lambda: [None, None, None])
+    nphase = collections.defaultdict(lambda: [0, 0, 0])
+    wms = [None, None, None]
+    for r in rows:
+        ph = 0 if r.us < b1 else (1 if r.us < b2 else 2)
+        u = last[r.user_id]
+        u[ph] = r.us if u[ph] is None else max(u[ph], r.us)
+        nphase[r.user_id][ph] += 1
+        wms[ph] = r.us if wms[ph] is None else max(wms[ph], r.us)
+    wm = [wms[0] // 1000, max(wms[0], wms[1]) // 1000,
+          max(wms[0], wms[1], wms[2]) // 1000]
+    for u, ls in last.items():
+        for l in ls:
+            if l is None:
+                continue
+            dl = l // 1000 + ttl_ms
+            for w in wm:
+                assert abs(dl - w) > 1000, (u, dl, w)
+    out = engine.QUERIES["stream_state_ttl"](spark, SF_DIR).collect()
+    byu = collections.defaultdict(list)
+    for r in out:
+        byu[r.user_id].append(r)
+    saw_reset = 0
+    for u, rs in byu.items():
+        if u % 3 == 0 and last[u][0] is not None:
+            # truncated history + absent phase 1 => batch-1 eviction
+            assert any(
+                r.evicted == 1 and r.last_us == last[u][0] for r in rs
+            ), u
+            if last[u][2] is not None and u % 5 != 0:
+                fresh = [r for r in rs if r.evicted == 0
+                         and r.last_us == last[u][2]]
+                assert fresh, u
+                # fresh epoch after eviction: count = phase-2 events ONLY
+                assert fresh[0].n == nphase[u][2], u
+                saw_reset += 1
+    assert saw_reset > 0

@@ -1816,3 +1816,34 @@ def test_nb_train_apply_consistency(spark):
         assert r.correct == (1 if r.pred_hq == r.true_hq else 0)
     acc = sum(r.correct for r in rows) / len(rows)
     assert acc >= 0.75, f"distillation accuracy collapsed: {acc}"
+
+
+def test_shard_rebalance_invariants(spark):
+    # write-plan invariants: byte conservation per input shard,
+    # capacity (over-target only for singleton shards), sample
+    # contiguity in key order, and cut NECESSITY (next-fit never opens
+    # a shard the previous one could still hold)
+    from engine.multimodal import _REBAL_TARGET
+
+    rows = engine.QUERIES["mm_shard_rebalance"](spark, SF_DIR).collect()
+    assert rows
+    by_in: dict = {}
+    for r in rows:
+        by_in.setdefault(r.shard, []).append(r)
+    for shard, rs in by_in.items():
+        rs.sort(key=lambda r: r.sample_key)
+        seqs = [r.out_seq for r in rs]
+        assert seqs == sorted(seqs), "contiguity broken"
+        fills: dict = {}
+        for r in rs:
+            fills[r.out_seq] = fills.get(r.out_seq, 0) + r.sample_bytes
+        for r in rs:
+            assert r.out_bytes == fills[r.out_seq]
+        for s, f in fills.items():
+            n = sum(1 for r in rs if r.out_seq == s)
+            assert f <= _REBAL_TARGET or n == 1
+        # necessity: first sample of shard s+1 would overflow shard s
+        for s in range(max(seqs)):
+            first_next = [r for r in rs if r.out_seq == s + 1][0]
+            assert fills[s] + first_next.sample_bytes > _REBAL_TARGET
+        assert sum(r.sample_bytes for r in rs) == sum(fills.values())
