@@ -407,11 +407,14 @@ def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WHERE (price, key) < last_seen ORDER BY … LIMIT 15`` instead of
     discarding 40 rows through a single-partition offset stream.  The
     page boundary (the 40th row's (o_totalprice, o_orderkey)) is derived
-    in-query from a bounded top-40 TakeOrderedAndProject — in production
-    it is the caller-held cursor from the previous page, so the fetch
-    cost is CONSTANT in page depth: a pushed-down range filter
-    (o_totalprice <= bp reaches the parquet scan) plus a per-partition
-    top-15 heap merge, never a global sort, never an offset discard.
+    in-query from a bounded top-40 TakeOrderedAndProject (here it joins
+    in via a 1-row broadcast, so the tuple predicate evaluates post-join
+    — not at the scan).  In production the cursor is the caller-held
+    LITERAL from the previous page, and then the range half
+    (o_totalprice <= bp) does push to the parquet scan; either way the
+    fetch cost is CONSTANT in page depth: a cheap filter plus a
+    per-partition top-15 heap merge, never a global sort, never an
+    offset discard.
 
     Hash-equal to OFFSET 40 LIMIT 15 by construction (the ORDER BY ends
     in the unique o_orderkey, so the tuple predicate slices the same

@@ -810,10 +810,24 @@ def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
     reuses after GC — so a full parity/bench session registers ONE
     cached copy of the broadcast-16 crossJoin output instead of one per
     consuming key (r15 ADVICE: three consumers each persisted their own
-    identical plan and never unpersisted)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    identical plan and never unpersisted).  The memo probes the frame's
+    LIVE storage level before serving it: a spark.catalog.clearCache()
+    (mandated before plan-string tests, r6 rule) unregisters the cache
+    out from under the memo — the entry then re-persists and drops its
+    eager mark so the next eager caller re-materializes instead of
+    silently racing an uncached diamond.  Entries from other
+    applicationIds are pruned (dead lineages in long-lived processes)."""
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_dir)
+    for stale in [k for k in _IVF_RANKED_MEMO if k[0] != app]:
+        _IVF_RANKED_MEMO.pop(stale, None)
+        _IVF_RANKED_EAGER.discard(stale)
     cached = _IVF_RANKED_MEMO.get(memo_key)
     if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):  # clearCache() dropped it
+            cached.persist()
+            _IVF_RANKED_EAGER.discard(memo_key)
         if eager and memo_key not in _IVF_RANKED_EAGER:
             cached.count()
             _IVF_RANKED_EAGER.add(memo_key)

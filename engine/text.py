@@ -3040,17 +3040,27 @@ def _nb_model(spark: SparkSession, sf_dir: str):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    lab = d.select("doc_id", "toks", _nb_label(F.col("toks")).alias("hq"))
-    tr = lab.filter(F.col("doc_id") % _NB_SPLIT != 0).select(
-        "doc_id", "hq", F.explode("toks").alias("tok")
-    )
+    # lab (tokenize + HOF label) and tr (exploded token stream) feed 4-5
+    # consumers each across the two keys — persist both and eagerly
+    # materialize the DEEPEST one (tr; its count fills lab's cache too,
+    # r15 rule) so the aggregation fan-out below can't race the
+    # uncached tokenize subtree into recomputing per consumer.
+    lab = d.select(
+        "doc_id", "toks", _nb_label(F.col("toks")).alias("hq")
+    ).persist()
+    trd = lab.filter(F.col("doc_id") % _NB_SPLIT != 0)
+    tr = trd.select("doc_id", "hq", F.explode("toks").alias("tok")).persist()
+    tr.count()
     ctc = tr.groupBy("hq", "tok").agg(F.count("*").alias("n_tc"))
-    tc = tr.groupBy("hq").agg(
-        F.count("*").alias("t_c"),
-        F.countDistinct("doc_id").alias("d_c"),
-    )
-    v = tr.agg(F.countDistinct("tok").alias("v"))
-    nd = tr.agg(F.countDistinct("doc_id").alias("n"))
+    # t_c rides ctc's aggregate (sum of per-term counts == token count);
+    # d_c and nd come from the DOC-level frame where doc_id is already
+    # unique — no countDistinct anywhere, so no agg ever pays the r11
+    # distinct-expand (first(...) FILTER SortAggregate) plan.
+    t_c = ctc.groupBy("hq").agg(F.sum("n_tc").alias("t_c"))
+    d_c = trd.groupBy("hq").agg(F.count("*").alias("d_c"))
+    tc = t_c.join(F.broadcast(d_c), "hq")
+    v = ctc.agg(F.countDistinct("tok").alias("v"))
+    nd = trd.agg(F.count("*").alias("n"))
     ll = ctc.join(F.broadcast(tc.select("hq", "t_c")), "hq").crossJoin(
         F.broadcast(v)
     ).select(

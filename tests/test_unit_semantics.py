@@ -1773,7 +1773,13 @@ def test_keyset_page_equals_offset_page(spark):
 def test_span_selfsim_verbatim_and_maximal(spark):
     # every emitted span is (1) a VERBATIM token-for-token match between
     # the two documents and (2) MAXIMAL — extending one token on either
-    # side breaks the match (or falls off a document boundary)
+    # side breaks the match (or falls off a document boundary).
+    # Maximality holds only while no anchor gram exceeds the df skew cap
+    # (a capped anchor inside a run splits it, mirrored on both engines)
+    # — assert the corpus still satisfies that precondition so a regen
+    # that introduces boilerplate grams fails HERE with the real cause,
+    # not with a misleading "extensible span" message.
+    from engine.dedup import _SSIM_DFCAP, _SSIM_W
     from engine.text import _tokens
 
     toks = {
@@ -1782,6 +1788,18 @@ def test_span_selfsim_verbatim_and_maximal(spark):
         .select("doc_id", _tokens(F.col("text")).alias("t"))
         .collect()
     }
+    import collections
+
+    df_cnt: dict = collections.Counter()
+    for t in toks.values():
+        for i in range(len(t) - _SSIM_W + 1):
+            df_cnt[" ".join(t[i : i + _SSIM_W])] += 1
+    max_df = max(df_cnt.values())
+    assert max_df <= _SSIM_DFCAP, (
+        f"corpus regen produced an anchor gram with df={max_df} > cap "
+        f"{_SSIM_DFCAP}: the cap now splits runs — maximality assertions "
+        "below would misfire; re-tune _SSIM_DFCAP or drop this gate"
+    )
     rows = engine.QUERIES["dedup_span_selfsim"](spark, SF_DIR).collect()
     assert rows, "corpus has organic cross-doc repeats by construction"
     for r in rows:
