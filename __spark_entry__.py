@@ -110,6 +110,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_nb_apply",
     "mm_shard_rebalance",
     "stream_state_ttl",
+    "dedup_span_scrub_self",
+    "text_nb_confusion",
 })
 
 

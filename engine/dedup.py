@@ -2694,11 +2694,11 @@ _SSIM_W = 8      # anchor width in tokens — detects all runs >= W
 _SSIM_MIN = 12   # report threshold: emitted spans must run >= this
 _SSIM_DFCAP = 64  # anchor skew guard: drop grams seen > cap times
 
-
-@query(
-    "dedup_span_selfsim",
-    oracle=f"""
-    WITH toks AS MATERIALIZED (
+# Full self-sim span-detection CTE chain (through `spans`) — shared by
+# the locate key (dedup_span_selfsim) and the scrub key
+# (dedup_span_scrub_self) so anchor/threshold/cap semantics can never
+# drift between them (the _SPAN_CTES_SQL discipline, engine/text.py).
+_SSIM_CTES_SQL = f"""toks AS MATERIALIZED (
         SELECT doc_id, {_TOKENS_SQL.format(c="text")} AS t FROM documents
     ),
     g0 AS MATERIALIZED (
@@ -2732,55 +2732,16 @@ _SSIM_DFCAP = 64  # anchor skew guard: drop grams seen > cap times
                MAX(a_pos) - MIN(a_pos) + {_SSIM_W} AS span_len
         FROM isl GROUP BY doc_a, doc_b, diag, grp
         HAVING MAX(a_pos) - MIN(a_pos) + {_SSIM_W} >= {_SSIM_MIN}
-    )
-    SELECT CAST(doc_a AS BIGINT) AS doc_a,
-           CAST(doc_b AS BIGINT) AS doc_b,
-           CAST(a_start AS BIGINT) AS a_start,
-           CAST(a_start - diag AS BIGINT) AS b_start,
-           CAST(span_len AS BIGINT) AS span_len,
-           array_to_string(
-               list_slice(k.t, a_start, a_start + span_len - 1), ' ')
-               AS span_text
-    FROM spans JOIN toks k ON k.doc_id = spans.doc_a
-    """,
-)
-def dedup_span_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN-vs-TRAIN repeated-substring dedup at POSITION granularity
-    (Lee et al. 2022, deduplicating-repeated-substrings): every maximal
-    verbatim token run >= 12 tokens shared between two DIFFERENT
-    training documents, with exact start offsets on BOTH sides — the
-    corpus-side sibling of text_decontaminate_spans (which points the
-    same anchors-on-a-diagonal machinery at a bounded eval set).
-    Downstream, a scrubber cuts the doc_b occurrence and keeps doc_a's
-    (the doc_a < doc_b orientation makes "first occurrence wins"
-    deterministic).
+    )"""
 
-    Algorithm: positioned 8-token anchor grams built JVM-side from ONE
-    per-doc window (7 ``lead``s over the posexploded token stream — no
-    per-position HOF slice: an 8-wide indexed ``transform`` costs ~8
-    interpreted element_at evals per position, the winnowing trap);
-    anchors self-join on the gram string (doc_a < doc_b); consecutive
-    hits on one alignment DIAGONAL (a_pos - b_pos) merge into maximal
-    runs via gaps-and-islands; a run of W matching tokens yields exactly
-    W-7 consecutive anchor hits, so span_len = max - min + 8
-    reconstructs W exactly.
 
-    Scale design: unlike the eval-side key there is NO broadcastable
-    side — the anchor stream self-joins at corpus scale, which is safe
-    exactly because 8-gram anchors are RARE (candidate volume is
-    sum(df^2) over grams, near-linear for W=8; 3-grams would square the
-    stop-phrase mass).  The residual skew risk — one boilerplate gram
-    repeated across the corpus — is capped by df <= 64 (oracle-mirrored;
-    a no-op on this corpus where max df = 3, by design: the guard bounds
-    the worst case without changing observed semantics).  Shuffle
-    audit: exchange 1 = per-doc lead window; exchange 2 = gram window
-    for the df gate, whose partitioning the self-join then REUSES (both
-    sides read the same persisted, gram-partitioned frame — subset
-    rule, no third exchange for the join); exchange 3 = the islands
-    window on (doc_a, doc_b, diag), whose groupBy keys are a superset.
-    The persisted anchor frame is eagerly materialized before the
-    self-join (r12: a lazy persist feeding both sides of a self-join
-    gets raced and computes the subtree twice)."""
+def _selfsim_spans(spark: SparkSession, sf_dir: str):
+    """(toks, spans) frames of the self-sim span chain — the Spark twin
+    of :data:`_SSIM_CTES_SQL`, shared by the locate and scrub keys.
+    toks = (doc_id, t token-array); spans = maximal >= 12-token
+    verbatim cross-doc runs (doc_a < doc_b, diag, a_start, span_len).
+    The df-gated anchor frame persists and eagerly materializes before
+    feeding both sides of its self-join (r12 race rule)."""
     from engine.text import _tokens as _text_tokens
 
     d = load(spark, sf_dir, "documents")
@@ -2834,6 +2795,62 @@ def dedup_span_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_len") >= _SSIM_MIN)
     )
+    return toks, spans
+
+
+@query(
+    "dedup_span_selfsim",
+    oracle=f"""
+    WITH {_SSIM_CTES_SQL}
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_start - diag AS BIGINT) AS b_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+               list_slice(k.t, a_start, a_start + span_len - 1), ' ')
+               AS span_text
+    FROM spans JOIN toks k ON k.doc_id = spans.doc_a
+    """,
+)
+def dedup_span_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-vs-TRAIN repeated-substring dedup at POSITION granularity
+    (Lee et al. 2022, deduplicating-repeated-substrings): every maximal
+    verbatim token run >= 12 tokens shared between two DIFFERENT
+    training documents, with exact start offsets on BOTH sides — the
+    corpus-side sibling of text_decontaminate_spans (which points the
+    same anchors-on-a-diagonal machinery at a bounded eval set).
+    Downstream, a scrubber cuts the doc_b occurrence and keeps doc_a's
+    (the doc_a < doc_b orientation makes "first occurrence wins"
+    deterministic).
+
+    Algorithm: positioned 8-token anchor grams built JVM-side from ONE
+    per-doc window (7 ``lead``s over the posexploded token stream — no
+    per-position HOF slice: an 8-wide indexed ``transform`` costs ~8
+    interpreted element_at evals per position, the winnowing trap);
+    anchors self-join on the gram string (doc_a < doc_b); consecutive
+    hits on one alignment DIAGONAL (a_pos - b_pos) merge into maximal
+    runs via gaps-and-islands; a run of W matching tokens yields exactly
+    W-7 consecutive anchor hits, so span_len = max - min + 8
+    reconstructs W exactly.
+
+    Scale design: unlike the eval-side key there is NO broadcastable
+    side — the anchor stream self-joins at corpus scale, which is safe
+    exactly because 8-gram anchors are RARE (candidate volume is
+    sum(df^2) over grams, near-linear for W=8; 3-grams would square the
+    stop-phrase mass).  The residual skew risk — one boilerplate gram
+    repeated across the corpus — is capped by df <= 64 (oracle-mirrored;
+    a no-op on this corpus where max df = 3, by design: the guard bounds
+    the worst case without changing observed semantics).  Shuffle
+    audit: exchange 1 = per-doc lead window; exchange 2 = gram window
+    for the df gate, whose partitioning the self-join then REUSES (both
+    sides read the same persisted, gram-partitioned frame — subset
+    rule, no third exchange for the join); exchange 3 = the islands
+    window on (doc_a, doc_b, diag), whose groupBy keys are a superset.
+    The persisted anchor frame is eagerly materialized before the
+    self-join (r12: a lazy persist feeding both sides of a self-join
+    gets raced and computes the subtree twice)."""
+    toks, spans = _selfsim_spans(spark, sf_dir)
     return spans.join(
         toks.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a"
     ).select(
@@ -2850,4 +2867,100 @@ def dedup_span_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("span_text"),
+    )
+
+
+@query(
+    "dedup_span_scrub_self",
+    oracle=f"""
+    WITH {_SSIM_CTES_SQL},
+    cov AS (
+        SELECT DISTINCT doc_b, CAST(p AS BIGINT) AS cpos
+        FROM spans, UNNEST(range(a_start - diag,
+                                 a_start - diag + span_len)) AS u(p)
+    ),
+    ptok AS (
+        SELECT k.doc_id, CAST(i AS BIGINT) AS pos, k.t[i] AS tok
+        FROM toks k, UNNEST(range(1, len(k.t) + 1)) AS s(i)
+        WHERE k.doc_id IN (SELECT doc_b FROM cov)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.cpos) AS BIGINT) AS n_removed,
+           string_agg(CASE WHEN c.cpos IS NULL THEN p.tok
+                           ELSE '[dup]' END, ' ' ORDER BY p.pos)
+               AS scrubbed_text
+    FROM ptok p LEFT JOIN cov c ON c.doc_b = p.doc_id AND c.cpos = p.pos
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_span_scrub_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of repeated-substring dedup (Lee et al. 2022
+    cut the LATER occurrence and keep the first): rewrite every
+    document that repeats a >= 12-token span of an earlier document
+    (doc_a < doc_b — first occurrence wins, so doc_a stays untouched),
+    masking exactly the repeated token positions on the doc_b side
+    with a '[dup]' sentinel.  Completes the self-dedup family: locate
+    (dedup_span_selfsim) -> scrub (this key), sharing one span chain
+    via :func:`_selfsim_spans` / :data:`_SSIM_CTES_SQL` so anchor,
+    threshold and cap semantics cannot drift — the
+    text_decontaminate_scrub discipline pointed at the corpus itself.
+
+    Covered positions explode each span's b-side range [b_start,
+    b_start + span_len) (span_len >= 12 > 0, never a descending
+    sequence); overlapping spans from different partners dedup through
+    the DISTINCT.  The rewrite is a positioned-token LEFT JOIN against
+    the covered set and an ordered reassembly.
+
+    Scale: spans are repeat-density-bounded, tiny next to the corpus;
+    the left_semi doc filter prunes the token explode to AFFECTED
+    doc_b's before any reassembly, so the groupBy(doc_id) exchange
+    carries only duplicated docs — at 100 TB the scrub rewrites the
+    repeated sliver, never the corpus."""
+    toks, spans = _selfsim_spans(spark, sf_dir)
+    cov = (
+        spans.select(
+            "doc_b",
+            F.explode(
+                F.sequence(
+                    F.col("a_start") - F.col("diag"),
+                    F.col("a_start") - F.col("diag") + F.col("span_len") - 1,
+                )
+            ).alias("p0"),
+        )
+        .select("doc_b", F.col("p0").cast("long").alias("cpos"))
+        .distinct()
+    )
+    affected = toks.join(
+        cov.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    # cov and ptok both descend from the documents scan — every
+    # non-join column renamed per side (cpos vs pos, doc_b vs doc_id)
+    ptok = affected.select(
+        "doc_id", F.posexplode(F.col("t")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+    masked = ptok.join(
+        cov,
+        (F.col("doc_b") == F.col("doc_id")) & (F.col("cpos") == F.col("pos")),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("cpos").isNull(), F.col("tok"))
+        .otherwise(F.lit("[dup]"))
+        .alias("tok"),
+        F.col("cpos").alias("hit"),
+    )
+    return masked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("hit").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
     )

@@ -3133,10 +3133,10 @@ def text_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_nb_apply",
-    oracle=f"""
-    WITH {_NB_CTES_SQL},
+# Holdout-scoring CTE chain through `pred` (per-doc verdicts) — shared
+# by the apply key and the confusion-matrix key so scoring/tiebreak
+# semantics can never drift between them.
+_NB_PRED_SQL = f"""{_NB_CTES_SQL},
     ho AS (
         SELECT d.doc_id, l.hq AS true_hq, t.tok
         FROM documents d JOIN lab l USING (doc_id),
@@ -3149,20 +3149,31 @@ def text_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ho h CROSS JOIN cls c
         LEFT JOIN ll l ON l.hq = c.hq AND l.tok = h.tok
         GROUP BY h.doc_id, h.true_hq, c.hq, c.prior_e4
-    )
-    SELECT doc_id, CAST(true_hq AS BIGINT) AS true_hq,
-           CAST(MAX(CASE WHEN hq = 0 THEN score_e4 END) AS BIGINT)
-               AS score0_e4,
-           CAST(MAX(CASE WHEN hq = 1 THEN score_e4 END) AS BIGINT)
-               AS score1_e4,
-           CAST(CASE WHEN MAX(CASE WHEN hq = 1 THEN score_e4 END)
-                          > MAX(CASE WHEN hq = 0 THEN score_e4 END)
-                     THEN 1 ELSE 0 END AS BIGINT) AS pred_hq,
-           CAST(CASE WHEN (CASE WHEN MAX(CASE WHEN hq = 1 THEN score_e4 END)
-                                     > MAX(CASE WHEN hq = 0 THEN score_e4 END)
-                                THEN 1 ELSE 0 END) = true_hq
-                     THEN 1 ELSE 0 END AS BIGINT) AS correct
-    FROM sc GROUP BY doc_id, true_hq
+    ),
+    pred AS (
+        SELECT doc_id, CAST(true_hq AS BIGINT) AS true_hq,
+               CAST(MAX(CASE WHEN hq = 0 THEN score_e4 END) AS BIGINT)
+                   AS score0_e4,
+               CAST(MAX(CASE WHEN hq = 1 THEN score_e4 END) AS BIGINT)
+                   AS score1_e4,
+               CAST(CASE WHEN MAX(CASE WHEN hq = 1 THEN score_e4 END)
+                              > MAX(CASE WHEN hq = 0 THEN score_e4 END)
+                         THEN 1 ELSE 0 END AS BIGINT) AS pred_hq,
+               CAST(CASE WHEN (CASE WHEN
+                                   MAX(CASE WHEN hq = 1 THEN score_e4 END)
+                                   > MAX(CASE WHEN hq = 0 THEN score_e4 END)
+                                   THEN 1 ELSE 0 END) = true_hq
+                         THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM sc GROUP BY doc_id, true_hq
+    )"""
+
+
+@query(
+    "text_nb_apply",
+    oracle=f"""
+    WITH {_NB_PRED_SQL}
+    SELECT doc_id, true_hq, score0_e4, score1_e4, pred_hq, correct
+    FROM pred
     """,
 )
 def text_nb_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3182,6 +3193,13 @@ def text_nb_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (classes x vocab) and reduces per (doc, class) — map-side partials,
     one shuffle on doc_id; the per-doc pivot to (score0, score1) rides
     the same grouping."""
+    return _nb_predictions(spark, sf_dir)
+
+
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-holdout-doc NB verdicts — the Spark twin of
+    :data:`_NB_PRED_SQL`, shared by text_nb_apply and
+    text_nb_confusion."""
     lab, ll, cls = _nb_model(spark, sf_dir)
     ho = lab.filter(F.col("doc_id") % _NB_SPLIT == 0).select(
         "doc_id",
@@ -3214,4 +3232,49 @@ def text_nb_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("true_hq").cast("long").alias("true_hq"),
         "score0_e4", "score1_e4", "pred_hq", "correct",
+    )
+
+
+@query(
+    "text_nb_confusion",
+    oracle=f"""
+    WITH {_NB_PRED_SQL}
+    SELECT true_hq, pred_hq,
+           CAST(COUNT(*) AS BIGINT) AS n_cell,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY true_hq) AS BIGINT)
+               AS n_true,
+           CAST(10000 * COUNT(*)
+                // SUM(COUNT(*)) OVER (PARTITION BY true_hq) AS BIGINT)
+               AS share_bp
+    FROM pred GROUP BY true_hq, pred_hq
+    """,
+)
+def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the distilled NB classifier on the holdout —
+    the eval artifact a pipeline gates deployment on: one row per
+    (true, predicted) cell with its count, the true-class marginal,
+    and the cell's basis-point share of its true class (diagonal
+    cells = per-class recall; 10000·n div marginal, the exact-integer
+    recall_bp discipline).  Completes the classifier family:
+    train (text_nb_train) -> apply (text_nb_apply) -> evaluate (this
+    key), all three off ONE shared model/prediction chain
+    (_nb_model / _nb_predictions ↔ _NB_CTES_SQL / _NB_PRED_SQL) so no
+    pair can drift.
+
+    Scale: aggregates the per-doc verdict frame — 2x2 cells regardless
+    of corpus size; the marginal window's partitionBy(true_hq) is a
+    subset of the groupBy keys, so it rides the same exchange."""
+    pred = _nb_predictions(spark, sf_dir)
+    cells = pred.groupBy("true_hq", "pred_hq").agg(
+        F.count("*").alias("n_cell")
+    )
+    wt = Window.partitionBy("true_hq")
+    return cells.select(
+        "true_hq",
+        "pred_hq",
+        F.col("n_cell").cast("long").alias("n_cell"),
+        F.sum("n_cell").over(wt).cast("long").alias("n_true"),
+        F.expr("10000 * n_cell div sum(n_cell) over (partition by true_hq)")
+        .cast("long")
+        .alias("share_bp"),
     )

@@ -1865,3 +1865,50 @@ def test_shard_rebalance_invariants(spark):
             first_next = [r for r in rs if r.out_seq == s + 1][0]
             assert fills[s] + first_next.sample_bytes > _REBAL_TARGET
         assert sum(r.sample_bytes for r in rs) == sum(fills.values())
+
+
+def test_span_scrub_self_masks_exactly_covered_positions(spark):
+    # the scrub masks EXACTLY the union of b-side span ranges reported
+    # by the locate key (shared chain), preserves token counts, and
+    # never touches a doc that is only ever a doc_a (first occurrence)
+    spans = engine.QUERIES["dedup_span_selfsim"](spark, SF_DIR).collect()
+    cov: dict = {}
+    for s in spans:
+        cov.setdefault(s.doc_b, set()).update(
+            range(s.b_start, s.b_start + s.span_len)
+        )
+    out = engine.QUERIES["dedup_span_scrub_self"](spark, SF_DIR).collect()
+    assert {r.doc_id for r in out} == set(cov)
+    from engine.text import _tokens
+
+    toks = {
+        r.doc_id: r.t
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+        .collect()
+    }
+    for r in out:
+        scrubbed = r.scrubbed_text.split(" ")
+        orig = toks[r.doc_id]
+        assert len(scrubbed) == len(orig) == r.n_tokens
+        hit = {i + 1 for i, t in enumerate(scrubbed) if t == "[dup]"}
+        assert hit == cov[r.doc_id]
+        assert r.n_removed == len(hit)
+        for i, t in enumerate(scrubbed):
+            if t != "[dup]":
+                assert t == orig[i]
+
+
+def test_nb_confusion_consistent_with_apply(spark):
+    # cells sum to the holdout; every cell recomputes from the per-doc
+    # verdicts; diagonal share_bp is the per-class recall
+    preds = engine.QUERIES["text_nb_apply"](spark, SF_DIR).collect()
+    cells = engine.QUERIES["text_nb_confusion"](spark, SF_DIR).collect()
+    assert sum(c.n_cell for c in cells) == len(preds)
+    import collections
+    want = collections.Counter((p.true_hq, p.pred_hq) for p in preds)
+    marg = collections.Counter(p.true_hq for p in preds)
+    assert {(c.true_hq, c.pred_hq): c.n_cell for c in cells} == dict(want)
+    for c in cells:
+        assert c.n_true == marg[c.true_hq]
+        assert c.share_bp == 10000 * c.n_cell // c.n_true
