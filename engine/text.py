@@ -3029,6 +3029,9 @@ def _nb_label(toks: F.Column) -> F.Column:
     return F.when(n_stop * _NB_STOPK < F.size(toks), 1).otherwise(0)
 
 
+_NB_MODEL_MEMO: dict = {}
+
+
 def _nb_model(spark: SparkSession, sf_dir: str):
     """(ll, cls) frames of the trained NB model — the Spark twin of
     :data:`_NB_CTES_SQL`.  ll = per-(class, term) Laplace-smoothed
@@ -3036,7 +3039,29 @@ def _nb_model(spark: SparkSession, sf_dir: str):
     unseen-term default, e4-pinned.  All counts exact BIGINTs; ln is
     the only transcendental and is floor-pinned IMMEDIATELY (the
     text_unigram_logprob discipline), so everything downstream is
-    order-independent integer arithmetic."""
+    order-independent integer arithmetic.
+
+    Memoized per (applicationId, sf_dir) with a live storageLevel
+    probe (the _ivf_fixed_ranked discipline): three consumer keys
+    (train / apply / confusion) share ONE persisted lab + tr pair per
+    session instead of registering their own, and a clearCache() under
+    the memo re-persists + re-materializes instead of racing."""
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_dir)
+    for stale in [k for k in list(_NB_MODEL_MEMO) if k[0] != app]:
+        _NB_MODEL_MEMO.pop(stale, None)
+    hit = _NB_MODEL_MEMO.get(memo_key)
+    if hit is not None:
+        value, lab_c, tr_c = hit
+        lost = [
+            df for df in (lab_c, tr_c)
+            if not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        ]
+        if lost:
+            for df in lost:
+                df.persist()
+            tr_c.count()
+        return value
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
@@ -3096,7 +3121,9 @@ def _nb_model(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("ll0_e4"),
     )
-    return lab, ll, cls
+    value = (lab, ll, cls)
+    _NB_MODEL_MEMO[memo_key] = (value, lab, tr)
+    return value
 
 
 @query(
