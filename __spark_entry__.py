@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "stream_state_ttl",
     "dedup_span_scrub_self",
     "text_nb_confusion",
+    "sim_hard_negative_mining",
 })
 
 

@@ -4037,3 +4037,143 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_e4"),
         )
     )
+
+
+# -- hard-negative mining (r16 late: contrastive-training data prep — the
+# -- triplet builder an embedding-model pipeline runs over labeled vectors) --
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH qq AS MATERIALIZED (
+        SELECT vec_id, label, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS eq FROM qq
+           ORDER BY ((vec_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
+                    vec_id LIMIT 8),
+    sc AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS cand_id,
+               e.label AS cand_label,
+               FLOOR(CAST(SUM(q.eq[i] * e.qv[i]) AS DOUBLE)
+                     / (SQRT(CAST(SUM(q.eq[i] * q.eq[i]) AS DOUBLE))
+                        * SQRT(CAST(SUM(e.qv[i] * e.qv[i]) AS DOUBLE)))
+                     * 1000000 + 0.5) AS cos_e6
+        FROM qs q, qq e, {_DIMS} s
+        WHERE e.vec_id <> q.q_id
+        GROUP BY q.q_id, q.q_label, e.vec_id, e.label
+    ),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id, (cand_label = q_label)
+            ORDER BY cos_e6 DESC, cand_id ASC) AS rn
+        FROM sc
+    )
+    SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cand_id END)
+                AS BIGINT) AS pos_id,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cos_e6 END)
+                AS BIGINT) AS pos_cos_e6,
+           CAST(MAX(CASE WHEN cand_label <> q_label THEN cand_id END)
+                AS BIGINT) AS neg_id,
+           CAST(MAX(CASE WHEN cand_label <> q_label THEN cos_e6 END)
+                AS BIGINT) AS neg_cos_e6,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cos_e6 END)
+                - MAX(CASE WHEN cand_label <> q_label THEN cos_e6 END)
+                AS BIGINT) AS margin_e6
+    FROM rk WHERE rn = 1
+    GROUP BY q_id, q_label
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the triplet builder a contrastive
+    embedding-training pipeline runs over labeled vectors: per anchor
+    query, the POSITIVE is its nearest same-label neighbor and the
+    HARD NEGATIVE its nearest OTHER-label neighbor (the negative that
+    most confuses the model — random negatives are trivially easy),
+    with the separation margin = pos_cos - neg_cos emitted so curricula
+    can sort anchors hardest-first.
+
+    Exactness: _KM_SCALE-quantized cosine pinned to e6 (bit-identical
+    by construction — the r16 integer-quantization discipline), ties
+    broken by candidate id; the pos/neg split is one ROW_NUMBER window
+    partitioned by (query, same-label?).
+
+    Scale: the anchor set is the bounded hash-ordered query draw (8
+    rows riding the Arrow kernel's closure); scoring is one quantized
+    matmul per batch, map-only (the sim_knn_topk_blocked plan) — the
+    candidate stream never shuffles until the (query, same) window
+    over q x N scored rows, and at 100 TB the exact scan is replaced
+    by an ANN candidate probe (sim_ivf_fixed_topk) feeding the same
+    window, which also bounds the window's input."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+    from engine.text import _RET_A, _RET_B, _RET_P
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    h = ((F.col("vec_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
+    qv = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(8)
+    qrows = sorted(collect_model_artifact(qv), key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_labels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    Q = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+        * _KM_SCALE
+    )
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _KM_SCALE
+            )
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = np.floor(
+                X @ Q.T / (xn[:, None] * qn[None, :]) * 1000000 + 0.5
+            ).astype(np.int64)
+            out = {"q_id": [], "q_label": [], "cand_id": [],
+                   "cand_label": [], "cos_e6": []}
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                out["q_id"].extend([q_ids[j]] * int(mask.sum()))
+                out["q_label"].extend([q_labels[j]] * int(mask.sum()))
+                out["cand_id"].extend(ids[mask])
+                out["cand_label"].extend(labs[mask])
+                out["cos_e6"].extend(cos[mask, j])
+            yield pd.DataFrame(out)
+
+    sc = e.mapInPandas(
+        score,
+        "q_id long, q_label long, cand_id long, cand_label long, cos_e6 long",
+    )
+    same = (F.col("cand_label") == F.col("q_label")).cast("int")
+    w = Window.partitionBy("q_id", "same").orderBy(
+        F.desc("cos_e6"), F.asc("cand_id")
+    )
+    best = (
+        sc.withColumn("same", same)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    pos_c = F.when(F.col("same") == 1, F.col("cos_e6"))
+    neg_c = F.when(F.col("same") == 0, F.col("cos_e6"))
+    return best.groupBy("q_id", "q_label").agg(
+        F.max(F.when(F.col("same") == 1, F.col("cand_id")))
+        .cast("long")
+        .alias("pos_id"),
+        F.max(pos_c).cast("long").alias("pos_cos_e6"),
+        F.max(F.when(F.col("same") == 0, F.col("cand_id")))
+        .cast("long")
+        .alias("neg_id"),
+        F.max(neg_c).cast("long").alias("neg_cos_e6"),
+        (F.max(pos_c) - F.max(neg_c)).cast("long").alias("margin_e6"),
+    )

@@ -1912,3 +1912,48 @@ def test_nb_confusion_consistent_with_apply(spark):
     for c in cells:
         assert c.n_true == marg[c.true_hq]
         assert c.share_bp == 10000 * c.n_cell // c.n_true
+
+
+def test_hard_negative_mining_brute_force(spark):
+    # brute-force replay: per anchor, the emitted positive is the
+    # max-cosine SAME-label candidate and the negative the max-cosine
+    # OTHER-label candidate (quantized pins, id tiebreak); margin
+    # recomputes
+    import numpy as np
+    from engine.similarity import _KM_SCALE
+    from engine.text import _RET_A, _RET_B, _RET_P
+
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labs = np.array([r.label for r in rows], dtype=np.int64)
+    X = np.floor(
+        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        * _KM_SCALE
+    )
+    xn = np.sqrt((X * X).sum(axis=1))
+    # replicate the hash draw exactly: key = ((id % P) * A + B) % P
+    key = ((ids % _RET_P) * _RET_A + _RET_B) % _RET_P
+    order = np.lexsort((ids, key))[:8]
+    out = engine.QUERIES["sim_hard_negative_mining"](spark, SF_DIR).collect()
+    got = {r.q_id: r for r in out}
+    assert len(got) == 8
+    for qi in order:
+        q_id, q_lab = int(ids[qi]), int(labs[qi])
+        cos = np.floor(
+            X @ X[qi] / (xn * xn[qi]) * 1000000 + 0.5
+        ).astype(np.int64)
+        m = ids != q_id
+        def argbest(mask):
+            cand = np.where(m & mask)[0]
+            best = cand[np.lexsort((ids[cand], -cos[cand]))][0]
+            return int(ids[best]), int(cos[best])
+        pos_id, pos_c = argbest(labs == q_lab)
+        neg_id, neg_c = argbest(labs != q_lab)
+        r = got[q_id]
+        assert (r.q_label, r.pos_id, r.pos_cos_e6, r.neg_id,
+                r.neg_cos_e6, r.margin_e6) == (
+            q_lab, pos_id, pos_c, neg_id, neg_c, pos_c - neg_c)
