@@ -103,16 +103,7 @@ def _bench_times() -> dict[str, float]:
 # outrank these.  Rotated at each round boundary once the cohort's
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-16 additions (r15's 10 keys all drained to CORRECTNESS_r15)
-    "limit_keyset_pagination",
-    "dedup_span_selfsim",
-    "text_nb_train",
-    "text_nb_apply",
-    "mm_shard_rebalance",
-    "stream_state_ttl",
-    "dedup_span_scrub_self",
-    "text_nb_confusion",
-    "sim_hard_negative_mining",
+    # round-17 additions (r16's 9 keys all drained to CORRECTNESS_r16)
 })
 
 

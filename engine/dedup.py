@@ -2951,8 +2951,13 @@ def dedup_span_scrub_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_b", F.col("p0").cast("long").alias("cpos"))
         .distinct()
     )
+    # Affected docs come from spans DIRECTLY (span_len >= 12 > 0, so
+    # every span row yields covered positions — doc_b sets identical),
+    # leaving cov with exactly ONE consumer (the positional join): the
+    # explode+distinct subtree runs once, no persist needed (r16 ADVICE
+    # — the prior left_semi on cov re-ran that subtree per consumer).
     affected = toks.join(
-        cov.select(F.col("doc_b").alias("doc_id")).distinct(),
+        spans.select(F.col("doc_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_semi",
     )

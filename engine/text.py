@@ -3060,7 +3060,11 @@ def _nb_model(spark: SparkSession, sf_dir: str):
         if lost:
             for df in lost:
                 df.persist()
-            tr_c.count()
+            # Materialize the DEEPEST lost frame: tr's count fills lab's
+            # cache too (lineage), but counting tr when only lab was
+            # dropped reads through tr's cache and leaves lab lazy — one
+            # refactor from the r12 lazy-persist race (r16 VERDICT #3).
+            (tr_c if any(df is tr_c for df in lost) else lab_c).count()
         return value
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
@@ -3073,7 +3077,14 @@ def _nb_model(spark: SparkSession, sf_dir: str):
     lab = d.select(
         "doc_id", "toks", _nb_label(F.col("toks")).alias("hq")
     ).persist()
-    trd = lab.filter(F.col("doc_id") % _NB_SPLIT != 0)
+    # size(toks) > 0 mirrors the oracle, where tc/nd count doc_ids FROM
+    # the UNNESTed stream and UNNEST drops zero-token docs — without it
+    # a corpus regen introducing one empty/whitespace-only document
+    # would silently shift the priors (r16 ADVICE; corpus has 0 such
+    # docs today, so this is hash-neutral now and regen-proof later).
+    trd = lab.filter(
+        (F.col("doc_id") % _NB_SPLIT != 0) & (F.size("toks") > 0)
+    )
     tr = trd.select("doc_id", "hq", F.explode("toks").alias("tok")).persist()
     tr.count()
     ctc = tr.groupBy("hq", "tok").agg(F.count("*").alias("n_tc"))

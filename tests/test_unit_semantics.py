@@ -1814,6 +1814,73 @@ def test_span_selfsim_verbatim_and_maximal(spark):
             assert ta[ae] != tb[be], "right-extensible span"
 
 
+def test_nb_memo_revalidates_after_clear_cache(spark):
+    # spark.catalog.clearCache() unregisters persisted frames UNDER the
+    # _NB_MODEL_MEMO (the r16 _ivf_fixed_ranked lesson): the memo must
+    # probe storageLevel, re-persist what was lost, and eagerly
+    # materialize the DEEPEST lost frame — counting tr when only lab
+    # was dropped reads through tr's cache and leaves lab lazy (r16
+    # VERDICT #3).  Results must be identical through every loss shape.
+    from engine.text import _NB_MODEL_MEMO, _nb_model
+
+    def _cached(df):
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+    spark.catalog.clearCache()
+    _NB_MODEL_MEMO.clear()
+    base = sorted(
+        map(tuple, engine.QUERIES["text_nb_confusion"](spark, SF_DIR).collect())
+    )
+    memo_key = (spark.sparkContext.applicationId, SF_DIR)
+    _, lab, tr = _NB_MODEL_MEMO[memo_key]
+    assert _cached(lab) and _cached(tr)
+
+    # full loss: clearCache drops both registrations under the memo
+    spark.catalog.clearCache()
+    assert not _cached(lab) and not _cached(tr)
+    _nb_model(spark, SF_DIR)
+    assert _cached(lab) and _cached(tr)
+
+    # partial loss: only the SHALLOW frame (lab) dropped — the fixed
+    # branch must count lab itself, not read through tr's intact cache
+    lab.unpersist(blocking=True)
+    assert not _cached(lab) and _cached(tr)
+    _nb_model(spark, SF_DIR)
+    assert _cached(lab) and _cached(tr)
+    again = sorted(
+        map(tuple, engine.QUERIES["text_nb_confusion"](spark, SF_DIR).collect())
+    )
+    assert again == base
+
+
+def test_quantized_norms_nonzero(spark):
+    # floor(x * _KM_SCALE) quantization makes a ZERO norm possible for a
+    # vector whose components are all |x| < 1/_KM_SCALE: the cosine
+    # divide then yields NaN/inf -> undefined int64 cast (Spark) vs a
+    # division-by-zero path (DuckDB), silently diverging every
+    # quantized-cosine key (hard_negative_mining, rrf_fusion,
+    # ivf_incremental_upsert).  Assert the corpus precondition so a
+    # regen fails HERE with the real cause (r16 ADVICE; the
+    # _SSIM_DFCAP cap-precondition pattern).  Current corpus min
+    # quantized norm-squared is ~16.7M, far from the edge.
+    import numpy as np
+
+    from engine.similarity import _KM_SCALE
+
+    X = np.stack(
+        load(spark, SF_DIR, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    qn2 = (np.floor(X * _KM_SCALE) ** 2).sum(axis=1)
+    assert qn2.min() > 0, (
+        f"corpus regen produced a vector with zero quantized norm "
+        f"(min norm-sq {qn2.min()}): quantized-cosine keys now divide "
+        "by zero — raise _KM_SCALE or guard the divide on both engines"
+    )
+
+
 def test_nb_train_apply_consistency(spark):
     # model sanity: every observed (class, term) likelihood beats the
     # unseen-term default (n_tc >= 1 => ln((n+1)/D) > ln(1/D)); priors
