@@ -104,6 +104,8 @@ def _bench_times() -> dict[str, float]:
 # CORRECTNESS rows land.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-17 additions (r16's 9 keys all drained to CORRECTNESS_r16)
+    "text_nb_calibration",
+    "graph_modularity_score",
 })
 
 

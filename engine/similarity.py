@@ -2801,10 +2801,12 @@ _LPA_ITERS = 4  # fixed synchronous rounds (LPA can 2-cycle on bipartite
                 # unlike Lloyd/CC; fixed unroll keeps both engines exact)
 
 
-def _lpa_oracle() -> str:
-    """Unrolled synchronous-LPA twin over the block-cosine graph —
-    iteration CTEs generated from _LPA_ITERS like _pr_oracle, so the
-    constant can never desync engine from oracle."""
+def _lpa_ctes() -> str:
+    """Unrolled synchronous-LPA CTE body over the block-cosine graph
+    (through ``lab`` = the final (node, label) partition) — iteration
+    CTEs generated from _LPA_ITERS like _pr_oracle, so the constant can
+    never desync engine from oracle.  Shared by graph_label_propagation
+    and graph_modularity_score (one partition definition, two views)."""
     its = []
     prev = "l0"
     for i in range(1, _LPA_ITERS + 1):
@@ -2819,18 +2821,24 @@ def _lpa_oracle() -> str:
         ) WHERE rn = 1
     )""")
         prev = f"l{i}"
-    return f"""
-    WITH {_GRAPH_EDGES_SQL},
+    return f"""{_GRAPH_EDGES_SQL},
     und AS (
         SELECT src AS u, dst AS v FROM edges
         UNION ALL
         SELECT dst AS u, src AS v FROM edges
     ),
     l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
-    {",".join(its)}
+    {",".join(its)},
+    lab AS (SELECT node, label FROM {prev})
+    """
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    WITH {_lpa_ctes()}
     SELECT node, label,
            CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS csize
-    FROM {prev}
+    FROM lab
     """
 
 
@@ -2859,17 +2867,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     message shape; und persists once and is re-read by all rounds
     (PageRank's links.cache() idiom).  Argmax is max_by over a
     (count, -label) struct — no per-v window, aggregation only."""
+    _, labels = _lpa_partition(spark, sf_dir)
+    w = Window.partitionBy("label")
+    return labels.select(
+        "node", "label", F.count("*").over(w).cast("long").alias("csize")
+    )
+
+
+def _lpa_partition(spark: SparkSession, sf_dir: str):
+    """(und, labels) — the undirected block-cosine edge stream (u, v)
+    and the _LPA_ITERS-round synchronous-LPA partition (node, label),
+    the Spark twin of :func:`_lpa_ctes`'s ``und``/``lab`` CTEs.  Shared
+    by graph_label_propagation and graph_modularity_score so the
+    partition the quality metric scores IS the partition the detection
+    key emits.  ``und`` returns persisted AND materialized (round 1's
+    join consumes it on both sides — the r12 lazy-persist-race class;
+    measured sf0.1, 4 runs one session: lazy [9.48, 2.29, 1.76, 1.58]
+    vs eager [9.03, 1.91, 1.58, 1.53] — eager wins every run)."""
     edges = _cos_block_edges(spark, sf_dir)
     und = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .persist()
     )
-    # Eager materialization: round 1's join consumes und on BOTH sides
-    # (labels derives from und), the r12 lazy-persist-race class — the
-    # cosine-edge subtree is the expensive part and would compute twice.
-    # Measured (sf0.1, 4 runs one session): lazy [9.48, 2.29, 1.76,
-    # 1.58] vs eager [9.03, 1.91, 1.58, 1.53] — eager wins every run.
     und.count()
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -2883,9 +2903,120 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = counted.groupBy("v").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
         ).select(F.col("v").alias("node"), (-F.col("m.nl")).alias("label"))
-    w = Window.partitionBy("label")
-    return labels.select(
-        "node", "label", F.count("*").over(w).cast("long").alias("csize")
+    return und, labels
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH {_lpa_ctes()},
+    deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY u
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_degree FROM und),
+    intra AS (
+        SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra_ends
+        FROM und JOIN lab la ON la.node = und.u
+                 JOIN lab lb ON lb.node = und.v
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ),
+    comm AS (
+        SELECT l.label,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+        FROM lab l JOIN deg d USING (node) GROUP BY l.label
+    )
+    SELECT c.label, c.n_nodes, c.deg_sum,
+           CAST(COALESCE(i.intra_ends, 0) AS BIGINT) AS intra_ends,
+           t.t_degree,
+           CAST(t.t_degree * COALESCE(i.intra_ends, 0)
+                - c.deg_sum * c.deg_sum AS BIGINT) AS q_num,
+           CAST(t.t_degree * t.t_degree AS BIGINT) AS q_den,
+           CAST(FLOOR(CAST(t.t_degree * COALESCE(i.intra_ends, 0)
+                           - c.deg_sum * c.deg_sum AS DOUBLE)
+                      / (CAST(t.t_degree AS DOUBLE) * t.t_degree)
+                      * 1000000000 + 0.5) AS BIGINT) AS q_e9
+    FROM comm c LEFT JOIN intra i USING (label) CROSS JOIN t
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY-QUALITY METRIC for the graph family (r16 VERDICT #3):
+    Newman-Girvan modularity of the graph_label_propagation partition
+    over the SHARED block-cosine graph — detect (LPA) -> evaluate
+    (this key), the way sim_ann_recall_eval closes the ANN loop.  Per
+    community c: Q_c = e2_c/T - (d_c/T)^2 where e2_c counts ordered
+    intra-community edge ENDS in the undirected stream (= 2x the intra
+    edge count), d_c is the community degree sum, and T = |und| = 2m
+    the total degree — so Q_c = (T*e2_c - d_c^2) / T^2 is an
+    INTEGER-SCALED RATIONAL emitted exactly (q_num / q_den, both exact
+    longs; sum(q_num)/q_den = Q).  Everything derives from ``und``
+    alone, so the scoring adds no second consumer of the raw cosine
+    edge frame.  q_e9 pins the per-community contribution at 9
+    decimals: one IEEE division of exact int64s, identical on both
+    engines by the r16 quantized-cosine argument (no transcendental, no
+    accumulation-order dependence).  Communities with no internal edge
+    still emit a row (q_num < 0 — their degree mass is pure cost).
+
+    Scale: degrees and intra-counts are two map-side-combinable
+    aggregates over the EDGE stream (never node^2); the label joins
+    key-partition on node; T broadcasts as a 1-row cross join.  The
+    labels frame feeds three consumers (two join sides + comm) and is
+    persisted + eagerly counted (und below it is already cached, so
+    the count pays one label-propagation pass, not an edge rebuild)."""
+    und, labels = _lpa_partition(spark, sf_dir)
+    lab = labels.persist()
+    lab.count()
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    t = und.agg(F.count("*").cast("long").alias("t_degree"))
+    la = lab.select(F.col("node").alias("u"), F.col("label").alias("l_u"))
+    lb = lab.select(F.col("node").alias("v"), F.col("label").alias("l_v"))
+    intra = (
+        und.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("l_u") == F.col("l_v"))
+        .groupBy(F.col("l_u").alias("label"))
+        .agg(F.count("*").alias("intra_ends"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"), F.sum("deg").alias("deg_sum"))
+    )
+    q_num = (
+        F.col("t_degree") * F.col("intra_ends")
+        - F.col("deg_sum") * F.col("deg_sum")
+    )
+    return (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.coalesce(F.col("intra_ends"), F.lit(0))
+            .cast("long")
+            .alias("intra_ends"),
+            "t_degree",
+        )
+        .select(
+            "label", "n_nodes", "deg_sum", "intra_ends", "t_degree",
+            q_num.cast("long").alias("q_num"),
+            (F.col("t_degree") * F.col("t_degree"))
+            .cast("long")
+            .alias("q_den"),
+            F.floor(
+                q_num.cast("double")
+                / (F.col("t_degree").cast("double") * F.col("t_degree"))
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q_e9"),
+        )
     )
 
 

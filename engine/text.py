@@ -3316,3 +3316,111 @@ def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+# Margin-threshold sweep grid for the calibration key: spans the
+# measured holdout margin overlap region (sf0.01: positives from
+# -2973 e4 up, negatives up to +6583 e4; full range -64k..+31k) with
+# the argmax rule's own cutoff (0) included, so one row reproduces
+# text_nb_confusion's operating point and its neighbors trace the
+# precision/recall tradeoff a deployment threshold is picked from.
+_NB_CAL_SWEEP = (-20000, -10000, -5000, -2000, 0, 2000, 5000, 10000, 20000)
+
+
+@query(
+    "text_nb_calibration",
+    oracle=f"""
+    WITH {_NB_PRED_SQL},
+    m AS (
+        SELECT true_hq, score1_e4 - score0_e4 AS margin FROM pred
+    ),
+    g AS (
+        SELECT CAST(unnest([{", ".join(str(t) for t in _NB_CAL_SWEEP)}])
+                    AS BIGINT) AS threshold_e4
+    ),
+    cm AS (
+        SELECT g.threshold_e4,
+               CAST(SUM(CASE WHEN m.margin > g.threshold_e4
+                                  AND m.true_hq = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN m.margin > g.threshold_e4
+                                  AND m.true_hq = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN m.margin <= g.threshold_e4
+                                  AND m.true_hq = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN m.margin <= g.threshold_e4
+                                  AND m.true_hq = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM g CROSS JOIN m GROUP BY g.threshold_e4
+    )
+    SELECT threshold_e4, tp, fp, fn, tn,
+           CAST(tp + fp AS BIGINT) AS n_pred_pos,
+           CASE WHEN tp + fp > 0
+                THEN CAST(10000 * tp // (tp + fp) AS BIGINT) END
+               AS precision_bp,
+           CASE WHEN tp + fn > 0
+                THEN CAST(10000 * tp // (tp + fn) AS BIGINT) END
+               AS recall_bp,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(20000 * tp // (2 * tp + fp + fn) AS BIGINT) END
+               AS f1_bp
+    FROM cm
+    """,
+)
+def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD CALIBRATION for the distilled NB gate — the sweep that
+    turns a trained score into a DEPLOYABLE cutoff (r16 VERDICT #2):
+    per margin threshold t, classify hq=1 iff score1 - score0 > t and
+    emit the full confusion counts plus precision / recall / F1 in
+    exact basis points (F1 via the harmonic-mean identity
+    2·TP/(2·TP+FP+FN) — integer div, no float P·R product).  t=0 is
+    the argmax rule, so that row cross-checks text_nb_confusion; the
+    grid spans the measured class-overlap region (the
+    dedup_cosine_calibration shape applied to _nb_predictions — one
+    shared scoring chain, so sweep and confusion can never drift).
+    Zero-denominator cells (no predicted positives at a high cutoff)
+    emit NULL rather than a fake 0 ratio.
+
+    Scale: the sweep costs ONE pass over the per-doc verdict frame —
+    each threshold is a set of conditional partial sums inside a single
+    map-side-combinable aggregate (no per-threshold rescan); the
+    long-form result is a constant 9-row stack of the 1-row aggregate."""
+    pred = _nb_predictions(spark, sf_dir)
+    m = F.col("score1_e4") - F.col("score0_e4")
+    pos = F.col("true_hq") == 1
+    aggs = []
+    for i, t in enumerate(_NB_CAL_SWEEP):
+        pp = m > t
+        aggs += [
+            F.sum((pp & pos).cast("long")).alias(f"tp{i}"),
+            F.sum((pp & ~pos).cast("long")).alias(f"fp{i}"),
+            F.sum((~pp & pos).cast("long")).alias(f"fn{i}"),
+            F.sum((~pp & ~pos).cast("long")).alias(f"tn{i}"),
+        ]
+    aggd = pred.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, tp{i}, fp{i}, fn{i}, tn{i}"
+        for i, t in enumerate(_NB_CAL_SWEEP)
+    )
+    return aggd.select(
+        F.expr(
+            f"stack({len(_NB_CAL_SWEEP)}, {stack})"
+            " AS (threshold_e4, tp, fp, fn, tn)"
+        )
+    ).select(
+        "threshold_e4", "tp", "fp", "fn", "tn",
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_pred_pos"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("10000 * tp div (tp + fp)"),
+        ).cast("long").alias("precision_bp"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("10000 * tp div (tp + fn)"),
+        ).cast("long").alias("recall_bp"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("20000 * tp div (2 * tp + fp + fn)"),
+        ).cast("long").alias("f1_bp"),
+    )

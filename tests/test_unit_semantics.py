@@ -1814,6 +1814,27 @@ def test_span_selfsim_verbatim_and_maximal(spark):
             assert ta[ae] != tb[be], "right-extensible span"
 
 
+def test_modularity_identities(spark):
+    # Exact-integer modularity invariants: community degree sums
+    # partition the total degree, intra ends never exceed it, global
+    # Q = sum(q_num)/q_den lies in Newman's [-1/2, 1) range, and the
+    # scored partition IS graph_label_propagation's partition (same
+    # labels, same community sizes).
+    rows = engine.QUERIES["graph_modularity_score"](spark, SF_DIR).collect()
+    assert rows
+    t = rows[0].t_degree
+    assert all(r.t_degree == t and r.q_den == t * t for r in rows)
+    assert sum(r.deg_sum for r in rows) == t
+    assert sum(r.intra_ends for r in rows) <= t
+    q = sum(r.q_num for r in rows) / (t * t)
+    assert -0.5 <= q < 1.0
+    lpa = engine.QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    csize = {}
+    for r in lpa:
+        csize[r.label] = r.csize
+    assert {r.label: r.n_nodes for r in rows} == csize
+
+
 def test_nb_memo_revalidates_after_clear_cache(spark):
     # spark.catalog.clearCache() unregisters persisted frames UNDER the
     # _NB_MODEL_MEMO (the r16 _ivf_fixed_ranked lesson): the memo must
