@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     # round-17 additions (r16's 9 keys all drained to CORRECTNESS_r16)
     "text_nb_calibration",
     "graph_modularity_score",
+    "sim_hard_negative_ivf",
 })
 
 

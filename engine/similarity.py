@@ -4308,3 +4308,206 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(neg_c).cast("long").alias("neg_cos_e6"),
         (F.max(pos_c) - F.max(neg_c)).cast("long").alias("margin_e6"),
     )
+
+
+@query(
+    "sim_hard_negative_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ec FROM embeddings
+        WHERE vec_id < {_IVF_K}
+    ),
+    ac AS (
+        SELECT e.vec_id, c.cid,
+               FLOOR(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE)
+                                   * CAST(c.ec[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_key
+        FROM embeddings e, cents c, {_DIMS} s
+        GROUP BY e.vec_id, c.cid
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_key DESC, cid ASC) AS crn
+        FROM ac
+    ),
+    inv AS (SELECT vec_id AS cand_id, cid AS list_id FROM ranked
+            WHERE crn = 1),
+    qq AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE})
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS eq FROM qq
+           ORDER BY ((vec_id % {_RET_P}) * {_RET_A} + {_RET_B}) % {_RET_P},
+                    vec_id LIMIT 8),
+    probes AS (
+        SELECT r.vec_id AS q_id, r.cid AS list_id
+        FROM ranked r JOIN qs ON qs.q_id = r.vec_id
+        WHERE r.crn <= {_IVF_PROBES}
+    ),
+    cand AS (
+        SELECT p.q_id, i.cand_id
+        FROM probes p JOIN inv i
+          ON i.list_id = p.list_id AND i.cand_id <> p.q_id
+    ),
+    sc AS (
+        SELECT c.q_id, q.q_label, c.cand_id, e.label AS cand_label,
+               FLOOR(CAST(SUM(q.eq[i] * e.qv[i]) AS DOUBLE)
+                     / (SQRT(CAST(SUM(q.eq[i] * q.eq[i]) AS DOUBLE))
+                        * SQRT(CAST(SUM(e.qv[i] * e.qv[i]) AS DOUBLE)))
+                     * 1000000 + 0.5) AS cos_e6
+        FROM cand c
+        JOIN qs q ON q.q_id = c.q_id
+        JOIN qq e ON e.vec_id = c.cand_id, {_DIMS} s
+        GROUP BY c.q_id, q.q_label, c.cand_id, e.label
+    ),
+    rk AS (
+        SELECT *,
+               CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_cand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id, (cand_label = q_label)
+                   ORDER BY cos_e6 DESC, cand_id ASC) AS rn
+        FROM sc
+    )
+    SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+           MAX(n_cand) AS n_cand,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cand_id END)
+                AS BIGINT) AS pos_id,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cos_e6 END)
+                AS BIGINT) AS pos_cos_e6,
+           CAST(MAX(CASE WHEN cand_label <> q_label THEN cand_id END)
+                AS BIGINT) AS neg_id,
+           CAST(MAX(CASE WHEN cand_label <> q_label THEN cos_e6 END)
+                AS BIGINT) AS neg_cos_e6,
+           CAST(MAX(CASE WHEN cand_label = q_label THEN cos_e6 END)
+                - MAX(CASE WHEN cand_label <> q_label THEN cos_e6 END)
+                AS BIGINT) AS margin_e6
+    FROM rk WHERE rn = 1
+    GROUP BY q_id, q_label
+    """,
+)
+def sim_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING THROUGH THE IVF INDEX — the at-scale
+    candidate path sim_hard_negative_mining's docstring promises
+    executed as its own hash-verified key (r16 VERDICT #8): instead of
+    scoring every anchor against the FULL collection, each anchor
+    probes its 2 nearest fixed-IVF lists (the shared _ivf_fixed_ranked
+    routing diamond — same centroids, pinning and tiebreak as
+    sim_ivf_fixed_topk) and mines its positive / hard negative from
+    the ~2N/K candidates those lists hold.  n_cand is emitted per
+    anchor so the candidate-volume reduction vs the exact scan is
+    itself data; anchors whose probed lists hold no same-label (or no
+    other-label) candidate emit NULL for that side — the honest ANN
+    recall tradeoff, visible rather than papered over.
+
+    Exactness: _KM_SCALE-quantized vectors make dot and norms exact
+    int64 sums (order-independent), so the e6-pinned cosine is
+    bit-identical by construction (the r16 integer-quantization
+    discipline); routing reuses the pinned-e6 centroid ranking.  The
+    scoring join is pure DataFrame algebra — quantized arrays are
+    PROJECTED columns before any higher-order fold (the r4 HOF
+    re-evaluation trap), ~190 interpreted lambda evals per candidate
+    pair, under the 200/row Arrow threshold.
+
+    Scale: the 16-row probe side broadcasts into the inverted-list
+    join; candidates per anchor are list-bounded (~2N/K, never N); the
+    count window partitions on q_id — a SUBSET of the (q_id, same)
+    rank window's keys, so both ride ONE exchange (CLAUDE.md subset
+    rule).  At 100 TB this is exactly the miner a contrastive-training
+    pipeline runs: index once, mine per anchor from probed lists."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    # Project the quantized array FIRST, fold norms in the next select
+    # (r4 trap: a computed array referenced inside a HOF lambda
+    # re-evaluates per element).
+    qe0 = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    qe = qe0.select(
+        "vec_id",
+        "label",
+        "qv",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    h = ((F.col("vec_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
+    qs = (
+        qe.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("qv").alias("eq"),
+            F.col("n2").alias("nq2"),
+        )
+    )
+    ranked = _ivf_fixed_ranked(spark, sf_dir, eager=True)  # inv AND probes
+    inv = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("cid").alias("list_id")
+    )
+    probes = ranked.join(
+        qs.select(F.col("q_id").alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("q_id"), F.col("cid").alias("list_id"))
+    cand = probes.join(inv, "list_id").filter(
+        F.col("cand_id") != F.col("q_id")
+    )
+    cside = qe.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("qv").alias("ec"),
+        F.col("n2").alias("nc2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("eq"), F.col("ec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_e6 = F.floor(
+        dot.cast("double")
+        / (F.sqrt(F.col("nq2").cast("double")) * F.sqrt(F.col("nc2").cast("double")))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        cand.join(F.broadcast(qs), "q_id")
+        .join(cside, "cand_id")
+        .select("q_id", "q_label", "cand_id", "cand_label",
+                cos_e6.alias("cos_e6"))
+    )
+    wq = Window.partitionBy("q_id")
+    w = Window.partitionBy("q_id", "same").orderBy(
+        F.desc("cos_e6"), F.asc("cand_id")
+    )
+    best = (
+        scored.withColumn("n_cand", F.count("*").over(wq))
+        .withColumn("same", (F.col("cand_label") == F.col("q_label")).cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    pos_c = F.max(F.when(F.col("same") == 1, F.col("cos_e6")))
+    neg_c = F.max(F.when(F.col("same") == 0, F.col("cos_e6")))
+    return best.groupBy("q_id", "q_label").agg(
+        F.max("n_cand").cast("long").alias("n_cand"),
+        F.max(F.when(F.col("same") == 1, F.col("cand_id")))
+        .cast("long")
+        .alias("pos_id"),
+        pos_c.cast("long").alias("pos_cos_e6"),
+        F.max(F.when(F.col("same") == 0, F.col("cand_id")))
+        .cast("long")
+        .alias("neg_id"),
+        neg_c.cast("long").alias("neg_cos_e6"),
+        (pos_c - neg_c).cast("long").alias("margin_e6"),
+    )

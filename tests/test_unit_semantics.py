@@ -1814,6 +1814,32 @@ def test_span_selfsim_verbatim_and_maximal(spark):
             assert ta[ae] != tb[be], "right-extensible span"
 
 
+def test_hard_negative_ivf_vs_exact(spark):
+    # The IVF-routed miner sees a SUBSET of the exact miner's
+    # candidates (same anchor draw, same quantized-e6 scoring), so per
+    # anchor: every emitted cosine is <= the exact scan's for that
+    # side, and the candidate volume is strictly below the full scan's
+    # N-1.  Equality of pos/neg ids when cosines match is NOT required
+    # (ties broken inside different candidate sets).
+    exact = {
+        r.q_id: r
+        for r in engine.QUERIES["sim_hard_negative_mining"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ivf = engine.QUERIES["sim_hard_negative_ivf"](spark, SF_DIR).collect()
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert {r.q_id for r in ivf} == set(exact)
+    for r in ivf:
+        ex = exact[r.q_id]
+        assert r.q_label == ex.q_label
+        assert 0 < r.n_cand < n_vecs - 1
+        if r.pos_cos_e6 is not None:
+            assert r.pos_cos_e6 <= ex.pos_cos_e6
+        if r.neg_cos_e6 is not None:
+            assert r.neg_cos_e6 <= ex.neg_cos_e6
+
+
 def test_modularity_identities(spark):
     # Exact-integer modularity invariants: community degree sums
     # partition the total degree, intra ends never exceed it, global
