@@ -107,6 +107,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_nb_calibration",
     "graph_modularity_score",
     "sim_hard_negative_ivf",
+    "stream_bloom_ingest",
 })
 
 

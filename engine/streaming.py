@@ -1959,3 +1959,233 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = _run_to_memory(audited, "update", "state_ttl")
     return spark.table(qname).select("user_id", "n", "last_us", "evicted")
+
+
+# -- streaming bloom ingest gate (r17: the dedup_bloom_seen_gate bit set
+# -- probed and GROWN from applyInPandasWithState across staged
+# -- microbatches — bounded-memory dedup without per-doc state) -------------
+
+_SBI_NB = 32           # state buckets: pos % _SBI_NB (bounded groups, r10)
+_SBI_RC1 = 400_000     # row-id offset: batch-1 re-crawls of %6==0 docs
+_SBI_RC2 = 500_000     # row-id offset: batch-2 re-crawls of %6==1 docs
+_SBI_RC3 = 600_000     # row-id offset: batch-2 SECOND re-crawl of %6==0
+
+
+def _bloom_ingest_rows(d: DataFrame) -> DataFrame:
+    """The deterministic 3-batch ingest log (row_id, batch_id, k) the
+    staged stream AND the exact audit both derive from — one
+    definition, so the replayed bytes and the oracle's view of them
+    cannot drift.  Batch 0: doc_id%3==0 originals; batch 1: %3==1
+    originals + verbatim re-crawls of %6==0 (their keys are already in
+    the batch-0 bloom); batch 2: %3==2 originals + re-crawls of %6==1
+    (batch-1 members) + a SECOND re-crawl of %6==0 (still flagged —
+    the bit set only grows)."""
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+
+    def part(flt, offset, batch):
+        return d.filter(flt).select(
+            (F.col("doc_id") + offset).cast("long").alias("row_id"),
+            F.lit(batch).cast("long").alias("batch_id"),
+            key.alias("k"),
+        )
+
+    m3, m6 = F.col("doc_id") % 3, F.col("doc_id") % 6
+    parts = [
+        part(m3 == 0, 0, 0),
+        part(m3 == 1, 0, 1),
+        part(m6 == 0, _SBI_RC1, 1),
+        part(m3 == 2, 0, 2),
+        part(m6 == 1, _SBI_RC2, 2),
+        part(m6 == 0, _SBI_RC3, 2),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sbi_oracle() -> str:
+    from engine.dedup import _BG_A, _BG_B, _BG_K, _BG_M, _M31
+
+    hashes = ", ".join(f"({j}, {_BG_A[j]}, {_BG_B[j]})" for j in range(_BG_K))
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS k
+        FROM documents
+    ),
+    ing AS (
+        SELECT doc_id AS row_id, 0 AS batch_id, k FROM d WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 1, k FROM d WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + {_SBI_RC1}, 1, k FROM d WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id, 2, k FROM d WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + {_SBI_RC2}, 2, k FROM d WHERE doc_id % 6 = 1
+        UNION ALL
+        SELECT doc_id + {_SBI_RC3}, 2, k FROM d WHERE doc_id % 6 = 0
+    ),
+    h(j, a, b) AS (VALUES {hashes}),
+    probes AS (
+        SELECT i.row_id, i.batch_id, i.k, h.j,
+               ((h.a * (i.k % {_M31}) + h.b) % {_M31}) % {_BG_M} AS pos
+        FROM ing i CROSS JOIN h
+    ),
+    first_set AS (SELECT pos, MIN(batch_id) AS fb FROM probes GROUP BY pos),
+    first_key AS (SELECT k, MIN(batch_id) AS fkb FROM ing GROUP BY k),
+    agg AS (
+        SELECT p.row_id, p.batch_id, p.k,
+               CAST(SUM(CASE WHEN fs.fb < p.batch_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_prev_hits
+        FROM probes p JOIN first_set fs ON fs.pos = p.pos
+        GROUP BY p.row_id, p.batch_id, p.k
+    ),
+    flagged AS (
+        SELECT a.row_id, a.batch_id, a.n_prev_hits,
+               CASE WHEN fk.fkb < a.batch_id THEN 1 ELSE 0 END AS ex
+        FROM agg a JOIN first_key fk ON fk.k = a.k
+    )
+    SELECT CAST(row_id AS BIGINT) AS row_id,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           n_prev_hits,
+           CAST(ex AS INTEGER) AS is_exact_prev,
+           CASE WHEN n_prev_hits = {_BG_K} AND ex = 1 THEN 'dup'
+                WHEN n_prev_hits = {_BG_K} THEN 'false_positive'
+                WHEN ex = 1 THEN 'MISS_BUG'
+                ELSE 'new' END AS label
+    FROM flagged
+    """
+
+
+@query("stream_bloom_ingest", oracle=_sbi_oracle())
+def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BLOOM INGEST GATE (r16 VERDICT #4) — the
+    dedup_bloom_seen_gate bit set probed AND GROWN from
+    ``applyInPandasWithState`` across real microbatches: the at-scale
+    crawler-ingest shape where dedup memory stays bounded by the
+    FILTER SIZE, not by per-document state.  The 65536-slot position
+    space shards across 32 bucket groups (pos % _SBI_NB — bounded
+    groups, one Arrow call per bucket per batch, the r10 rule); each
+    group's state is the sorted position list its slot range has seen.
+    Semantics are BATCH-SYNCHRONOUS (the Lambda-architecture bloom):
+    every probe row is answered against the state BEFORE its own
+    microbatch merges in, so a row's verdict depends only on strictly
+    earlier batches — which is what makes the whole evolution a pure
+    function of the staged bytes (3 single-file phases, explicit
+    monotone mtimes, maxFilesPerTrigger=1) and therefore fully
+    DuckDB-replayable via the first-seen-batch formulation
+    (MIN(batch_id) per position < probe's batch).  Planted re-crawls
+    (_bloom_ingest_rows — one shared ingest definition for staging and
+    audit) hit all 3 probe positions ('dup'); the exact-membership
+    join is the AUDIT that labels organic all-bits collisions
+    'false_positive'; 'MISS_BUG' is impossible by construction (the
+    bit set only grows) and a unit test pins its absence.
+
+    Scale: state is ≤ 65536/NB positions per group REGARDLESS of
+    corpus size — the bloom trade; the probe stream shuffles once on
+    the bucket key; verdict assembly is one (row, batch) reduce of the
+    emitted per-probe hits plus a key-partitioned audit join.  At
+    100 TB the same topology runs with a bigger M and more buckets —
+    memory per group stays M/NB bits."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from engine.dedup import _BG_A, _BG_B, _BG_K, _BG_M, _M31
+
+    d = load(spark, sf_dir, "documents")
+    ing = _bloom_ingest_rows(d)
+
+    def build(src: str) -> None:
+        stamped: set[str] = set()
+        for b in range(3):
+            ing.filter(F.col("batch_id") == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _stamp_phase(src, b, stamped)
+
+    src = _staged_src("bloom_ingest", sf_dir, build)
+
+    def gate(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        new_pos = set()
+        for pdf in frames:
+            for rid, bid, j, pos in zip(
+                pdf["row_id"], pdf["batch_id"], pdf["j"], pdf["pos"]
+            ):
+                out.append(
+                    (int(rid), int(bid), int(j), 1 if int(pos) in seen else 0)
+                )
+                new_pos.add(int(pos))
+        state.update((sorted(seen | new_pos),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["row_id", "batch_id", "j", "hit"]
+            )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pos_of = [
+        ((F.lit(_BG_A[j]) * (F.col("k") % _M31) + F.lit(_BG_B[j])) % _M31)
+        % _BG_M
+        for j in range(_BG_K)
+    ]
+    probes = stream.select(
+        "row_id",
+        "batch_id",
+        F.posexplode(F.array(*pos_of)).alias("j", "pos"),
+    ).select(
+        "row_id", "batch_id", "j", "pos",
+        (F.col("pos") % _SBI_NB).alias("bucket"),
+    )
+    gated = probes.groupBy("bucket").applyInPandasWithState(
+        gate,
+        outputStructType="row_id long, batch_id long, j int, hit int",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = _run_to_memory(gated, "append", "bloom_ingest")
+    hits = (
+        spark.table(qname)
+        .groupBy("row_id", "batch_id")
+        .agg(F.sum("hit").cast("long").alias("n_prev_hits"))
+    )
+    first_key = ing.groupBy("k").agg(F.min("batch_id").alias("fkb"))
+    audited = (
+        ing.join(first_key, "k")
+        .select(
+            F.col("row_id").alias("a_rid"),
+            F.col("batch_id").alias("a_bid"),
+            (F.col("fkb") < F.col("batch_id")).cast("int").alias("is_exact_prev"),
+        )
+    )
+    return (
+        hits.join(
+            audited,
+            (F.col("row_id") == F.col("a_rid"))
+            & (F.col("batch_id") == F.col("a_bid")),
+        )
+        .select(
+            "row_id",
+            "batch_id",
+            "n_prev_hits",
+            "is_exact_prev",
+            F.when(
+                (F.col("n_prev_hits") == _BG_K)
+                & (F.col("is_exact_prev") == 1),
+                F.lit("dup"),
+            )
+            .when(F.col("n_prev_hits") == _BG_K, F.lit("false_positive"))
+            .when(F.col("is_exact_prev") == 1, F.lit("MISS_BUG"))
+            .otherwise(F.lit("new"))
+            .alias("label"),
+        )
+    )

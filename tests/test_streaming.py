@@ -335,3 +335,22 @@ def test_state_ttl_margins_and_lifecycle(spark):
                 assert fresh[0].n == nphase[u][2], u
                 saw_reset += 1
     assert saw_reset > 0
+
+
+def test_bloom_ingest_verdicts(spark):
+    # Gate soundness: no false negatives ever (MISS_BUG absent by the
+    # grows-only bit-set argument); every planted re-crawl (row_id >=
+    # the offset plants) is labeled dup; batch-0 rows see an empty
+    # filter (n_prev_hits == 0, all 'new'); hit counts stay in [0, K].
+    from engine.dedup import _BG_K
+    from engine.streaming import _SBI_RC1
+
+    rows = engine.QUERIES["stream_bloom_ingest"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r.n_prev_hits <= _BG_K for r in rows)
+    assert not any(r.label == "MISS_BUG" for r in rows)
+    for r in rows:
+        if r.row_id >= _SBI_RC1:  # planted verbatim re-crawl
+            assert r.label == "dup", r
+        if r.batch_id == 0:
+            assert r.n_prev_hits == 0 and r.label == "new", r
