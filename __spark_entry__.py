@@ -108,6 +108,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "graph_modularity_score",
     "sim_hard_negative_ivf",
     "stream_bloom_ingest",
+    "text_nb_feature_importance",
+    "sim_ivf_probe_recall_curve",
 })
 
 

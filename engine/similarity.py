@@ -4511,3 +4511,245 @@ def sim_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_c.cast("long").alias("neg_cos_e6"),
         (pos_c - neg_c).cast("long").alias("margin_e6"),
     )
+
+
+_IVF_SWEEP = (1, 2, 4)  # probe counts swept by the recall curve
+
+
+@query(
+    "sim_ivf_probe_recall_curve",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ec FROM embeddings
+        WHERE vec_id < {_IVF_K}
+    ),
+    ac AS (
+        SELECT e.vec_id, c.cid,
+               FLOOR(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(c.ec[i] AS DOUBLE)
+                                   * CAST(c.ec[i] AS DOUBLE))))
+                     * 1000000 + 0.5) AS cos_key
+        FROM embeddings e, cents c, {_DIMS} s
+        GROUP BY e.vec_id, c.cid
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_key DESC, cid ASC) AS crn
+        FROM ac
+    ),
+    inv AS (SELECT vec_id AS neighbor_id, cid AS list_id FROM ranked
+            WHERE crn = 1),
+    qrank AS (
+        SELECT vec_id AS q_id, cid AS list_id, crn AS lr
+        FROM ranked WHERE vec_id < 5 AND crn <= {max(_IVF_SWEEP)}
+    ),
+    cand AS (
+        SELECT q.q_id, i.neighbor_id, q.lr
+        FROM qrank q JOIN inv i
+          ON i.list_id = q.list_id AND i.neighbor_id <> q.q_id
+    ),
+    sc AS (
+        SELECT c.q_id, c.neighbor_id, c.lr,
+               FLOOR(SUM(CAST(eq.embedding[i] AS DOUBLE)
+                         * CAST(en.embedding[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(eq.embedding[i] AS DOUBLE)
+                                 * CAST(eq.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(en.embedding[i] AS DOUBLE)
+                                   * CAST(en.embedding[i] AS DOUBLE))))
+                     * 10000 + 0.5) AS cos_bp
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id,
+        {_DIMS} s
+        GROUP BY c.q_id, c.neighbor_id, c.lr
+    ),
+    g AS (SELECT CAST(unnest([{", ".join(str(p) for p in _IVF_SWEEP)}])
+                      AS BIGINT) AS n_probes),
+    swept AS (
+        SELECT g.n_probes, s.q_id, s.neighbor_id, s.cos_bp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g.n_probes, s.q_id
+                   ORDER BY s.cos_bp DESC, s.neighbor_id ASC) AS rn
+        FROM g JOIN sc s ON s.lr <= g.n_probes
+    ),
+    exact_sc AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+               FLOOR(SUM(CAST(q.embedding[i] AS DOUBLE)
+                         * CAST(e.embedding[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(q.embedding[i] AS DOUBLE)
+                                 * CAST(q.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE))))
+                     * 10000 + 0.5) AS cos_bp
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id,
+             {_DIMS} s
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, e.vec_id
+    ),
+    exact5 AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cos_bp DESC, neighbor_id ASC) AS rn
+            FROM exact_sc
+        ) WHERE rn <= 5
+    ),
+    vol AS (
+        SELECT g.n_probes, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM g JOIN sc s ON s.lr <= g.n_probes GROUP BY g.n_probes
+    )
+    SELECT w.n_probes,
+           v.n_cand,
+           CAST(COUNT(*) AS BIGINT) AS n_ret,
+           CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(10000 * SUM(CASE WHEN x.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END)
+                // (5 * (SELECT COUNT(DISTINCT q_id) FROM exact5))
+                AS BIGINT) AS recall_bp
+    FROM swept w
+    LEFT JOIN exact5 x
+      ON x.q_id = w.q_id AND x.neighbor_id = w.neighbor_id
+    JOIN vol v ON v.n_probes = w.n_probes
+    WHERE w.rn <= 5
+    GROUP BY w.n_probes, v.n_cand
+    """,
+)
+def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE nprobe KNOB AS DATA — recall@5 vs probe count for the fixed
+    IVF index (p = 1, 2, 4), the calibration curve an ANN deployment
+    reads before trading candidate volume for recall (the
+    dedup_cosine_calibration idiom applied to index probing; closes
+    the loop sim_ann_recall_eval opened for LSH).  Per probe count:
+    candidate volume n_cand (sum over the 5 fixed queries of probed
+    list occupancy, self excluded), retrieved set size n_ret, hits
+    against the EXACT pinned-cosine top-5 (full-scan ground truth,
+    same e4 pin and id tiebreak as sim_ivf_fixed_topk's re-rank), and
+    recall in exact basis points.  Candidates carry the RANK of the
+    query list that found them (lr), so the whole sweep is ONE scored
+    frame filtered per p — no per-p rescan of the collection.
+    Monotonicity (recall and volume nondecreasing in p) is pinned in a
+    unit test; the p=2 row reproduces the production index's
+    operating point (_IVF_PROBES = 2).
+
+    Scale: ground truth costs 5 broadcast query rows against the
+    collection (map-only + per-query top-5) — at 100 TB one evaluates
+    recall on a sampled query set exactly like this; the IVF side
+    touches only probed lists (~p*N/K rows per query).  The centroid
+    ranking here extends to crn <= 4, wider than the shared rn<=2
+    routing diamond, so it is built locally with the SAME pinned
+    expression (one crossJoin against the broadcast 16-row centroid
+    table + one window)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    cos_key = F.floor(
+        _dot(F.col("embedding"), F.col("ec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        * 1000000
+        + F.lit(0.5)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= max(_IVF_SWEEP))
+    )
+    # ranked feeds inv (crn=1, all vectors) and qrank (5 queries) — the
+    # crossJoin+window subtree is nontrivial and read twice: persist +
+    # eager count (r12 rule; the shared rn<=2 diamond cannot serve the
+    # crn<=4 sweep).
+    ranked = ranked.persist()
+    ranked.count()
+    inv = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("cid").alias("list_id"),
+    )
+    qrank = ranked.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.col("cid").alias("list_id"),
+        F.col("crn").alias("lr"),
+    )
+    cos_bp = F.floor(
+        _dot(F.col("eq"), F.col("e_emb"))
+        / (_norm(F.col("eq")) * _norm(F.col("e_emb")))
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    sc = (
+        inv.join(F.broadcast(qrank), "list_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", "lr", cos_bp.alias("cos_bp"))
+    )
+    # One scored frame serves every p: grid join on lr <= p.
+    sc = sc.persist()
+    sc.count()
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in _IVF_SWEEP])
+        ).alias("n_probes")
+    )
+    swept = (
+        sc.crossJoin(F.broadcast(grid))
+        .filter(F.col("lr") <= F.col("n_probes"))
+    )
+    wt = Window.partitionBy("n_probes", "q_id").orderBy(
+        F.desc("cos_bp"), F.asc("neighbor_id")
+    )
+    top5 = swept.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= 5
+    )
+    qe = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+    ee = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb")
+    )
+    exact_sc = (
+        ee.crossJoin(F.broadcast(qe))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cos_bp.alias("cos_bp"))
+    )
+    we = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_bp"), F.asc("neighbor_id")
+    )
+    exact5 = (
+        exact_sc.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("neighbor_id").alias("x_nid"))
+        .withColumn("hit", F.lit(1))
+    )
+    n_q = exact5.select("q_id").distinct().count()
+    vol = swept.groupBy("n_probes").agg(F.count("*").alias("n_cand"))
+    return (
+        top5.join(
+            exact5,
+            (F.col("x_nid") == F.col("neighbor_id"))
+            & (exact5.q_id == top5.q_id),
+            "left",
+        )
+        .groupBy(top5.n_probes)
+        .agg(
+            F.count("*").cast("long").alias("n_ret"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .join(F.broadcast(vol), "n_probes")
+        .select(
+            "n_probes",
+            F.col("n_cand").cast("long").alias("n_cand"),
+            "n_ret",
+            "n_hits",
+            F.expr(f"10000 * n_hits div (5 * {n_q})")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

@@ -3424,3 +3424,102 @@ def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("20000 * tp div (2 * tp + fp + fn)"),
         ).cast("long").alias("f1_bp"),
     )
+
+
+_NB_FI_TOPK = 15   # terms emitted per direction
+_NB_FI_MINDF = 3   # noise floor: total class-term count required
+
+
+@query(
+    "text_nb_feature_importance",
+    oracle=f"""
+    WITH {_NB_CTES_SQL},
+    piv AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN hq = 0 THEN n_tc ELSE 0 END) AS BIGINT)
+                   AS n_tc0,
+               CAST(SUM(CASE WHEN hq = 1 THEN n_tc ELSE 0 END) AS BIGINT)
+                   AS n_tc1,
+               MAX(CASE WHEN hq = 0 THEN ll_e4 END) AS l0,
+               MAX(CASE WHEN hq = 1 THEN ll_e4 END) AS l1
+        FROM ll GROUP BY tok
+    ),
+    filled AS (
+        SELECT p.tok, p.n_tc0, p.n_tc1,
+               CAST(COALESCE(p.l1, c1.ll0_e4) - COALESCE(p.l0, c0.ll0_e4)
+                    AS BIGINT) AS llr_e4
+        FROM piv p,
+             (SELECT ll0_e4 FROM cls WHERE hq = 1) c1,
+             (SELECT ll0_e4 FROM cls WHERE hq = 0) c0
+        WHERE p.n_tc0 + p.n_tc1 >= {_NB_FI_MINDF}
+    )
+    SELECT direction, rnk, tok, n_tc0, n_tc1, llr_e4 FROM (
+        SELECT 'hq' AS direction, tok, n_tc0, n_tc1, llr_e4,
+               CAST(ROW_NUMBER() OVER (ORDER BY llr_e4 DESC, tok ASC)
+                    AS BIGINT) AS rnk
+        FROM filled
+        UNION ALL
+        SELECT 'lq', tok, n_tc0, n_tc1, llr_e4,
+               CAST(ROW_NUMBER() OVER (ORDER BY llr_e4 ASC, tok ASC)
+                    AS BIGINT)
+        FROM filled
+    ) WHERE rnk <= {_NB_FI_TOPK}
+    """,
+)
+def text_nb_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL INTERPRETABILITY for the distilled NB gate — the top
+    discriminative terms per direction, the artifact a pipeline
+    operator reads to sanity-check WHAT a learned quality filter
+    actually keys on before trusting it at 100 TB (a classifier that
+    loads on boilerplate tokens is measuring duplication, not
+    quality).  Importance = the exact log-likelihood ratio
+    ll_e4(hq=1, t) - ll_e4(hq=0, t) from the shared _nb_model chain
+    (terms unseen in one class fall back to that class's Laplace
+    default ll0_e4 — the same rule scoring applies, so importance and
+    inference can never disagree); a total-count floor of 3 drops
+    singleton noise; top-15 per direction ('hq' = high-quality
+    indicative, 'lq' = its mirror) with the (llr, tok) unique order.
+
+    Scale: the model table is classes x vocab (broadcast-sized by
+    construction); the pivot and both rank windows run over vocab
+    rows only — nothing corpus-sized moves."""
+    _, ll, cls = _nb_model(spark, sf_dir)
+    piv = ll.groupBy("tok").agg(
+        F.sum(F.when(F.col("hq") == 0, F.col("n_tc")).otherwise(0))
+        .cast("long")
+        .alias("n_tc0"),
+        F.sum(F.when(F.col("hq") == 1, F.col("n_tc")).otherwise(0))
+        .cast("long")
+        .alias("n_tc1"),
+        F.max(F.when(F.col("hq") == 0, F.col("ll_e4"))).alias("l0"),
+        F.max(F.when(F.col("hq") == 1, F.col("ll_e4"))).alias("l1"),
+    )
+    d0 = cls.filter(F.col("hq") == 0).select(F.col("ll0_e4").alias("d0"))
+    d1 = cls.filter(F.col("hq") == 1).select(F.col("ll0_e4").alias("d1"))
+    filled = (
+        piv.crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(d1))
+        .filter(F.col("n_tc0") + F.col("n_tc1") >= _NB_FI_MINDF)
+        .select(
+            "tok", "n_tc0", "n_tc1",
+            (
+                F.coalesce(F.col("l1"), F.col("d1"))
+                - F.coalesce(F.col("l0"), F.col("d0"))
+            )
+            .cast("long")
+            .alias("llr_e4"),
+        )
+    )
+    w_hq = Window.orderBy(F.desc("llr_e4"), F.asc("tok"))
+    w_lq = Window.orderBy(F.asc("llr_e4"), F.asc("tok"))
+    hq = filled.select(
+        F.lit("hq").alias("direction"),
+        F.row_number().over(w_hq).cast("long").alias("rnk"),
+        "tok", "n_tc0", "n_tc1", "llr_e4",
+    ).filter(F.col("rnk") <= _NB_FI_TOPK)
+    lq = filled.select(
+        F.lit("lq").alias("direction"),
+        F.row_number().over(w_lq).cast("long").alias("rnk"),
+        "tok", "n_tc0", "n_tc1", "llr_e4",
+    ).filter(F.col("rnk") <= _NB_FI_TOPK)
+    return hq.unionByName(lq)

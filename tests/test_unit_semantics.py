@@ -2071,3 +2071,46 @@ def test_hard_negative_mining_brute_force(spark):
         assert (r.q_label, r.pos_id, r.pos_cos_e6, r.neg_id,
                 r.neg_cos_e6, r.margin_e6) == (
             q_lab, pos_id, pos_c, neg_id, neg_c, pos_c - neg_c)
+
+
+def test_nb_feature_importance_directions(spark):
+    # The teacher keys on stopword ratio, so the learned importances
+    # must recover that: the strongest low-quality-indicative terms
+    # include stopwords ('the'/'a' lead at both SFs) and NO stopword
+    # can be high-quality-indicative; ranks are dense 1..15 per
+    # direction and ordered by the exact llr.
+    from engine.text import _NB_FI_TOPK, STOPWORDS
+
+    rows = engine.QUERIES["text_nb_feature_importance"](
+        spark, SF_DIR
+    ).collect()
+    hq = sorted((r for r in rows if r.direction == "hq"), key=lambda r: r.rnk)
+    lq = sorted((r for r in rows if r.direction == "lq"), key=lambda r: r.rnk)
+    assert [r.rnk for r in hq] == list(range(1, _NB_FI_TOPK + 1))
+    assert [r.rnk for r in lq] == list(range(1, _NB_FI_TOPK + 1))
+    assert all(r.tok not in STOPWORDS for r in hq)
+    assert any(r.tok in STOPWORDS for r in lq)
+    assert lq[0].tok in STOPWORDS
+    assert all(a.llr_e4 >= b.llr_e4 for a, b in zip(hq, hq[1:]))
+    assert all(a.llr_e4 <= b.llr_e4 for a, b in zip(lq, lq[1:]))
+    assert hq[0].llr_e4 > 0 > lq[0].llr_e4
+
+
+def test_ivf_probe_recall_monotone(spark):
+    # Probing more lists can only add candidates: n_cand and recall_bp
+    # are nondecreasing in n_probes, n_ret <= 5 * n_queries, and every
+    # recall sits in [0, 10000].  The p=2 row is the production
+    # operating point (_IVF_PROBES == 2).
+    from engine.similarity import _IVF_PROBES, _IVF_SWEEP
+
+    rows = sorted(
+        engine.QUERIES["sim_ivf_probe_recall_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.n_probes,
+    )
+    assert [r.n_probes for r in rows] == sorted(_IVF_SWEEP)
+    assert _IVF_PROBES in {r.n_probes for r in rows}
+    assert all(a.n_cand <= b.n_cand for a, b in zip(rows, rows[1:]))
+    assert all(a.recall_bp <= b.recall_bp for a, b in zip(rows, rows[1:]))
+    for r in rows:
+        assert 0 <= r.recall_bp <= 10000
+        assert r.n_hits <= r.n_ret <= 25
