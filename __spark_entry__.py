@@ -110,6 +110,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "stream_bloom_ingest",
     "text_nb_feature_importance",
     "sim_ivf_probe_recall_curve",
+    "sim_pca_power_topcomp",
 })
 
 

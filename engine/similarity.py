@@ -4753,3 +4753,165 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+_PCA_ITERS = 6        # fixed power-iteration rounds (bounded-round
+                      # contract, the LPA discipline — NOT to convergence)
+_PCA_SHIFT = 1 << 22  # per-round rescale: w div 2^22 keeps the state in
+                      # exact-int range (probed: |w| < 2^36 at all SFs)
+_PCA_VSCALE = 64      # quantized loading scale (sum v^2 ~ VSCALE^2)
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration twin (cov -> v0..v6 -> Rayleigh) —
+    every chain CTE MATERIALIZED (r13: DuckDB inlines single-use CTEs
+    and planning explodes past ~48 nested levels)."""
+    its = []
+    prev = "v0"
+    for r in range(1, _PCA_ITERS + 1):
+        its.append(f"""
+    w{r} AS MATERIALIZED (
+        SELECT cov.i, CAST(SUM(cov.c * v.val) AS BIGINT) AS w
+        FROM cov JOIN {prev} v ON v.i = cov.j GROUP BY cov.i
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT i, w // {_PCA_SHIFT} AS s FROM w{r}
+    ),
+    n{r} AS (SELECT CAST(SUM(s * s) AS BIGINT) AS n2 FROM s{r}),
+    v{r} AS MATERIALIZED (
+        SELECT i, CAST(FLOOR(CAST(s AS DOUBLE) * {_PCA_VSCALE}
+                             / SQRT(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS val
+        FROM s{r}, n{r}
+    )""")
+        prev = f"v{r}"
+    return f"""
+    WITH qq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cov AS MATERIALIZED (
+        SELECT ii.i, jj.i AS j,
+               CAST(SUM(qq.qv[ii.i] * qq.qv[jj.i]) AS BIGINT) AS c
+        FROM qq, {_DIMS} ii, {_DIMS} jj
+        GROUP BY ii.i, jj.i
+    ),
+    v0 AS (SELECT i, CAST({_PCA_VSCALE} AS BIGINT) AS val FROM {_DIMS}),
+    {",".join(its)},
+    ray AS (
+        SELECT CAST(SUM(a.val * cov.c * b.val) AS BIGINT) AS num
+        FROM cov JOIN {prev} a ON a.i = cov.i JOIN {prev} b ON b.i = cov.j
+    ),
+    den AS (SELECT CAST(SUM(val * val) AS BIGINT) AS den FROM {prev}),
+    tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace FROM cov WHERE i = j)
+    SELECT CAST({prev}.i AS BIGINT) AS dim, {prev}.val AS loading_q,
+           ray.num AS ray_num, den.den AS ray_den, tr.trace,
+           CAST(10000 * ray.num // (den.den * tr.trace) AS BIGINT)
+               AS share_bp
+    FROM {prev}, ray, den, tr
+    """
+
+
+@query("sim_pca_power_topcomp", oracle=_pca_oracle())
+def sim_pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding collection by power
+    iteration — the dimensionality-reduction / whitening primitive the
+    engine's embedding-ops family lacked (PQ quantizes, k-means
+    clusters; this finds the dominant axis a pipeline uses for
+    compression, anisotropy diagnosis, or as the first step of
+    low-rank whitening).  Two-stage split along the data/model
+    boundary: the DATA-SIZED stage is the 64x64 second-moment matrix
+    A = Q^T Q over _KM_SCALE-quantized vectors — one Arrow kernel per
+    batch emits its exact partial Gram (BLAS float64 on ints < 2^53,
+    the r16 exactness argument) and a (i, j) groupBy sums partials
+    into exact longs; the MODEL-SIZED stage (4096-row A, the
+    collect_model_artifact boundary — the _km_train coreset
+    discipline) runs _PCA_ITERS fixed power-iteration rounds
+    driver-side in integer-exact arithmetic: w = A v (exact), s =
+    w div 2^22 (truncation toward zero on BOTH engines — np.fix here,
+    DuckDB // there, the r7 sign rule), then re-quantize v =
+    floor(s*64/sqrt(sum s^2) + 0.5) where sum s^2 is an EXACT long so
+    the sqrt+divide is one deterministic IEEE op per component.
+    Fixed rounds, not convergence (near-isotropic spectra converge
+    slowly; the bounded-round state IS the contract, and the unrolled
+    MATERIALIZED oracle hash-proves it exactly — the LPA discipline).
+    Emits the quantized loading per dimension plus the exact Rayleigh
+    rational (v^T A v / v^T v) and the trace share in basis points.
+
+    Scale: the Gram pass is map-side partial aggregation of 4096-row
+    partials — the classic distributed covariance shape, one tiny
+    shuffle regardless of collection size; everything after is O(d^2)
+    driver work on a bounded artifact.  Guards: every product bound
+    asserted < 2^52 in-kernel and in-iteration; a zero rescaled norm
+    raises loudly rather than emitting a degenerate direction."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.core import collect_model_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _KM_SCALE
+            )
+            A = Q.T @ Q
+            assert np.abs(A).max() < 2**52, "gram partial exceeds exact range"
+            ii, jj = np.meshgrid(
+                np.arange(1, 65, dtype=np.int64),
+                np.arange(1, 65, dtype=np.int64),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "c": A.ravel().astype(np.int64),
+                }
+            )
+
+    cov_df = (
+        e.mapInPandas(gram, "i long, j long, c long")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+    )
+    rows = collect_model_artifact(cov_df)
+    A = np.zeros((64, 64), dtype=np.float64)
+    for r in rows:
+        A[r["i"] - 1, r["j"] - 1] = float(r["c"])
+    assert np.abs(A).max() < 2**52
+    v = np.full(64, float(_PCA_VSCALE))
+    for _ in range(_PCA_ITERS):
+        w = A @ v
+        assert np.abs(w).max() < 2**52, "matvec exceeds exact range"
+        s = np.fix(w / _PCA_SHIFT)  # trunc toward zero == DuckDB //
+        n2 = float((s * s).sum())
+        if n2 == 0:
+            raise RuntimeError(
+                "sim_pca_power_topcomp: rescaled iterate vanished — "
+                f"_PCA_SHIFT {_PCA_SHIFT} too large for this corpus"
+            )
+        v = np.floor(s * _PCA_VSCALE / np.sqrt(n2) + 0.5)
+    num = float(v @ A @ v)
+    den = float(v @ v)
+    trace = float(np.trace(A))
+    assert abs(num) < 2**52 and den * trace < 2**62
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(1, 65, dtype=np.int64),
+            "loading_q": v.astype(np.int64),
+            "ray_num": np.int64(num),
+            "ray_den": np.int64(den),
+            "trace": np.int64(trace),
+            "share_bp": np.int64(10000 * int(num) // (int(den) * int(trace))
+                                 if num >= 0
+                                 else -(10000 * (-int(num))
+                                        // (int(den) * int(trace)))),
+        }
+    )
+    return spark.createDataFrame(out)

@@ -2114,3 +2114,26 @@ def test_ivf_probe_recall_monotone(spark):
     for r in rows:
         assert 0 <= r.recall_bp <= 10000
         assert r.n_hits <= r.n_ret <= 25
+
+
+def test_pca_topcomp_invariants(spark):
+    # A = Q^T Q is PSD, so the Rayleigh quotient is nonnegative; the
+    # quantized loading has ~VSCALE^2 energy; and the learned direction
+    # must beat the isotropic baseline (trace/64 per axis) — i.e. the
+    # power iteration actually moved toward a dominant axis.
+    from engine.similarity import _PCA_VSCALE
+
+    rows = engine.QUERIES["sim_pca_power_topcomp"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert sorted(r.dim for r in rows) == list(range(1, 65))
+    r0 = rows[0]
+    assert all(
+        (r.ray_num, r.ray_den, r.trace, r.share_bp)
+        == (r0.ray_num, r0.ray_den, r0.trace, r0.share_bp)
+        for r in rows
+    )
+    assert r0.ray_num >= 0 and r0.trace > 0
+    den = sum(r.loading_q**2 for r in rows)
+    assert den == r0.ray_den
+    assert 0.5 * _PCA_VSCALE**2 <= den <= 1.5 * _PCA_VSCALE**2
+    assert r0.share_bp > 10000 // 64  # beats isotropic
