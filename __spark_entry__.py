@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "text_nb_feature_importance",
     "sim_ivf_probe_recall_curve",
     "sim_pca_power_topcomp",
+    "sim_pca_project_residual",
 })
 
 

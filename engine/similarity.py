@@ -4762,10 +4762,13 @@ _PCA_SHIFT = 1 << 22  # per-round rescale: w div 2^22 keeps the state in
 _PCA_VSCALE = 64      # quantized loading scale (sum v^2 ~ VSCALE^2)
 
 
-def _pca_oracle() -> str:
-    """Unrolled power-iteration twin (cov -> v0..v6 -> Rayleigh) —
-    every chain CTE MATERIALIZED (r13: DuckDB inlines single-use CTEs
-    and planning explodes past ~48 nested levels)."""
+def _pca_chain() -> str:
+    """Unrolled power-iteration CTE body (qq -> cov -> v0..v{N} with
+    ``vtop`` aliasing the final iterate) — every chain CTE MATERIALIZED
+    (r13: DuckDB inlines single-use CTEs and planning explodes past
+    ~48 nested levels).  Shared by sim_pca_power_topcomp and
+    sim_pca_project_residual so the direction the projection uses IS
+    the direction the trainer emits."""
     its = []
     prev = "v0"
     for r in range(1, _PCA_ITERS + 1):
@@ -4785,8 +4788,7 @@ def _pca_oracle() -> str:
         FROM s{r}, n{r}
     )""")
         prev = f"v{r}"
-    return f"""
-    WITH qq AS MATERIALIZED (
+    return f"""qq AS MATERIALIZED (
         SELECT vec_id, list_transform(embedding,
             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
         FROM embeddings
@@ -4799,17 +4801,23 @@ def _pca_oracle() -> str:
     ),
     v0 AS (SELECT i, CAST({_PCA_VSCALE} AS BIGINT) AS val FROM {_DIMS}),
     {",".join(its)},
+    vtop AS (SELECT i, val FROM {prev})"""
+
+
+def _pca_oracle() -> str:
+    return f"""
+    WITH {_pca_chain()},
     ray AS (
         SELECT CAST(SUM(a.val * cov.c * b.val) AS BIGINT) AS num
-        FROM cov JOIN {prev} a ON a.i = cov.i JOIN {prev} b ON b.i = cov.j
+        FROM cov JOIN vtop a ON a.i = cov.i JOIN vtop b ON b.i = cov.j
     ),
-    den AS (SELECT CAST(SUM(val * val) AS BIGINT) AS den FROM {prev}),
+    den AS (SELECT CAST(SUM(val * val) AS BIGINT) AS den FROM vtop),
     tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace FROM cov WHERE i = j)
-    SELECT CAST({prev}.i AS BIGINT) AS dim, {prev}.val AS loading_q,
+    SELECT CAST(vtop.i AS BIGINT) AS dim, vtop.val AS loading_q,
            ray.num AS ray_num, den.den AS ray_den, tr.trace,
            CAST(10000 * ray.num // (den.den * tr.trace) AS BIGINT)
                AS share_bp
-    FROM {prev}, ray, den, tr
+    FROM vtop, ray, den, tr
     """
 
 
@@ -4848,8 +4856,52 @@ def sim_pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    v, num, den, trace = _pca_topdir(spark, sf_dir)
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(1, 65, dtype=np.int64),
+            "loading_q": np.array(v, dtype=np.int64),
+            "ray_num": np.int64(num),
+            "ray_den": np.int64(den),
+            "trace": np.int64(trace),
+            # num >= 0 always (A is PSD) — plain trunc-div matches both
+            # engines on the nonnegative domain.
+            "share_bp": np.int64(10000 * num // (den * trace)),
+        }
+    )
+    return spark.createDataFrame(out)
+
+
+_PCA_DIR_MEMO: dict = {}
+
+
+def _pca_topdir(spark: SparkSession, sf_dir: str):
+    """(v, ray_num, ray_den, trace) — the _PCA_ITERS-round
+    power-iteration state over the exact quantized Gram matrix, the
+    Spark+driver twin of :func:`_pca_chain`'s ``vtop``/``cov`` CTEs
+    (v: list of 64 ints; the rest exact Python ints).  The DATA-SIZED
+    stage is the distributed Gram pass (Arrow per-batch Q^T Q partials
+    + (i, j) groupBy — exact int64s by the r16 BLAS-on-ints argument);
+    the MODEL-SIZED 64x64 iteration runs driver-side on the
+    collect_model_artifact-bounded matrix (the _km_train coreset
+    discipline).  Per round: w = A v exact; s = w div 2^22 truncating
+    toward zero on both engines (np.fix here, DuckDB // there — the
+    r7 sign rule); v' = floor(s*64/sqrt(sum s^2) + 0.5) with sum s^2
+    an EXACT long, so the sqrt+divide is one deterministic IEEE op per
+    component.  Memoized per (applicationId, sf_dir) — plain ints, no
+    persisted frames, so no storageLevel revalidation is needed
+    (unlike _nb_model / _ivf_fixed_ranked)."""
+    import numpy as np
+    import pandas as pd
+
     from engine.core import collect_model_artifact
 
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_dir)
+    for stale in [k for k in list(_PCA_DIR_MEMO) if k[0] != app]:
+        _PCA_DIR_MEMO.pop(stale, None)
+    if memo_key in _PCA_DIR_MEMO:
+        return _PCA_DIR_MEMO[memo_key]
     e = load(spark, sf_dir, "embeddings").select("embedding")
 
     def gram(batches):
@@ -4893,7 +4945,7 @@ def sim_pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = float((s * s).sum())
         if n2 == 0:
             raise RuntimeError(
-                "sim_pca_power_topcomp: rescaled iterate vanished — "
+                "sim_pca: rescaled iterate vanished — "
                 f"_PCA_SHIFT {_PCA_SHIFT} too large for this corpus"
             )
         v = np.floor(s * _PCA_VSCALE / np.sqrt(n2) + 0.5)
@@ -4901,17 +4953,80 @@ def sim_pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = float(v @ v)
     trace = float(np.trace(A))
     assert abs(num) < 2**52 and den * trace < 2**62
-    out = pd.DataFrame(
-        {
-            "dim": np.arange(1, 65, dtype=np.int64),
-            "loading_q": v.astype(np.int64),
-            "ray_num": np.int64(num),
-            "ray_den": np.int64(den),
-            "trace": np.int64(trace),
-            "share_bp": np.int64(10000 * int(num) // (int(den) * int(trace))
-                                 if num >= 0
-                                 else -(10000 * (-int(num))
-                                        // (int(den) * int(trace)))),
-        }
+    value = ([int(x) for x in v], int(num), int(den), int(trace))
+    _PCA_DIR_MEMO[memo_key] = value
+    return value
+
+
+@query(
+    "sim_pca_project_residual",
+    oracle=f"""
+    WITH {_pca_chain()},
+    den AS (SELECT CAST(SUM(val * val) AS BIGINT) AS den FROM vtop),
+    pr AS (
+        SELECT q.vec_id,
+               CAST(SUM(q.qv[v.i] * v.val) AS BIGINT) AS p_num,
+               CAST(SUM(q.qv[v.i] * q.qv[v.i]) AS BIGINT) AS n2
+        FROM qq q, vtop v
+        GROUP BY q.vec_id
     )
-    return spark.createDataFrame(out)
+    SELECT pr.vec_id, pr.p_num, pr.n2, den.den AS p_den,
+           CAST(10000 * (pr.p_num * pr.p_num // den.den) // pr.n2
+                AS BIGINT) AS ev_bp
+    FROM pr, den
+    """,
+)
+def sim_pca_project_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned principal direction — per-vector projection
+    and explained-energy audit, the compression step that completes
+    the PCA family train (sim_pca_power_topcomp) -> apply (this key)
+    off ONE shared direction (_pca_topdir ↔ the _pca_chain ``vtop``
+    CTE, the _nb_model discipline — trainer and projector can never
+    disagree).  Per vector: p_num = <Q, v> (exact int64 — the scalar
+    coordinate along the top axis as the rational p_num/p_den), n2 =
+    |Q|^2 exact, and ev_bp = the share of the vector's energy the
+    top component explains, computed as 10000 * (p_num^2 div p_den)
+    div n2 — the INNER div first keeps every intermediate under 2^54
+    (10000 * p_num^2 alone would overflow int64), truncation mirrored
+    operator-for-operator in the oracle.  Residual energy is
+    n2 - p_num^2/p_den by construction; low-ev_bp vectors are the ones
+    a 1-D compression would destroy — the audit a whitening deployment
+    reads.
+
+    Scale: the direction is a 64-int literal folded into the
+    projection expression (~190 interpreted lambda evals/row, under
+    the 200 Arrow threshold) — the scan is map-only, no shuffle, no
+    Python; the training pass is shared and memoized."""
+    v, _, den, _ = _pca_topdir(spark, sf_dir)
+    vcol = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    # qv is a PROJECTED column before the folds (r4 HOF trap).
+    folded = qe.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), vcol, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("p_num"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    return folded.select(
+        "vec_id",
+        "p_num",
+        "n2",
+        F.lit(int(den)).cast("long").alias("p_den"),
+        F.expr(f"10000 * (p_num * p_num div {int(den)}L) div n2")
+        .cast("long")
+        .alias("ev_bp"),
+    )

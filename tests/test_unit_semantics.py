@@ -2137,3 +2137,19 @@ def test_pca_topcomp_invariants(spark):
     assert den == r0.ray_den
     assert 0.5 * _PCA_VSCALE**2 <= den <= 1.5 * _PCA_VSCALE**2
     assert r0.share_bp > 10000 // 64  # beats isotropic
+
+
+def test_pca_projection_energy_identities(spark):
+    # Exact cross-key algebra: p_num = <Q, v> so sum(p_num^2) ==
+    # v^T A v == ray_num, and sum(n2) == trace(A) — the projection and
+    # the trainer must agree to the last integer.  ev_bp bounded by
+    # Cauchy-Schwarz: p_num^2 <= n2 * den => ev_bp <= 10000.
+    tr_rows = engine.QUERIES["sim_pca_power_topcomp"](spark, SF_DIR).collect()
+    pr_rows = engine.QUERIES["sim_pca_project_residual"](
+        spark, SF_DIR
+    ).collect()
+    r0 = tr_rows[0]
+    assert sum(r.p_num**2 for r in pr_rows) == r0.ray_num
+    assert sum(r.n2 for r in pr_rows) == r0.trace
+    assert all(r.p_den == r0.ray_den for r in pr_rows)
+    assert all(0 <= r.ev_bp <= 10000 for r in pr_rows)
