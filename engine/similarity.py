@@ -2874,16 +2874,37 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_MEMO: dict = {}
+
+
 def _lpa_partition(spark: SparkSession, sf_dir: str):
     """(und, labels) — the undirected block-cosine edge stream (u, v)
     and the _LPA_ITERS-round synchronous-LPA partition (node, label),
     the Spark twin of :func:`_lpa_ctes`'s ``und``/``lab`` CTEs.  Shared
     by graph_label_propagation and graph_modularity_score so the
     partition the quality metric scores IS the partition the detection
-    key emits.  ``und`` returns persisted AND materialized (round 1's
-    join consumes it on both sides — the r12 lazy-persist-race class;
-    measured sf0.1, 4 runs one session: lazy [9.48, 2.29, 1.76, 1.58]
-    vs eager [9.03, 1.91, 1.58, 1.53] — eager wins every run)."""
+    key emits — SHARED BY MEMO, not by re-computation: without it each
+    key builds, persists and eagerly materializes its own identical
+    ``und`` and never unpersists (the r15 _ivf_fixed_ranked ADVICE
+    class; r17 review).  Memoized per (applicationId, sf_dir) with the
+    live storageLevel probe: clearCache() under the memo re-persists +
+    re-counts instead of racing an uncached diamond.  ``und`` returns
+    persisted AND materialized (round 1's join consumes it on both
+    sides — the r12 lazy-persist-race class; measured sf0.1, 4 runs
+    one session: lazy [9.48, 2.29, 1.76, 1.58] vs eager [9.03, 1.91,
+    1.58, 1.53] — eager wins every run)."""
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_dir)
+    for stale in [k for k in list(_LPA_MEMO) if k[0] != app]:
+        _LPA_MEMO.pop(stale, None)
+    hit = _LPA_MEMO.get(memo_key)
+    if hit is not None:
+        und_c, labels_c = hit
+        lvl = und_c.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):  # clearCache() dropped it
+            und_c.persist()
+            und_c.count()
+        return und_c, labels_c
     edges = _cos_block_edges(spark, sf_dir)
     und = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -2903,6 +2924,7 @@ def _lpa_partition(spark: SparkSession, sf_dir: str):
         labels = counted.groupBy("v").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
         ).select(F.col("v").alias("node"), (-F.col("m.nl")).alias("label"))
+    _LPA_MEMO[memo_key] = (und, labels)
     return und, labels
 
 
@@ -4443,6 +4465,12 @@ def sim_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n2"),
     )
+    # qe feeds THREE evaluations (qs twice — the probes join and the
+    # broadcast scoring join — plus cside), each re-running the
+    # ~190-lambda quantize/fold chain over the full scan: persist +
+    # eager count per the multi-consumer rule (r17 review).
+    qe = qe.persist()
+    qe.count()
     h = ((F.col("vec_id") % _RET_P) * _RET_A + _RET_B) % _RET_P
     qs = (
         qe.orderBy(h.asc(), F.col("vec_id").asc())
@@ -4952,7 +4980,13 @@ def _pca_topdir(spark: SparkSession, sf_dir: str):
     num = float(v @ A @ v)
     den = float(v @ v)
     trace = float(np.trace(A))
-    assert abs(num) < 2**52 and den * trace < 2**62
+    # Guard at the REAL cross-engine boundary, not just float exactness:
+    # the oracle computes 10000 * ray.num and den * trace in BIGINT, so
+    # num must stay under 2^63/10^4 (~9.2e14) or DuckDB overflows while
+    # the Python side (arbitrary precision) keeps emitting rows (r17
+    # review).  2^49 < 2^52, so float exactness is implied.
+    assert abs(num) < 2**63 // 10000, "ray_num would overflow oracle BIGINT"
+    assert den * trace < 2**62
     value = ([int(x) for x in v], int(num), int(den), int(trace))
     _PCA_DIR_MEMO[memo_key] = value
     return value

@@ -200,6 +200,10 @@ def test_no_unpartitioned_window_over_unbounded_input():
         # bounded at 4×256 rows at any corpus size; the corpus-scale
         # ranking is the (phase, shard)-partitioned local window
         ("text.py", "sample_curriculum_order"),
+        # llr ranking over the CLASS-TERM MODEL table — vocab-sized by
+        # Heaps' law, same bound as text_zipf_fit (the corpus-scale
+        # work is the upstream NB count aggregation)
+        ("text.py", "text_nb_feature_importance"),
     }
     found = set()
     for p in pathlib.Path("engine").glob("*.py"):

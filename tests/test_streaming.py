@@ -354,3 +354,22 @@ def test_bloom_ingest_verdicts(spark):
             assert r.label == "dup", r
         if r.batch_id == 0:
             assert r.n_prev_hits == 0 and r.label == "new", r
+
+
+def test_bloom_ingest_offsets_cannot_alias(spark):
+    # The planted row_id offsets are 100k apart, so two re-crawl
+    # streams alias onto one row_id once doc_id reaches 100000 — the
+    # Spark-side (row_id, batch_id) aggregation would then merge two
+    # distinct keys' probe rows while the oracle (grouped by row_id,
+    # batch_id, k) keeps them separate (r17 review).  Pin the corpus
+    # precondition so a regen fails HERE with the real cause.
+    from engine.streaming import _SBI_RC1, _SBI_RC2, _SBI_RC3
+
+    gap = min(_SBI_RC2 - _SBI_RC1, _SBI_RC3 - _SBI_RC2, _SBI_RC1)
+    max_doc = load(spark, SF_DIR, "documents").agg(
+        F.max("doc_id")
+    ).first()[0]
+    assert max_doc < gap, (
+        f"corpus max doc_id {max_doc} >= offset gap {gap}: "
+        "stream_bloom_ingest row_ids alias — widen the _SBI_RC offsets"
+    )
