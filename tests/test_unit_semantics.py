@@ -1308,7 +1308,13 @@ def test_delta_log_time_travel_snapshots(spark):
     # disk (immutable file set + log replay = time travel)
     assert {d for d in v0 if d % 3 == 1} == {d for d in v1 if d % 3 == 1}
     import os, tempfile
-    table = os.path.join(tempfile.gettempdir(), "spark_graft_io", "delta_log_table")
+    # staged_build_once path (the key migrated off the old
+    # spark_graft_io/delta_log_table location in r13; the stale path
+    # only existed as a leftover on long-lived boxes)
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_staging",
+        f"delta_log_table_{os.path.basename(os.path.normpath(SF_DIR))}",
+    )
     assert os.path.exists(os.path.join(table, "part-A.parquet"))
 
 
