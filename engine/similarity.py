@@ -67,10 +67,11 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every 10th) — the verification-stage primitive of an ANN pipeline.
     e = load(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
     )
-    b = e.select((F.col("vec_id") - 1).alias("join_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    b = e.select((F.col("vec_id") - 1).alias("join_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), _norm(F.col("embedding")).alias("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, a.vec_a == b.join_id)
         .select("vec_a", "vec_b", _fix(cos, 10000).alias("cosine"))
@@ -114,13 +115,18 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
     )
+    # norms hoisted to per-row projections (once per vector / query,
+    # not once per pair — bit-identical, the interpreted-HOF fold is
+    # the per-pair cost here)
     cos = _dot(F.col("eq"), F.col("embedding")) / (
-        _norm(F.col("eq")) * _norm(F.col("embedding"))
+        F.col("nq") * F.col("ne")
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.withColumn("ne", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -213,15 +219,19 @@ def sim_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("ea"),
         F.col("label").alias("a_label"),
+        _norm(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("eb"),
         F.col("label").alias("b_label"),
+        _norm(F.col("embedding")).alias("nb"),
     )
+    # norms per row (200 evals/side), not per pair (2 x ~40k) —
+    # bit-identical hoist of the interpreted HOF fold
     cos_key = F.floor(
         _dot(F.col("ea"), F.col("eb"))
-        / (_norm(F.col("ea")) * _norm(F.col("eb")))
+        / (F.col("na") * F.col("nb"))
         * 1000000
         + F.lit(0.5)
     )
@@ -347,18 +357,22 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def entries(df: DataFrame) -> DataFrame:
         """One (table, bucket) entry per vector per hash table."""
         return df.select(
-            "vec_id", "embedding", F.posexplode(_buckets("embedding"))
+            "vec_id", "embedding", "nrm", F.posexplode(_buckets("embedding"))
         ).withColumnsRenamed({"pos": "tbl", "col": "bucket"})
 
-    tables = entries(e)
-    q = entries(e.filter(F.col("vec_id") < 5)).select(
+    # per-vector norm hoisted below the bucket explode (once per
+    # vector, not once per scored candidate pair — bit-identical)
+    eb = e.withColumn("nrm", _norm(F.col("embedding")))
+    tables = entries(eb)
+    q = entries(eb.filter(F.col("vec_id") < 5)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
     cos = _dot(F.col("eq"), F.col("embedding")) / (
-        _norm(F.col("eq")) * _norm(F.col("embedding"))
+        F.col("nq") * F.col("nrm")
     )
     scored = (
         tables.join(
@@ -525,13 +539,17 @@ def sim_ann_lsh_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
+    # q side filtered to the query ids (cand.q_id < 5 by construction)
+    # and norms hoisted per row — not re-folded per candidate pair
+    eq = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
     en = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
+        _norm(F.col("embedding")).alias("nn"),
     )
-    cos = _dot(F.col("eq"), F.col("en")) / (
-        _norm(F.col("eq")) * _norm(F.col("en"))
-    )
+    cos = _dot(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn"))
     scored = (
         cand.join(eq, "q_id")
         .join(en, "neighbor_id")
@@ -654,13 +672,17 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"))
+    # q side filtered to the query ids (cand.q_id < 5 by construction)
+    # and norms hoisted per row — not re-folded per candidate pair
+    eq = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
     en = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
+        _norm(F.col("embedding")).alias("nn"),
     )
-    cos = _dot(F.col("eq"), F.col("en")) / (
-        _norm(F.col("eq")) * _norm(F.col("en"))
-    )
+    cos = _dot(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn"))
     scored = (
         cand.join(eq, "q_id")
         .join(en, "neighbor_id")
@@ -776,10 +798,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = nearest(e.filter(F.col("vec_id") < 5), cents, "probe").select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
         F.col("cid").alias("list_id"),
     )
+    # query norm hoisted (10 evals) instead of per candidate pair;
+    # e_emb's norm stays per-pair — candidate volume (~2N/K per query)
+    # is BELOW the collection row count, so hoisting it would cost more
     cos = _dot(F.col("eq"), F.col("e_emb")) / (
-        _norm(F.col("eq")) * _norm(F.col("e_emb"))
+        F.col("nq") * _norm(F.col("e_emb"))
     )
     scored = (
         inverted.join(F.broadcast(probes), "list_id")
@@ -833,19 +859,29 @@ def _ivf_fixed_ranked(spark: SparkSession, sf_dir: str,
             _IVF_RANKED_EAGER.add(memo_key)
         return cached
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Norms hoisted to per-ROW projections before the crossJoin (r17
+    # opt): _norm is an interpreted ~128-lambda HOF, and inside the
+    # per-pair cosine it re-ran once per (vector, centroid) pair — 3
+    # aggregates/pair over 16x the row count.  Hoisting is bit-identical
+    # (the same fold over the same array yields the same double
+    # wherever it is evaluated) and measured ~1.8x on this stage.  The
+    # persisted frame carries nrm so downstream re-ranks reuse it.
+    en = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ec"),
+        _norm(F.col("embedding")).alias("nrm_c"),
     )
     cos_key = F.floor(
         _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        / (F.col("nrm") * F.col("nrm_c"))
         * 1000000
         + F.lit(0.5)
     )
     wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
     ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
+        en.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid", cos_key.alias("cos_key"))
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") <= _IVF_PROBES)
         .persist()
@@ -940,16 +976,18 @@ def sim_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("n_emb"),
         F.col("cid").alias("list_id"),
     )
     probes = ranked.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
         F.col("cid").alias("list_id"),
     )
-    cos = _dot(F.col("eq"), F.col("e_emb")) / (
-        _norm(F.col("eq")) * _norm(F.col("e_emb"))
-    )
+    # norms ride the persisted routing frame (computed once per vector
+    # there) instead of re-folding per candidate pair — bit-identical
+    cos = _dot(F.col("eq"), F.col("e_emb")) / (F.col("nq") * F.col("n_emb"))
     scored = (
         inv.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("q_id"))
@@ -1481,15 +1519,20 @@ def sim_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("eq"),
         F.slice(F.col("embedding"), 1, _MRL_PREFIX).alias("eq_pfx"),
+    ).withColumn("nq_pfx", _norm(F.col("eq_pfx"))).withColumn(
+        "nq_full", _norm(F.col("eq"))
     )
+    # prefix norms hoisted per row (collection + 5 queries), not per
+    # coarse pair — bit-identical interpreted-HOF hoist
     coarse_cos = _dot(F.col("eq_pfx"), F.col("e_pfx")) / (
-        _norm(F.col("eq_pfx")) * _norm(F.col("e_pfx"))
+        F.col("nq_pfx") * F.col("n_pfx")
     )
     coarse = (
         e.select(
             F.col("vec_id").alias("neighbor_id"), pfx.alias("e_pfx")
         )
-        .crossJoin(F.broadcast(q.select("q_id", "eq_pfx")))
+        .withColumn("n_pfx", _norm(F.col("e_pfx")))
+        .crossJoin(F.broadcast(q.select("q_id", "eq_pfx", "nq_pfx")))
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1507,13 +1550,15 @@ def sim_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = e.select(F.col("vec_id").alias("neighbor_id"),
                   F.col("embedding").alias("e_full"))
+    # query norm hoisted; e_full's norm stays per pair — the shortlist
+    # (60/query) is far below the collection row count
     full_cos = _dot(F.col("eq"), F.col("e_full")) / (
-        _norm(F.col("eq")) * _norm(F.col("e_full"))
+        F.col("nq_full") * _norm(F.col("e_full"))
     )
     exact = (
         short.select("q_id", "neighbor_id")
         .join(nb, "neighbor_id")
-        .join(F.broadcast(q.select("q_id", "eq")), "q_id")
+        .join(F.broadcast(q.select("q_id", "eq", "nq_full")), "q_id")
         .select("q_id", "neighbor_id", _fix(full_cos, 10000).alias("cosine"))
     )
     w2 = Window.partitionBy("q_id").orderBy(
@@ -2503,15 +2548,18 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("eq"),
         F.col("label").alias("q_label"),
+        _norm(F.col("embedding")).alias("nq"),
     )
     cand = e.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ec"),
         F.col("label").alias("c_label"),
+        _norm(F.col("embedding")).alias("nc"),
     )
+    # norms per row, not per (candidate, query) pair — bit-identical
     cos_key = F.floor(
         _dot(F.col("eq"), F.col("ec"))
-        / (_norm(F.col("eq")) * _norm(F.col("ec")))
+        / (F.col("nq") * F.col("nc"))
         * 1000000
         + F.lit(0.5)
     )
@@ -4672,19 +4720,27 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (one crossJoin against the broadcast 16-row centroid
     table + one window)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # norms hoisted per row before the broadcast crossJoins (r17 opt:
+    # the interpreted-HOF fold ran once per pair; bit-identical hoist,
+    # measured ~1.8x on the routing stage) — nrm rides the persisted
+    # frame so inv/qrank reuse it in the probe scoring
+    ebn = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"),
+        _norm(F.col("embedding")).alias("nrm_c"),
     )
     cos_key = F.floor(
         _dot(F.col("embedding"), F.col("ec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("ec")))
+        / (F.col("nrm") * F.col("nrm_c"))
         * 1000000
         + F.lit(0.5)
     )
     wc = Window.partitionBy("vec_id").orderBy(F.desc("cos_key"), F.asc("cid"))
     ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", cos_key.alias("cos_key"))
+        ebn.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid", cos_key.alias("cos_key"))
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") <= max(_IVF_SWEEP))
     )
@@ -4697,17 +4753,19 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("n_emb"),
         F.col("cid").alias("list_id"),
     )
     qrank = ranked.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
         F.col("cid").alias("list_id"),
         F.col("crn").alias("lr"),
     )
     cos_bp = F.floor(
         _dot(F.col("eq"), F.col("e_emb"))
-        / (_norm(F.col("eq")) * _norm(F.col("e_emb")))
+        / (F.col("nq") * F.col("n_emb"))
         * 10000
         + F.lit(0.5)
     ).cast("long")
@@ -4735,10 +4793,12 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= 5
     )
     qe = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
     )
     ee = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"),
+        _norm(F.col("embedding")).alias("n_emb"),
     )
     exact_sc = (
         ee.crossJoin(F.broadcast(qe))
@@ -4753,6 +4813,8 @@ def sim_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", F.col("neighbor_id").alias("x_nid"))
         .withColumn("hit", F.lit(1))
+        .persist()  # diamond: the n_q driver count AND the hit join —
+        # unpersisted, the exact ground-truth crossJoin ran twice
     )
     n_q = exact5.select("q_id").distinct().count()
     vol = swept.groupBy("n_probes").agg(F.count("*").alias("n_cand"))

@@ -3510,16 +3510,30 @@ def text_nb_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("llr_e4"),
         )
     )
+    # Both direction ranks in ONE pass over filled, unpivoted with
+    # stack (r17 opt): the prior two-branch union re-ran filled's whole
+    # subtree — ctc/ll/cls aggregations above the persisted token
+    # stream — once per direction.  Same rows: each direction keeps its
+    # own row_number under its own order, filtered to the same top-k.
     w_hq = Window.orderBy(F.desc("llr_e4"), F.asc("tok"))
     w_lq = Window.orderBy(F.asc("llr_e4"), F.asc("tok"))
-    hq = filled.select(
-        F.lit("hq").alias("direction"),
-        F.row_number().over(w_hq).cast("long").alias("rnk"),
-        "tok", "n_tc0", "n_tc1", "llr_e4",
-    ).filter(F.col("rnk") <= _NB_FI_TOPK)
-    lq = filled.select(
-        F.lit("lq").alias("direction"),
-        F.row_number().over(w_lq).cast("long").alias("rnk"),
-        "tok", "n_tc0", "n_tc1", "llr_e4",
-    ).filter(F.col("rnk") <= _NB_FI_TOPK)
-    return hq.unionByName(lq)
+    both = (
+        filled.withColumn("rnk_hq", F.row_number().over(w_hq))
+        .withColumn("rnk_lq", F.row_number().over(w_lq))
+        .filter(
+            (F.col("rnk_hq") <= _NB_FI_TOPK)
+            | (F.col("rnk_lq") <= _NB_FI_TOPK)
+        )
+    )
+    return (
+        both.select(
+            F.expr("stack(2, 'hq', rnk_hq, 'lq', rnk_lq) AS (direction, rnk0)"),
+            "tok", "n_tc0", "n_tc1", "llr_e4",
+        )
+        .filter(F.col("rnk0") <= _NB_FI_TOPK)
+        .select(
+            "direction",
+            F.col("rnk0").cast("long").alias("rnk"),
+            "tok", "n_tc0", "n_tc1", "llr_e4",
+        )
+    )
