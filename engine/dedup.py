@@ -2319,6 +2319,13 @@ def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("ch") * (F.col("lid") + 2)) % _M31).cast("string"),
         ).alias("ftok"),
     ).persist()
+    # Eager (r17 opt): lex feeds the mirror join AND the normalize join
+    # inside ONE downstream action — a lazy persist let both consumers
+    # race the vocab-distinct + char-fold subtree into computing twice.
+    # Same for corpus below (shingle stream + two lang-tag lookups).
+    # Measured same-session warm 3x: base [6.19, 4.92, 4.72] vs both
+    # eager [4.88, 4.80, 3.83] s — eager wins every round.
+    lex.count()
     nxt = F.expr(_XL_NEXT_SQL)
     planted = tok.filter(F.col("doc_id") % _XL_RES == 0).select(
         "doc_id", "pos", "tok", nxt.alias("nl")
@@ -2346,8 +2353,9 @@ def dedup_crosslingual_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus feeds the shingle stream AND both lang-tag lookups; its
     # mirror arm re-runs the lexicon join + reassembly agg per consumer
-    # — persist the diamond
+    # — persist the diamond, eagerly (see the lex comment above)
     corpus = d.unionByName(mirror).persist()
+    corpus.count()
     ctok = corpus.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
