@@ -50,11 +50,32 @@ def _stream_shuffle(spark: SparkSession):
         yield
 
 
+def _fast_scratch_base() -> str:
+    """Fastest writable local base for streaming SCRATCH (checkpoints,
+    WALs, state stores, per-key sinks — all ephemeral, wiped per run).
+    Checkpoint commits fsync many tiny files per microbatch; on this
+    box's disk-backed /tmp that I/O measured as a consistent per-key
+    tax (r17 A/B minima, tmpfs vs disk: stream_stateful_counter 2.84
+    vs 3.54 s, stream_stream_left_outer 7.29 vs 8.69 s), so prefer the
+    RAM-backed /dev/shm when present — the standard fast-local-storage
+    deployment for ephemeral streaming state; at production scale the
+    same override points at the local SSD array.  Overridable via
+    $SPARK_GRAFT_STREAM_SCRATCH.  STAGED SOURCES deliberately stay
+    under tempfile.gettempdir() (read-once inputs, no fsync pressure,
+    and their build-once markers should survive session churn)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def scratch_path(name: str) -> str:
     """Path of a named scratch area WITHOUT wiping it — for tests that
     inspect a sink a key just wrote (keeps the layout in one place;
-    tests must never re-derive tempdir/spark_graft_stream/<name>)."""
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stream", name)
+    tests must never re-derive the scratch base themselves)."""
+    return os.path.join(_fast_scratch_base(), "spark_graft_stream", name)
 
 
 def _scratch(name: str) -> str:
@@ -133,6 +154,13 @@ def _run_to_memory(agg: DataFrame, mode: str, name: str) -> str:
         q = (
             agg.writeStream.format("memory")
             .queryName(qname)
+            # Explicit checkpoint on the fast scratch base: without it
+            # Spark puts the temp checkpoint under java.io.tmpdir (the
+            # disk-backed /tmp) — the fsync-per-microbatch tax the
+            # _fast_scratch_base docstring quantifies.  Unique per
+            # qname (the _SINK_IDS counter), KB-sized, wiped with the
+            # scratch tree.
+            .option("checkpointLocation", _scratch(f"ckpt_{qname}"))
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
