@@ -452,19 +452,45 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_src("stateful_counter", sf_dir, build)
 
     def count_events(key, pdfs, state: GroupState):
-        total = state.get[0] if state.exists else 0
+        # Bounded-bucket state (r10 rule; r17 opt — the
+        # stream_match_recognize rationale): one Arrow batch + state
+        # round-trip per BUCKET per microbatch instead of per user.
+        # Emits one row per user that appeared in THIS batch (exactly
+        # the per-user grouping's update-mode output); counts per user
+        # are vectorized with np.unique.
+        import numpy as np
+
+        if state.exists:
+            uids, ns = state.get
+            st = dict(zip(map(int, uids), map(int, ns)))
+        else:
+            st = {}
+        seen: set[int] = set()
         for pdf in pdfs:
-            total += len(pdf)
-        state.update((total,))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+            u, c = np.unique(
+                pdf["user_id"].to_numpy(dtype=np.int64), return_counts=True
+            )
+            for uid, n in zip(u.tolist(), c.tolist()):
+                st[uid] = st.get(uid, 0) + n
+                seen.add(uid)
+        items = sorted(st.items())
+        state.update((
+            [u for u, _ in items], [n for _, n in items],
+        ))
+        if seen:
+            out = sorted(seen)
+            yield pd.DataFrame(
+                {"user_id": out, "n_events": [st[u] for u in out]}
+            )
 
     counted = (
         _events_stream(spark, src, max_files_per_trigger=1)
-        .groupBy("user_id")
+        .withColumn("bucket", F.col("user_id") % 64)
+        .groupBy("bucket")
         .applyInPandasWithState(
             count_events,
             outputStructType="user_id long, n_events long",
-            stateStructType="n long",
+            stateStructType="uids array<long>, ns array<long>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
