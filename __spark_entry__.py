@@ -102,17 +102,9 @@ def _bench_times() -> dict[str, float]:
 # earlier rounds' still-waiting keys are ordinary backlog and must
 # outrank these.  Rotated at each round boundary once the cohort's
 # CORRECTNESS rows land.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    # round-17 additions (r16's 9 keys all drained to CORRECTNESS_r16)
-    "text_nb_calibration",
-    "graph_modularity_score",
-    "sim_hard_negative_ivf",
-    "stream_bloom_ingest",
-    "text_nb_feature_importance",
-    "sim_ivf_probe_recall_curve",
-    "sim_pca_power_topcomp",
-    "sim_pca_project_residual",
-})
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
+# round 18 (optimization round 2/2) adds no keys; r17's 8 additions all
+# drained to green CORRECTNESS_r17.json rows.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5,9 +5,11 @@ Prints exactly ONE compact JSON line (<1500 chars — the driver captures
 only a 2000-char stdout tail; the full 131-key map overflowed it in r2,
 leaving BENCH_r02.json unparseable):
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {slowest 10 keys only}, "sf": 0.1, "n_queries": K,
+   "queries": {slowest 10 THIS-RUN RAW}, "queries_anchor": {slowest 10
+   min-merged}, "raw_run_sec": R, "sf": 0.1, "n_queries": K,
    "full": "bench_full.json"}
-The complete per-key map is written to bench_full.json next to this file.
+The complete min-merged anchor map is written to bench_full.json and the
+complete raw this-run map to bench_last.json (both committed).
 
 Each query is materialized through the `noop` datasource sink — a full
 execution of the physical plan with zero sink cost (df.count() would let
@@ -46,10 +48,12 @@ def main() -> None:
     # ($SPARK_GRAFT_LOCAL_DIR → local SSD array at cluster scale, where
     # shuffle volume exceeds RAM); sf0.1 shuffle volumes are ≪ 1 GB so
     # tmpfs is safe here.  Same queries, same timing methodology.
+    from engine.streaming import _usable_tmpfs
+
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark_graft_local"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else ""
+        # statvfs guard (r17 ADVICE): container runtimes often cap
+        # /dev/shm at 64 MB; only prefer it with ≥2 GB free.
+        "/dev/shm/spark_graft_local" if _usable_tmpfs("/dev/shm") else ""
     )
     builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -181,7 +185,18 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    slowest = dict(
+    # r17 VERDICT ("What's wrong" #1): the stdout `queries` map used to
+    # carry the MIN-MERGED ANCHOR per key, which is run-invariant — the
+    # driver's per-query speedups were 1.000 by construction and its
+    # low-vs-high-core scaling probe produced all-1.0 ratios.  Fixed
+    # measurement bug: `queries` now carries THIS-RUN RAW per-key times
+    # (slowest 10 of this run) so per-run comparisons and the
+    # $SPARK_GRAFT_CPUS scaling probe see real numbers; the old
+    # (anchor) numbers are kept in `queries_anchor` and in `value`
+    # (min-merged total, the cross-round-comparable headline), and the
+    # full raw map is committed in bench_last.json.
+    slowest_raw = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    slowest_anchor = dict(
         sorted(merged.items(), key=lambda kv: -kv[1])[:10]
     )
     line = json.dumps(
@@ -189,9 +204,10 @@ def main() -> None:
             "metric": "total_query_wall_sec",
             "value": total,
             "unit": "sec",
-            "policy": "per-key minima over repeated runs; this single run raw",
+            "policy": "value/queries_anchor: per-key minima over repeated runs; queries/raw_run_sec: this run raw",
             "raw_run_sec": raw_total,
-            "queries": slowest,
+            "queries": slowest_raw,
+            "queries_anchor": slowest_anchor,
             "sf": sf,
             "n_queries": len(merged),
             "full": "bench_full.json",

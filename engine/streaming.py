@@ -66,9 +66,22 @@ def _fast_scratch_base() -> str:
     env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if env:
         return env
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    if _usable_tmpfs("/dev/shm"):
         return "/dev/shm"
     return tempfile.gettempdir()
+
+
+def _usable_tmpfs(path: str, min_free_bytes: int = 2 * 1024**3) -> bool:
+    """True when ``path`` is a writable dir with ≥ ``min_free_bytes``
+    free (r17 ADVICE: many container runtimes cap /dev/shm at 64 MB —
+    isdir+W_OK alone would route shuffle spills into ENOSPC there)."""
+    if not (os.path.isdir(path) and os.access(path, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free_bytes
 
 
 def scratch_path(name: str) -> str:
@@ -157,10 +170,16 @@ def _run_to_memory(agg: DataFrame, mode: str, name: str) -> str:
             # Explicit checkpoint on the fast scratch base: without it
             # Spark puts the temp checkpoint under java.io.tmpdir (the
             # disk-backed /tmp) — the fsync-per-microbatch tax the
-            # _fast_scratch_base docstring quantifies.  Unique per
-            # qname (the _SINK_IDS counter), KB-sized, wiped with the
-            # scratch tree.
-            .option("checkpointLocation", _scratch(f"ckpt_{qname}"))
+            # _fast_scratch_base docstring quantifies.  KB-sized, wiped
+            # with the scratch tree.  The name carries the PID (r17
+            # ADVICE): the _SINK_IDS counter is per-process, so two
+            # concurrent sessions (driver bench + local pytest) would
+            # otherwise compute the SAME path and _scratch would rmtree
+            # the other session's live checkpoint mid-query.
+            .option(
+                "checkpointLocation",
+                _scratch(f"ckpt_{os.getpid()}_{qname}"),
+            )
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
@@ -458,6 +477,19 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Emits one row per user that appeared in THIS batch (exactly
         # the per-user grouping's update-mode output); counts per user
         # are vectorized with np.unique.
+        #
+        # State-size model (r17 VERDICT #5 / ADVICE): the (uids, ns)
+        # arrays hold every user EVER seen in the bucket and are
+        # re-serialized whole each microbatch — O(distinct_users/64)
+        # per bucket per batch, same TOTAL state as the per-user
+        # layout but transferred as one row per bucket.  Running
+        # totals are the declared semantics, so idle users cannot be
+        # dropped (a re-seen user must resume its count, and NoTimeout
+        # state has no eviction horizon); at unbounded user
+        # cardinality the production form bounds this with the
+        # stream_state_ttl pattern (EventTimeTimeout eviction) or more
+        # buckets.  tests/test_streaming.py pins the model via the
+        # state reader (64 state rows; stored uids == distinct users).
         import numpy as np
 
         if state.exists:

@@ -34,7 +34,16 @@ def main() -> None:
 
     import engine
 
-    spark = (
+    # Same spark.local.dir selection as bench.py ($SPARK_GRAFT_LOCAL_DIR
+    # override, /dev/shm with a free-space guard) so measurements here
+    # are comparable to bench anchors (r17 ADVICE: the old hard-coded
+    # measure_key_shm.py copy is folded in here).
+    from engine.streaming import _usable_tmpfs
+
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark_graft_local" if _usable_tmpfs("/dev/shm") else ""
+    )
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("spark-graft-measure")
         .config("spark.sql.shuffle.partitions", str(CPUS))
@@ -43,8 +52,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
-        .getOrCreate()
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
 
