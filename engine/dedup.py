@@ -551,6 +551,111 @@ def _kr_t31(tok) -> F.Column:
     )
 
 
+def _kr_shingles_arrow(corpus: DataFrame) -> DataFrame:
+    """:func:`_kr_shingles` as ONE Arrow/numpy kernel over the raw
+    (doc_id, text) scan — guide §4.2's "hand whole batches to
+    vectorized native code" — replacing the exploded JVM chain
+    (posexplode → per-char interpreted fold → two lead() windows →
+    distinct ≈ 54 tokens × ~6 lambda evals per doc + a generate + a
+    sort + a hash-agg).  The kernel emits the per-doc-DISTINCT shingle
+    set directly, exact-integer EQUAL to :func:`_kr_shingles` (the
+    whole-corpus equality is pinned in tests/test_unit_semantics.py;
+    every consumer's DuckDB oracle replays the chain independently).
+
+    CALLER-SELECTED by measurement (r18 interleaved A/B at sf0.1, both
+    orders): the kernel wins where sh is PERSISTED and feeds
+    window/multi-consumer chains — setsim 5.8→3.1 s mins,
+    corpus_clean_polyhash 3.97→3.68 — because the persisted frame is
+    built in one Python pass and caches the already-distinct rows; it
+    LOSES slightly where sh feeds one direct groupBy whose exchange
+    the JVM form's window partitioning already satisfies (simhash
+    1.83 vs 2.10, incremental 2.35 vs 2.75, calibration tie) — those
+    callers keep the JVM form.
+
+    Exactness argument: Horner fold h=(h·31+c) mod p is linear, so
+    h = Σ c_j·31^(L-1-j) mod p — computed vectorized as per-char
+    contribution c·31^k mod p (k = chars-from-token-end) + segment sum
+    (np.add.reduceat); all intermediates < 2^62 in int64 (c ≤ 0x10FFFF
+    < 2^21, 31^k mod p < 2^40, token length < 2^21).  The corpus is
+    joined on '\\x00' (absent from the synthetic docs); tokens
+    split on the literal ' ' exactly like F.split(lower(text), ' ')
+    with empties dropped — consecutive spaces yield zero-length
+    segments that are skipped, mirroring `_tokens`; codepoints come
+    from UTF-32-LE so non-ASCII would match F.ascii's codepoint
+    semantics.  NULL texts produce no rows (posexplode-of-null
+    parity)."""
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        pow31 = np.ones(1, dtype=np.int64)
+
+        def grow_pow(n: int):
+            nonlocal pow31
+            if len(pow31) <= n:
+                old = pow31
+                pow31 = np.empty(n + 1, dtype=np.int64)
+                pow31[: len(old)] = old
+                for i in range(len(old), n + 1):
+                    pow31[i] = (pow31[i - 1] * 31) % _FP_MOD
+            return pow31
+
+        for pdf in it:
+            texts = pdf["text"]
+            keep = texts.notna().to_numpy()
+            if not keep.any():
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
+            joined = "\x00".join(texts[keep].astype(str).str.lower())
+            codes = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(codes)
+            if n == 0:
+                continue
+            is_doc_sep = codes == 0
+            not_sep = ~(is_doc_sep | (codes == 32))
+            prev_sep = np.empty(n, dtype=bool)
+            prev_sep[0] = True
+            prev_sep[1:] = ~not_sep[:-1]
+            next_sep = np.empty(n, dtype=bool)
+            next_sep[-1] = True
+            next_sep[:-1] = ~not_sep[1:]
+            ends = np.nonzero(not_sep & next_sep)[0]
+            if len(ends) < 3:
+                continue
+            nz = np.nonzero(not_sep)[0]
+            tok_of_char = np.searchsorted(ends, nz)
+            k = ends[tok_of_char] - nz
+            pw = grow_pow(int(k.max()))
+            contrib = (codes[nz] * pw[k]) % _FP_MOD
+            seg_starts = np.nonzero(
+                np.r_[True, tok_of_char[1:] != tok_of_char[:-1]]
+            )[0]
+            th = (np.add.reduceat(contrib, seg_starts) % _FP_MOD) % _M31
+            doc_idx = np.cumsum(is_doc_sep)
+            doc_of_tok = doc_idx[nz[seg_starts]]
+            sh = (((th[:-2] * 131 + th[1:-1]) % _M31) * 131 + th[2:]) % _M31
+            same = doc_of_tok[:-2] == doc_of_tok[2:]
+            sh = sh[same]
+            if not len(sh):
+                continue
+            # per-doc distinct: pack (batch-local doc index < 2^20,
+            # sh < 2^31) into one int64 and np.unique once
+            packed = np.unique((doc_of_tok[:-2][same] << 31) | sh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[(packed >> 31)],
+                    "sh": packed & ((1 << 31) - 1),
+                }
+            )
+
+    return corpus.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, sh long"
+    )
+
+
 def _kr_shingles(corpus: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, sh) Karp-Rabin 3-token shingle hashes — the
     DuckDB-expressible feature set behind the whole hash-verified
@@ -564,7 +669,9 @@ def _kr_shingles(corpus: DataFrame) -> DataFrame:
     string, never a nested per-position fold: the winnowing 6.3 s
     trap); consecutive token hashes meet via two lead() windows, and
     ONE doc_id exchange serves window + distinct + any downstream
-    doc_id groupBy (subset rule)."""
+    doc_id groupBy (subset rule).  :func:`_kr_shingles_arrow` is the
+    exact-equal Arrow-kernel twin, selected per caller by measurement
+    (see its docstring for the decision table)."""
     tok = corpus.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -784,7 +891,12 @@ def dedup_setsim_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
         )
     )
-    sh = _kr_shingles(corpus).persist()
+    # Arrow-kernel shingles (r18): this caller persists sh and runs two
+    # windows + three joins over it — the kernel builds the cached frame
+    # in one Python pass with the per-doc distinct already applied
+    # (interleaved A/B mins 5.8 → 3.1 s; exact-equal by the pinned
+    # kernel≡JVM test, oracle untouched).
+    sh = _kr_shingles_arrow(corpus).persist()
 
     # df as a window count over the sh partitioning — measured faster
     # than the groupBy+join form (2.0 vs 2.4 s to candidates at sf0.1):
@@ -968,13 +1080,21 @@ _KR_MH_PAIRS_CTES = f"""mins AS (
     )"""
 
 
-def kr_minhash_near_pairs(corpus: DataFrame) -> DataFrame:
+def kr_minhash_near_pairs(corpus: DataFrame, arrow: bool = False) -> DataFrame:
     """Exact-Jaccard ≥ 0.5 near-dup pairs over a (doc_id, text) corpus
     via the DuckDB-replayable Karp-Rabin MinHash+LSH chain — the
     hash-verifiable twin of :func:`minhash_near_pairs` (SQL twin:
     :data:`_KR_MH_PAIRS_CTES` over an `sh` CTE).  Returns (doc_a,
-    doc_b, n_common, n_a, n_b, jac_e6)."""
-    return kr_pairs_from_sh(_kr_shingles(corpus))
+    doc_b, n_common, n_a, n_b, jac_e6).
+
+    ``arrow`` selects the Arrow-kernel shingle builder — per-caller
+    measured decision (the :func:`_kr_shingles_arrow` table):
+    pipeline_corpus_clean_polyhash passes True (its corpus arg is a
+    persisted post-dedup frame and the kernel won every A/B round);
+    dedup_minhash_polyhash keeps the JVM form (direct-groupBy shape,
+    JVM won the minima both orders)."""
+    sh = (_kr_shingles_arrow if arrow else _kr_shingles)(corpus)
+    return kr_pairs_from_sh(sh)
 
 
 def kr_pairs_from_sh(sh: DataFrame, eager: bool = False) -> DataFrame:

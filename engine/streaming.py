@@ -941,11 +941,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (left rows are held only until watermark > l_ts + 30 min) —
     WITHOUT the band + watermarks the state store would grow forever;
     with them state is bounded by (event rate × ~1.5 h) per side
-    regardless of stream length.  The replay is phased 3 ways
+    regardless of stream length.  The replay is phased 2 ways
     (maxFilesPerTrigger=1, monotone mtimes) so boundary-crossing pairs
     genuinely exercise cross-microbatch state: a click arriving in
-    phase i matches a purchase arriving in phase i+1 — the watermark
-    lag keeps exactly those rows alive across the batch seam.
+    phase 0 matches a purchase arriving in phase 1 — the watermark
+    lag keeps exactly those rows alive across the batch seam.  (2
+    phases, not 3 — r18 opt: the emitted set is a pure function of
+    time-ordered phasing + lag(1h) > band(30min), i.e. EQUAL to the
+    batch join for ANY phase count ≥ 1, and per-microbatch fixed cost
+    dominates this key — measured ~1.2-1.4 s/batch regardless of rows,
+    66k-row and 0-row batches alike; one seam is the minimum that
+    still proves cross-batch state.)
 
     The drained append-mode sink must equal the batch join exactly
     (tests/test_streaming.py: inline batch twin) — phases are
@@ -960,15 +966,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = ev.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
         ).first()
-        third = (hi - lo) // 3 + 1
+        half = (hi - lo) // 2 + 1
         stamped: set[str] = set()
-        for i in range(3):
+        for i in range(2):
             ev.filter(
-                (us >= lo + i * third) & (us < lo + (i + 1) * third)
+                (us >= lo + i * half) & (us < lo + (i + 1) * half)
             ).coalesce(1).write.mode("append").parquet(src)
             _stamp_phase(src, i, stamped)
 
-    src = _staged_src("ss_join", sf_dir, build)
+    # name bumped ss_join -> ss_join_2p: staged_build_once caches by
+    # (name, corpus fingerprint) only — a build-fn change needs a new
+    # name or stale 3-phase staging replays forever.
+    src = _staged_src("ss_join_2p", sf_dir, build)
 
     def side(prefix: str, etype: str) -> DataFrame:
         return (
@@ -1198,11 +1207,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = ev.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
         ).first()
-        third = (hi - lo) // 3 + 1
+        # 2 data phases, not 3 (r18 opt — the ss_join rationale: the
+        # emitted set is phase-count-invariant under time-ordered
+        # phasing + lag > band + the flush sentinel, and per-microbatch
+        # fixed cost dominates; one seam proves cross-batch state).
+        half = (hi - lo) // 2 + 1
         stamped: set[str] = set()
-        for i in range(3):
+        for i in range(2):
             ev.filter(
-                (us >= lo + i * third) & (us < lo + (i + 1) * third)
+                (us >= lo + i * half) & (us < lo + (i + 1) * half)
             ).coalesce(1).write.mode("append").parquet(src)
             _stamp_phase(src, i, stamped)
         # flush phase: one sentinel per JOIN SIDE, 10 days past the
@@ -1222,9 +1235,10 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
         ).coalesce(1).write.mode("append").parquet(src)
-        _stamp_phase(src, 3, stamped)
+        _stamp_phase(src, 2, stamped)
 
-    src = _staged_src("ss_left_outer", sf_dir, build)
+    # name bumped (staged_build_once caches by name + corpus fingerprint)
+    src = _staged_src("ss_left_outer_2p", sf_dir, build)
 
     def side(prefix: str, etype: str) -> DataFrame:
         # sentinels pass this filter by construction (exact event_type)

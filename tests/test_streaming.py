@@ -162,7 +162,7 @@ def test_stream_sliding_agg_equals_batch(spark):
 def test_stream_stream_join_equals_batch(spark):
     # Stream-stream inner join with watermarks + time band: the drained
     # append sink must equal the same join computed in batch — including
-    # the pairs that cross the 3-phase microbatch seams (cross-batch
+    # the pairs that cross the 2-phase microbatch seam (cross-batch
     # join state), which the time-ordered replay must never evict early.
     stream = engine.QUERIES["stream_stream_join"](spark, SF_DIR)
     ev = load(spark, SF_DIR, "events")

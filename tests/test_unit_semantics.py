@@ -1112,6 +1112,37 @@ def test_kr_shingles_match_python_reference(spark, toks):
     assert got == expected, f"KR drift: {got ^ expected}"
 
 
+def test_kr_shingles_arrow_kernel_equals_jvm_twin(spark):
+    """r18: setsim and corpus_clean_polyhash build shingles via the
+    Arrow/numpy kernel _kr_shingles_arrow (guide §4.2, caller-selected
+    by measurement); it must be EXACT-EQUAL to the JVM chain
+    _kr_shingles on the full planted corpus — the five consumer keys'
+    DuckDB oracles replay the JVM-form arithmetic, so any kernel drift
+    (tokenization, fold, combine, distinct) breaks the family.
+    Includes a NULL-text row (posexplode-of-null parity) and <3-token
+    rows (no shingles)."""
+    from engine.dedup import _COPY_OFFSET, _kr_shingles, _kr_shingles_arrow
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    ).unionByName(
+        spark.createDataFrame(
+            [(900_001, None), (900_002, "one two"), (900_003, "  a  b ")],
+            "doc_id long, text string",
+        )
+    )
+    kern = _kr_shingles_arrow(corpus)
+    jvm = _kr_shingles(corpus)
+    assert kern.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(kern).count() == 0
+    n = kern.count()
+    assert n == jvm.count() and n > 0
+
+
 def test_decontaminate_spans_recover_planted_slices(spark):
     # Every planted eval item (doc_id % 53 == 0, >= 25 tokens) is a
     # verbatim token slice [s, s+L) of its origin doc — the span finder
