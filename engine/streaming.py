@@ -2055,14 +2055,26 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _staged_src("state_ttl", sf_dir, build)
 
+    # Per-user grouping is the SEMANTICS here (EventTimeTimeout fires
+    # per state row) — ~1500 kernel calls per microbatch are the price
+    # of the contract.  The one cheap per-call cost is the emitted
+    # 1-row DataFrame: building it from a single int64 ndarray measured
+    # 2.6× cheaper than the dict-of-lists constructor (r18, §4.2 —
+    # 0.34 → 0.13 ms/call × ~5k calls); Arrow casts the int64 columns
+    # to the declared output schema, values unchanged.
+    import numpy as np
+
+    def _row(user_id, n, last_us, evicted):
+        return pd.DataFrame(
+            np.array([[user_id, n, last_us, evicted]], dtype=np.int64),
+            columns=["user_id", "n", "last_us", "evicted"],
+        )
+
     def ttl_count(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             n, last_us = state.get
             state.remove()
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n": [n],
-                 "last_us": [last_us], "evicted": [1]}
-            )
+            yield _row(key[0], n, last_us, 1)
             return
         n, last_us = state.get if state.exists else (0, 0)
         for pdf in pdfs:
@@ -2070,10 +2082,7 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_us = max(last_us, int(pdf["ts"].max().value) // 1000)
         state.update((n, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n": [n],
-             "last_us": [last_us], "evicted": [0]}
-        )
+        yield _row(key[0], n, last_us, 0)
 
     stream = _events_stream(spark, src, max_files_per_trigger=1).withWatermark(
         "ts", "0 seconds"
@@ -2236,23 +2245,32 @@ def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_src("bloom_ingest", sf_dir, build)
 
     def gate(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        # Vectorized (r18, guide §4.2): probes answered with one
+        # np.isin against the sorted stored positions and merged with
+        # one np.union1d — the row-at-a-time Python loop + tuple list
+        # this replaces was the §4.2 anti-pattern.  Verdicts are
+        # identical by construction (hit ⇔ pos ∈ state BEFORE this
+        # batch; the batch's own positions merge after).
+        import numpy as np
+
+        seen = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
         frames = [pdf for pdf in pdfs if len(pdf)]
-        out = []
-        new_pos = set()
-        for pdf in frames:
-            for rid, bid, j, pos in zip(
-                pdf["row_id"], pdf["batch_id"], pdf["j"], pdf["pos"]
-            ):
-                out.append(
-                    (int(rid), int(bid), int(j), 1 if int(pos) in seen else 0)
-                )
-                new_pos.add(int(pos))
-        state.update((sorted(seen | new_pos),))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["row_id", "batch_id", "j", "hit"]
-            )
+        if not frames:
+            state.update((seen.tolist(),))
+            return
+        rid = np.concatenate([p["row_id"].to_numpy(np.int64) for p in frames])
+        bid = np.concatenate([p["batch_id"].to_numpy(np.int64) for p in frames])
+        j = np.concatenate([p["j"].to_numpy(np.int32) for p in frames])
+        pos = np.concatenate([p["pos"].to_numpy(np.int64) for p in frames])
+        hit = np.isin(pos, seen).astype(np.int32)
+        state.update((np.union1d(seen, pos).tolist(),))
+        yield pd.DataFrame(
+            {"row_id": rid, "batch_id": bid, "j": j, "hit": hit}
+        )
 
     schema = spark.read.parquet(src).schema
     stream = (
